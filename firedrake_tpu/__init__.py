@@ -1,0 +1,64 @@
+"""firedrake_tpu: a TPU-native finite element framework.
+
+A ground-up rebuild of the capabilities of Firedrake
+(firedrakeproject/firedrake) on JAX/XLA/Pallas: symbolic weak forms are
+compiled to jitted gather -> quadrature-kernel -> scatter XLA programs;
+linear/nonlinear solves run as JAX-native Krylov/Newton loops on device;
+distribution uses jax.sharding meshes instead of MPI.
+
+Public API mirrors firedrake/__init__.py:59-171 (the demo scripts port
+with an import swap).
+"""
+import os
+
+import jax as _jax
+
+# f64 by default: the reference's solver stack is double precision and the
+# regression gates (residuals to 1e-10) require it.  Opt out with
+# FIREDRAKE_TPU_X64=0 for bf16/f32 experimentation.
+if os.environ.get("FIREDRAKE_TPU_X64", "1") != "0":
+    _jax.config.update("jax_enable_x64", True)
+
+from .language import *            # noqa: F401,F403  (UFL surface)
+from .language import __all__ as _lang_all
+
+from .mesh.utility import *        # noqa: F401,F403
+from .mesh.utility import __all__ as _mesh_all
+from .mesh.geometry import Mesh as _MeshClass
+from .mesh.topology import MeshTopology
+
+from .functionspace import (FunctionSpace, VectorFunctionSpace,
+                            TensorFunctionSpace)
+from .function import Function, Cofunction, Constant
+from .bcs import DirichletBC, homogenize
+from .assemble import assemble, get_assembler
+from .interpolation import interpolate, Interpolator
+from .projection import project, Projector
+from .norms import norm, errornorm
+from .solving import (solve, LinearVariationalProblem,
+                      LinearVariationalSolver,
+                      NonlinearVariationalProblem,
+                      NonlinearVariationalSolver, LinearSolver)
+
+
+def Mesh(arg, **kwargs):
+    """Mesh factory (reference: firedrake/mesh.py:3275). Accepts a
+    MeshTopology+coords pair via our internal class, or (later) mesh file
+    paths (.msh/.exo readers land with the IO milestone)."""
+    if isinstance(arg, _MeshClass):
+        return arg
+    raise NotImplementedError("file-based meshes land with the IO layer; "
+                              "use the utility mesh constructors")
+
+
+__version__ = "0.1.0"
+
+__all__ = (list(_lang_all) + list(_mesh_all) + [
+    "FunctionSpace", "VectorFunctionSpace", "TensorFunctionSpace",
+    "Function", "Cofunction", "Constant", "DirichletBC", "homogenize",
+    "assemble", "interpolate", "Interpolator", "project", "Projector",
+    "norm", "errornorm", "solve",
+    "LinearVariationalProblem", "LinearVariationalSolver",
+    "NonlinearVariationalProblem", "NonlinearVariationalSolver",
+    "LinearSolver", "Mesh", "MeshTopology",
+])

@@ -1,0 +1,273 @@
+"""assemble(): the gather -> vmapped-kernel -> scatter executor.
+
+Replaces the assemble driver + PyOP2 parloop machinery (reference:
+firedrake/assemble.py:48 assemble / :154 get_assembler;
+pyop2/parloop.py:245 execution; pyop2/global_kernel.py:428 JIT).  One jitted
+XLA program per (form signature, mesh, bcs): gathers via static int32 maps,
+vmaps the quadrature kernel over entities, scatter-adds into the global
+vector / flat CSR data.  XLA replaces the generated-C + ctypes pipeline.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .language.measure import Form
+from .language.core import Argument, Coefficient, ConstantBase
+from .compiler.kernels import CompiledIntegral
+from .assembly.sparsity import Sparsity
+from .assembly.matrix import Matrix
+from .function import Function, Cofunction
+from .bcs import DirichletBC
+
+__all__ = ["assemble", "FormAssembler", "get_assembler"]
+
+_assembler_cache: dict = {}
+
+
+def _perm_index_map(cell):
+    """permutation tuple -> orientation index (itertools order)."""
+    import itertools
+    nfv = cell.facets.shape[1]
+    perms = list(itertools.permutations(range(nfv)))
+    return {p: i for i, p in enumerate(perms)}, nfv
+
+
+class FormAssembler:
+    """Static index data + one jitted device program for a form.
+
+    Reference analogue: ParloopFormAssembler (assemble.py:1019) and its
+    parloop/kernel caches (tsfc_interface.py:77)."""
+
+    def __init__(self, form: Form, bcs=(), mat_type="aij",
+                 zero_bc_nodes=False):
+        self.form = form
+        self.bcs = tuple(bcs or ())
+        self.mat_type = mat_type
+        self.zero_bc_nodes = zero_bc_nodes
+        args = form.arguments()
+        self.rank = len(args)
+        self.test = args[0] if self.rank >= 1 else None
+        self.trial = args[1] if self.rank >= 2 else None
+        self.mesh = form.mesh()
+        if self.mesh is None:
+            raise ValueError("form has no mesh")
+        self.coords_space = self.mesh.coordinates.function_space()
+        self.coefficients = form.coefficients()
+        self.constants = form.constants()
+
+        self._compiled = []
+        self._statics = []
+        blocks = []
+        for integral in form.integrals():
+            ci = CompiledIntegral(integral, self.test, self.trial, self.mesh)
+            st = self._prepare_integral(ci)
+            if st is None:
+                continue     # empty entity set
+            self._compiled.append(ci)
+            self._statics.append(st)
+            if self.rank == 2:
+                blocks.append((np.asarray(st["rows"]),
+                               np.asarray(st["cols"])))
+        if self.rank == 2:
+            self.sparsity = Sparsity(self.test.space.dim,
+                                     self.trial.space.dim, blocks)
+            for st, pos in zip(self._statics,
+                               self.sparsity.block_positions):
+                st["pos"] = jnp.asarray(pos)
+        self._jitted = jax.jit(self._run)
+
+    # ----------------------------------------------------- host-side prep
+    def _prepare_integral(self, ci: CompiledIntegral):
+        mesh = self.mesh
+        topo = mesh.topology
+        st = {}
+        g = mesh.geometric_dimension
+        cmap = self.coords_space.cell_dof_map    # (ncell, ndofc*g)
+        cmap3 = cmap.reshape(topo.num_cells, -1, g)
+
+        def dofmaps(cells):
+            return {c.count: jnp.asarray(c.space.cell_dof_map[cells])
+                    for c in ci.coefficients}
+
+        if ci.integral_type == "cell":
+            if ci.subdomain_id not in ("everywhere", None):
+                raise NotImplementedError("cell subdomain ids")
+            cells = np.arange(topo.num_cells)
+            st["coords_map"] = jnp.asarray(cmap3)
+            st["coeff_maps"] = dofmaps(cells)
+            if self.test is not None:
+                st["rows"] = jnp.asarray(self.test.space.cell_dof_map)
+            if self.trial is not None:
+                st["cols"] = jnp.asarray(self.trial.space.cell_dof_map)
+            st["n"] = topo.num_cells
+        elif ci.integral_type == "exterior_facet":
+            facets = mesh.boundary_facets(ci.subdomain_id)
+            if len(facets) == 0:
+                return None
+            cells = topo.facet_cells[facets, 0]
+            st["coords_map"] = jnp.asarray(cmap3[cells])
+            st["lf"] = jnp.asarray(topo.facet_local_id[facets, 0])
+            st["coeff_maps"] = dofmaps(cells)
+            if self.test is not None:
+                st["rows"] = jnp.asarray(
+                    self.test.space.cell_dof_map[cells])
+            if self.trial is not None:
+                st["cols"] = jnp.asarray(
+                    self.trial.space.cell_dof_map[cells])
+            st["n"] = len(facets)
+        elif ci.integral_type == "interior_facet":
+            if ci.subdomain_id not in ("everywhere", None):
+                raise NotImplementedError("dS subdomain ids")
+            facets = topo.interior_facets
+            if len(facets) == 0:
+                return None
+            cp = topo.facet_cells[facets, 0]
+            cm = topo.facet_cells[facets, 1]
+            lfp = topo.facet_local_id[facets, 0]
+            lfm = topo.facet_local_id[facets, 1]
+            # relative orientation of the minus side:
+            # pos[i'] = index of minus-vertex i' in the plus vertex list
+            pidx, nfv = _perm_index_map(mesh.cell)
+            cellfacets = mesh.cell.facets
+            vp = topo.cell_vertices[cp[:, None], cellfacets[lfp]]
+            vm = topo.cell_vertices[cm[:, None], cellfacets[lfm]]
+            # vectorized position lookup
+            o_rel = np.empty(len(facets), dtype=np.int32)
+            eqm = (vm[:, :, None] == vp[:, None, :])   # (ne, nfv, nfv)
+            pos = np.argmax(eqm, axis=2)               # (ne, nfv)
+            keys = [tuple(row) for row in pos]
+            o_rel = np.array([pidx[k] for k in keys], dtype=np.int32)
+            st["coords_map_p"] = jnp.asarray(cmap3[cp])
+            st["coords_map_m"] = jnp.asarray(cmap3[cm])
+            st["lf_p"] = jnp.asarray(lfp)
+            st["lf_m"] = jnp.asarray(lfm)
+            st["o_rel"] = jnp.asarray(o_rel)
+            st["coeff_maps_p"] = dofmaps(cp)
+            st["coeff_maps_m"] = dofmaps(cm)
+            if self.test is not None:
+                m = self.test.space.cell_dof_map
+                st["rows"] = jnp.asarray(np.hstack([m[cp], m[cm]]))
+            if self.trial is not None:
+                m = self.trial.space.cell_dof_map
+                st["cols"] = jnp.asarray(np.hstack([m[cp], m[cm]]))
+            st["n"] = len(facets)
+        return st
+
+    # ------------------------------------------------------ device program
+    def _run(self, coords_dat, coeff_dats, const_vals):
+        rank = self.rank
+        if rank == 0:
+            total = jnp.zeros(())
+        elif rank == 1:
+            total = jnp.zeros(self.test.space.dim)
+        else:
+            total = jnp.zeros(self.sparsity.nnz)
+        for ci, st in zip(self._compiled, self._statics):
+            consts = tuple(const_vals[c.count] for c in ci.constants)
+            kern = ci.kernel()
+            nco = len(ci.coefficients)
+            if ci.integral_type == "cell":
+                ce = coords_dat[st["coords_map"]]      # (ne, ndofc, g)
+                coeffs = tuple(
+                    coeff_dats[c.count][st["coeff_maps"][c.count]]
+                    for c in ci.coefficients)
+                loc = jax.vmap(
+                    lambda c, *w: kern(c, w, consts))(ce, *coeffs)
+            elif ci.integral_type == "exterior_facet":
+                ce = coords_dat[st["coords_map"]]
+                coeffs = tuple(
+                    coeff_dats[c.count][st["coeff_maps"][c.count]]
+                    for c in ci.coefficients)
+                loc = jax.vmap(
+                    lambda c, l, *w: kern(c, l, w, consts)
+                )(ce, st["lf"], *coeffs)
+            else:
+                cpn = coords_dat[st["coords_map_p"]]
+                cmn = coords_dat[st["coords_map_m"]]
+                coeffs_p = tuple(
+                    coeff_dats[c.count][st["coeff_maps_p"][c.count]]
+                    for c in ci.coefficients)
+                coeffs_m = tuple(
+                    coeff_dats[c.count][st["coeff_maps_m"][c.count]]
+                    for c in ci.coefficients)
+                loc = jax.vmap(
+                    lambda a, b, lp, lm, o, *w: kern(
+                        a, b, lp, lm, o, w[:nco], w[nco:], consts)
+                )(cpn, cmn, st["lf_p"], st["lf_m"], st["o_rel"],
+                  *coeffs_p, *coeffs_m)
+            if rank == 0:
+                total = total + jnp.sum(loc)
+            elif rank == 1:
+                vals = loc[:, :, 0]
+                total = total.at[st["rows"].reshape(-1)].add(
+                    vals.reshape(-1))
+            else:
+                total = total.at[st["pos"]].add(loc.reshape(-1))
+        return total
+
+    # ------------------------------------------------------------- public
+    def assemble(self, tensor=None):
+        coords_dat = jnp.asarray(self.mesh.coordinates.dat)
+        coeff_dats = {c.count: jnp.asarray(c.dat)
+                      for c in self.coefficients}
+        const_vals = {c.count: jnp.asarray(c.values())
+                      for c in self.constants}
+        out = self._jitted(coords_dat, coeff_dats, const_vals)
+        return self._postprocess(out, tensor)
+
+    def _postprocess(self, out, tensor):
+        rank = self.rank
+        if rank == 0:
+            return float(out)
+        if rank == 1:
+            for bc in self.bcs:
+                if self.zero_bc_nodes:
+                    out = bc.zero(out)
+                else:
+                    out = bc.apply(out)
+            if tensor is not None:
+                tensor.dat = out
+                return tensor
+            f = Cofunction(self.test.space)
+            f.dat = out
+            return f
+        mat = Matrix(self.sparsity, out, self.test.space, self.trial.space,
+                     self.bcs)
+        if self.bcs:
+            rows = np.unique(np.concatenate(
+                [bc.dof_indices for bc in self.bcs]))
+            mat = mat.with_dirichlet(jnp.asarray(rows))
+        return mat
+
+
+def _bc_key(bcs):
+    return tuple((id(bc.function_space_obj), str(bc.sub_domain),
+                  bc.sub_component) for bc in (bcs or ()))
+
+
+def get_assembler(form: Form, bcs=None, mat_type="aij",
+                  zero_bc_nodes=False) -> FormAssembler:
+    key = (form.signature(), id(form.mesh()), _bc_key(bcs), mat_type,
+           zero_bc_nodes,
+           tuple(id(c) for c in form.coefficients()))
+    if key not in _assembler_cache:
+        _assembler_cache[key] = FormAssembler(form, bcs, mat_type,
+                                              zero_bc_nodes)
+    else:
+        _assembler_cache[key].bcs = tuple(bcs or ())
+    return _assembler_cache[key]
+
+
+def assemble(form, tensor=None, bcs=None, mat_type="aij",
+             zero_bc_nodes=False, **kwargs):
+    """Assemble a 0/1/2-form (reference: firedrake/assemble.py:48)."""
+    if isinstance(form, (int, float)):
+        return float(form)
+    if not isinstance(form, Form):
+        raise TypeError(f"cannot assemble {type(form)}")
+    if form.empty():
+        return 0.0
+    assembler = get_assembler(form, bcs, mat_type, zero_bc_nodes)
+    return assembler.assemble(tensor=tensor)

@@ -1,0 +1,97 @@
+"""Assembled sparse matrix over a Sparsity (reference: firedrake/matrix.py:48
+wrapping pyop2.Mat / PETSc AIJ; here data is ONE flat jnp array over nnz
+with static index metadata, and SpMV runs in ELL form on device)."""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .sparsity import Sparsity
+
+
+def ell_matvec(data, x, ell_cols, ell_pos, nrows, kmax):
+    """y = A @ x with A given by flat CSR data scattered into ELL."""
+    flat = jnp.zeros(nrows * kmax, dtype=data.dtype).at[ell_pos].set(data)
+    ell_data = flat.reshape(nrows, kmax)
+    return jnp.sum(ell_data * x[ell_cols], axis=1)
+
+
+class Matrix:
+    """Sparse matrix: static Sparsity + device data (nnz,)."""
+
+    def __init__(self, sparsity: Sparsity, data=None, row_space=None,
+                 col_space=None, bcs=()):
+        self.sparsity = sparsity
+        self.data = (jnp.zeros(sparsity.nnz)
+                     if data is None else data)
+        self.row_space = row_space
+        self.col_space = col_space
+        self.bcs = tuple(bcs)
+        ell_cols, ell_pos, _ = sparsity.ell
+        self._ell_cols = jnp.asarray(ell_cols)
+        self._ell_pos = jnp.asarray(ell_pos)
+
+    @property
+    def shape(self):
+        return (self.sparsity.nrows, self.sparsity.ncols)
+
+    # --------------------------------------------------------------- ops
+    def matvec(self, x):
+        s = self.sparsity
+        return ell_matvec(self.data, jnp.asarray(x), self._ell_cols,
+                          self._ell_pos, s.nrows, s.kmax)
+
+    __matmul__ = matvec
+
+    def diagonal(self):
+        pos = self.sparsity.diag_positions
+        d = jnp.where(jnp.asarray(pos) >= 0,
+                      self.data[jnp.clip(jnp.asarray(pos), 0)], 0.0)
+        return d
+
+    def transpose_matvec(self, y):
+        """A^T @ y via COO scatter (for adjoint solves)."""
+        s = self.sparsity
+        rows = jnp.asarray(s.coo_rows)
+        cols = jnp.asarray(s.coo_cols)
+        contrib = self.data * jnp.asarray(y)[rows]
+        return jnp.zeros(s.ncols, dtype=self.data.dtype).at[cols].add(contrib)
+
+    # ------------------------------------------------------------- export
+    def to_scipy(self):
+        from scipy.sparse import csr_matrix
+        s = self.sparsity
+        return csr_matrix((np.asarray(self.data), np.asarray(s.coo_cols),
+                           np.asarray(s.indptr)), shape=self.shape)
+
+    def to_dense(self):
+        return self.to_scipy().toarray()
+
+    def copy(self):
+        return Matrix(self.sparsity, self.data, self.row_space,
+                      self.col_space, self.bcs)
+
+    # ----------------------------------------------------- bc application
+    def with_dirichlet(self, bc_rows, symmetric=True):
+        """Zero bc rows (and cols), put 1 on the diagonal. Returns new
+        Matrix (reference semantics: pyop2 lgmap negative-index trick +
+        diag set, pyop2/types/mat.py; firedrake/assemble.py:1243-1268)."""
+        s = self.sparsity
+        rows = jnp.asarray(s.coo_rows)
+        cols = jnp.asarray(s.coo_cols)
+        mask = jnp.zeros(s.nrows, dtype=bool).at[jnp.asarray(bc_rows)].set(
+            True)
+        keep = ~mask[rows]
+        if symmetric:
+            keep = keep & ~mask[cols]
+        data = jnp.where(keep, self.data, 0.0)
+        # unit diagonal on bc rows
+        dpos = jnp.asarray(s.diag_positions)
+        bc_dpos = dpos[jnp.asarray(bc_rows)]
+        data = data.at[jnp.clip(bc_dpos, 0)].set(
+            jnp.where(bc_dpos >= 0, 1.0, data[jnp.clip(bc_dpos, 0)]))
+        return Matrix(s, data, self.row_space, self.col_space, self.bcs)
+
+    def __repr__(self):
+        return f"Matrix({self.shape}, nnz={self.sparsity.nnz})"

@@ -1,0 +1,97 @@
+"""Strong (Dirichlet) boundary conditions.
+
+Reference: firedrake/bcs.py:259 DirichletBC (node lists from facet closures
+:129, application :404).  Nodes come from the FunctionSpaceData closure
+computation; values are materialized as a full-length dof vector (zero off
+the boundary) so application is pure masking — jit-friendly."""
+from __future__ import annotations
+
+import numpy as np
+
+from .functionspace import FunctionSpace
+from .language.core import Expr, ConstantBase
+
+
+class DirichletBC:
+    def __init__(self, V: FunctionSpace, g, sub_domain, sub=None):
+        self.function_space_obj = V
+        self.g = g
+        self.sub_domain = sub_domain
+        self.sub_component = sub   # component index for VectorFunctionSpace
+        self._nodes = None
+
+    def function_space(self):
+        return self.function_space_obj
+
+    @property
+    def nodes(self) -> np.ndarray:
+        """Scalar node indices on the boundary."""
+        if self._nodes is None:
+            self._nodes = self.function_space_obj.boundary_nodes(
+                self.sub_domain)
+        return self._nodes
+
+    @property
+    def dof_indices(self) -> np.ndarray:
+        """Flat dof indices (expanded over components)."""
+        V = self.function_space_obj
+        bs = V.block_size
+        n = self.nodes.astype(np.int64)
+        if bs == 1:
+            return n.astype(np.int32)
+        if self.sub_component is not None:
+            return (n * bs + self.sub_component).astype(np.int32)
+        return (n[:, None] * bs + np.arange(bs)[None, :]).reshape(-1).astype(
+            np.int32)
+
+    def value_vector(self) -> np.ndarray:
+        """Full-length dof vector with g on the bc dofs, 0 elsewhere."""
+        from .function import Function
+        V = self.function_space_obj
+        out = np.zeros(V.dim)
+        idx = self.dof_indices
+        g = self.g
+        if isinstance(g, (int, float)):
+            out[idx] = float(g)
+        elif isinstance(g, ConstantBase):
+            v = np.asarray(g.values()).reshape(-1)
+            if v.size == 1:
+                out[idx] = float(v[0])
+            else:
+                # per-component constant on a vector space
+                bs = V.block_size
+                full = np.tile(v, V.num_nodes)
+                out[idx] = full[idx]
+        elif isinstance(g, Function):
+            out[idx] = np.asarray(g.dat)[idx]
+        elif isinstance(g, Expr):
+            f = Function(V)
+            f.interpolate(g)
+            out[idx] = np.asarray(f.dat)[idx]
+        elif g in ("x", None):
+            pass
+        else:
+            raise TypeError(f"unsupported bc value {type(g)}")
+        return out
+
+    def apply(self, arr, u=None):
+        """Set bc dofs of arr to g (or to g - u for residuals)."""
+        import jax.numpy as jnp
+        idx = self.dof_indices
+        vals = jnp.asarray(self.value_vector())[idx]
+        if u is not None:
+            vals = vals - jnp.asarray(u)[idx]
+        return jnp.asarray(arr).at[idx].set(vals)
+
+    def zero(self, arr):
+        import jax.numpy as jnp
+        return jnp.asarray(arr).at[self.dof_indices].set(0.0)
+
+    def __repr__(self):
+        return (f"DirichletBC({self.function_space_obj.name}, "
+                f"{self.sub_domain})")
+
+
+def homogenize(bc: DirichletBC) -> DirichletBC:
+    return DirichletBC(bc.function_space_obj, 0.0, bc.sub_domain,
+                       bc.sub_component)

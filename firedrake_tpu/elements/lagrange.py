@@ -1,0 +1,287 @@
+"""Lagrange (CG/DG, P/Q) elements with host-side numpy tabulation.
+
+Replaces the FIAT/FInAT Lagrange stack consumed by the reference
+(tsfc/fem.py tabulations, firedrake/functionspacedata.py entity dofs).
+Basis functions are constructed by inverting a monomial Vandermonde at the
+nodal lattice — exact in f64 for the moderate degrees FEM uses.
+
+Dof order convention: grouped by entity (vertices, then edges, then faces,
+then cell interior), each entity's internal dofs in lattice order. This makes
+``entity_dofs`` contiguous and global numbering a pure offset computation.
+"""
+from __future__ import annotations
+
+import itertools
+import numpy as np
+from functools import cached_property, lru_cache
+
+from .finite_element import FiniteElement
+from .reference_cell import ReferenceCell, by_name, simplex
+
+
+# ----------------------------------------------------------------- lattices
+
+def _simplex_multiindices(dim, k):
+    """All (dim+1)-tuples of nonneg ints summing to k, lexicographic by
+    (i1..idim) — i.e. enumerate the barycentric lattice."""
+    if k == 0:
+        return [tuple([0] * (dim + 1))]
+    out = []
+    for rest in itertools.product(range(k + 1), repeat=dim):
+        s = sum(rest)
+        if s <= k:
+            out.append((k - s,) + rest)
+    return out
+
+
+def _tp_multiindices(dim, k):
+    """Tensor-product lattice: tuples in {0..k}^dim, lexicographic."""
+    return list(itertools.product(range(k + 1), repeat=dim))
+
+
+def _entity_of_simplex_mi(mi):
+    """Support of a barycentric multi-index → the vertex set of the smallest
+    containing sub-entity."""
+    return tuple(i for i, v in enumerate(mi) if v > 0)
+
+
+class _PolySet:
+    """Monomial polynomial set with Vandermonde-inverted nodal basis."""
+
+    def __init__(self, exponents: np.ndarray, nodes: np.ndarray):
+        self.exponents = np.asarray(exponents)          # (nmono, dim)
+        self.nodes = np.asarray(nodes, dtype=float)     # (ndof, dim)
+        V = self._mono(self.nodes)                      # (ndof, nmono)
+        assert V.shape[0] == V.shape[1], (V.shape, "node/poly count mismatch")
+        self.coeffs = np.linalg.inv(V)                  # (nmono, ndof)
+
+    def _mono(self, pts, deriv=None):
+        pts = np.asarray(pts, dtype=float)
+        E = self.exponents                              # (nm, d)
+        nm, d = E.shape
+        nq = len(pts)
+        out = np.ones((nq, nm))
+        for ax in range(d):
+            e = E[:, ax].copy()
+            c = np.ones(nm)
+            if deriv is not None:
+                for _ in range(deriv.count(ax)):
+                    c = c * e
+                    e = np.maximum(e - 1, 0)
+            # x^e with coefficient c (c may be 0)
+            out *= c[None, :] * np.power(pts[:, ax:ax + 1], e[None, :])
+        return out
+
+    def tabulate(self, pts, order=1):
+        pts = np.asarray(pts, dtype=float)
+        d = self.exponents.shape[1]
+        tabs = {0: self._mono(pts) @ self.coeffs}
+        if order >= 1:
+            g = np.stack([self._mono(pts, deriv=(ax,)) @ self.coeffs
+                          for ax in range(d)], axis=-1)
+            tabs[1] = g                                  # (nq, ndof, dim)
+        if order >= 2:
+            h = np.zeros((len(pts), self.coeffs.shape[1], d, d))
+            for a in range(d):
+                for b in range(d):
+                    h[:, :, a, b] = self._mono(pts, deriv=(a, b)) @ self.coeffs
+            tabs[2] = h
+        return tabs
+
+
+class Lagrange(FiniteElement):
+    """Continuous Lagrange on simplices (P_k) and tensor cells (Q_k)."""
+
+    continuous = True
+
+    def __init__(self, cell, degree: int):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        if degree < 1 and self.continuous:
+            raise ValueError("CG requires degree >= 1")
+        self.cell = cell
+        self.degree = int(degree)
+        self.family = ("Lagrange" if self.continuous
+                       else "Discontinuous Lagrange")
+        self._build()
+
+    # -------------------------------------------------------------- layout
+    def _lattice(self):
+        """Returns (nodes, entity_assoc) where entity_assoc[i] = (dim, local
+        entity id, internal key used for ordering)."""
+        cell, k = self.cell, self.degree
+        d = cell.dim
+        nodes, assoc = [], []
+        if cell.name in ("interval", "triangle", "tetrahedron", "point"):
+            mis = _simplex_multiindices(d, max(k, 1)) if k > 0 else None
+            if k == 0:
+                nodes.append(cell.vertices.mean(axis=0))
+                assoc.append((d, 0, ()))
+            else:
+                for mi in mis:
+                    pt = (np.array(mi, dtype=float)[None, :] @ cell.vertices
+                          ).ravel() / k
+                    support = _entity_of_simplex_mi(mi)
+                    edim, eid = self._find_entity(support)
+                    # internal key: barycentric weights restricted to the
+                    # entity's vertices, in the entity's canonical local
+                    # vertex order
+                    everts = tuple(cell.topology[edim][eid])
+                    key = tuple(mi[v] for v in everts)
+                    nodes.append(pt)
+                    assoc.append((edim, eid, key))
+        elif cell.name in ("quadrilateral", "hexahedron"):
+            if k == 0:
+                nodes.append(cell.vertices.mean(axis=0))
+                assoc.append((d, 0, ()))
+            else:
+                for mi in _tp_multiindices(d, k):
+                    pt = np.array(mi, dtype=float) / k
+                    # which sub-entity: per-axis, is coordinate on a wall?
+                    onwall = [0 if m == 0 else (1 if m == k else None)
+                              for m in mi]
+                    free = [ax for ax, w in enumerate(onwall) if w is None]
+                    edim = len(free)
+                    eid = self._tp_entity_id(onwall, free)
+                    key = tuple(mi[ax] for ax in free)
+                    nodes.append(pt)
+                    assoc.append((edim, eid, key))
+        else:
+            raise NotImplementedError(cell.name)
+        return np.array(nodes).reshape(len(nodes), d), assoc
+
+    def _find_entity(self, support):
+        cell = self.cell
+        for edim in sorted(cell.topology):
+            for eid, verts in enumerate(cell.topology[edim]):
+                if set(support) == set() and edim == cell.dim:
+                    return edim, eid
+                if set(support) == set(int(v) for v in verts):
+                    return edim, eid
+        raise RuntimeError(f"no entity for support {support}")
+
+    def _tp_entity_id(self, onwall, free):
+        """Map wall pattern to our quad/hex topology entity ids."""
+        cell = self.cell
+        fixed = [(ax, w) for ax, w in enumerate(onwall) if w is not None]
+        # a sub-entity of a TP cell = set of vertices matching the walls
+        verts = []
+        for vid, v in enumerate(cell.vertices):
+            ok = all(abs(v[ax] - w) < 1e-12 for ax, w in fixed)
+            if ok:
+                verts.append(vid)
+        target = set(verts)
+        edim = len(free)
+        for eid, evs in enumerate(cell.topology[edim]):
+            if set(int(x) for x in evs) == target:
+                return eid
+        raise RuntimeError("entity not found")
+
+    def _build(self):
+        cell, k = self.cell, self.degree
+        raw_nodes, assoc = self._lattice()
+        if not self.continuous:
+            # all dofs attached to the cell interior
+            order = np.arange(len(raw_nodes))
+            self.nodes = raw_nodes
+            self.entity_dofs = {d: {e: [] for e in range(len(cell.topology[d]))}
+                                for d in cell.topology}
+            self.entity_dofs[cell.dim][0] = list(range(len(raw_nodes)))
+            self._entity_internal_keys = None
+        else:
+            # sort dofs: by (entity_dim, entity_id, internal key)
+            order = sorted(range(len(raw_nodes)),
+                           key=lambda i: (assoc[i][0], assoc[i][1],
+                                          assoc[i][2]))
+            self.nodes = raw_nodes[order]
+            self.entity_dofs = {d: {e: [] for e in range(len(cell.topology[d]))}
+                                for d in cell.topology}
+            keys = {}
+            for new_i, old_i in enumerate(order):
+                edim, eid, key = assoc[old_i]
+                self.entity_dofs[edim][eid].append(new_i)
+                keys.setdefault((edim, eid), []).append(key)
+            self._entity_internal_keys = keys
+        # polynomial set
+        if cell.name in ("interval", "triangle", "tetrahedron"):
+            if k == 0:
+                expo = np.zeros((1, cell.dim), dtype=int)
+            else:
+                expo = np.array([mi[1:] for mi in
+                                 _simplex_multiindices(cell.dim, k)])
+        else:
+            expo = np.array(_tp_multiindices(cell.dim, max(k, 0)))
+            if k == 0:
+                expo = np.zeros((1, cell.dim), dtype=int)
+        self._polyset = _PolySet(expo, self.nodes)
+
+    # ------------------------------------------------------------ tabulate
+    def tabulate(self, points, order=1):
+        return self._polyset.tabulate(points, order)
+
+    # ------------------------------------------------- orientation algebra
+    @lru_cache(maxsize=None)
+    def entity_permutation(self, dim: int, orientation: int):
+        """Permutation p of an entity's internal dofs under orientation.
+
+        ``orientation`` indexes the permutation sigma of the entity's
+        vertices (itertools.permutations order): the cell sees the entity's
+        canonical vertex c_j at its local position sigma(j)...  Concretely:
+        if the entity's canonical internal dof t sits at barycentric key
+        kappa_t (w.r.t. canonical vertex order), then the cell-local slot k
+        whose key (w.r.t. the cell's local vertex order) equals kappa_t
+        permuted by sigma maps to t:  p[k] = t.
+        """
+        if not self.continuous:
+            return np.arange(0)
+        # representative entity 0 of this dim
+        cell = self.cell
+        dofs = self.entity_dofs[dim][0] if self.entity_dofs[dim] else []
+        n = len(dofs)
+        if n == 0:
+            return np.arange(0)
+        nv = cell.topology[dim][0].shape[0] if dim > 0 else 1
+        sigma = list(itertools.permutations(range(nv)))[orientation]
+        keys = self._entity_internal_keys[(dim, 0)]
+        # local slot k has key keys[k] in local vertex order; its key in
+        # canonical order is keys[k] re-indexed by sigma:
+        # canonical component j = local component sigma[j]
+        canon_keys = {tuple(k): i for i, k in enumerate(keys)}
+        p = np.empty(n, dtype=np.int32)
+        for k in range(n):
+            kk = keys[k]
+            ck = tuple(kk[sigma[j]] for j in range(nv))
+            p[k] = canon_keys[ck]
+        return p
+
+    @staticmethod
+    def num_orientations(entity_nverts: int) -> int:
+        import math
+        return math.factorial(entity_nverts)
+
+
+class DiscontinuousLagrange(Lagrange):
+    continuous = False
+
+    def __init__(self, cell, degree):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        self.cell = cell
+        self.degree = int(degree)
+        self.family = "Discontinuous Lagrange"
+        self._build()
+
+
+@lru_cache(maxsize=None)
+def make_scalar_element(cell_name: str, family: str, degree: int):
+    family = {
+        "CG": "Lagrange", "P": "Lagrange", "Lagrange": "Lagrange",
+        "Q": "Lagrange",
+        "DG": "DG", "DP": "DG", "Discontinuous Lagrange": "DG",
+        "DQ": "DG",
+    }.get(family, family)
+    if family == "Lagrange":
+        return Lagrange(cell_name, degree)
+    if family == "DG":
+        return DiscontinuousLagrange(cell_name, degree)
+    raise NotImplementedError(f"element family {family!r}")

@@ -1,0 +1,145 @@
+"""Function / Cofunction / Constant containers.
+
+Reference: firedrake/function.py:213 (Function over a pyop2.Dat),
+firedrake/cofunction.py:22, firedrake/constant.py:43.  Here the dat is a
+flat jnp/numpy array of length V.dim — node-major, component-minor — living
+wherever JAX put it (device for solver outputs, host for setup)."""
+from __future__ import annotations
+
+import numpy as np
+
+from .language.core import Coefficient, ConstantBase
+from .functionspace import FunctionSpace
+
+
+class Function(Coefficient):
+    """A field in a FunctionSpace; usable directly in forms."""
+
+    def __init__(self, V: FunctionSpace, val=None, name: str | None = None,
+                 dtype=None):
+        if isinstance(V, Function):   # Function(Function) copies
+            other = V
+            V = other.function_space()
+            super().__init__(V)
+            self.dat = np.array(other.dat, copy=True)
+            self.name = name or f"{other.name}_copy"
+            return
+        super().__init__(V)
+        self.name = name or f"f_{self.count}"
+        if val is not None:
+            self.dat = np.asarray(val).reshape(-1)
+            assert self.dat.size == V.dim
+        else:
+            self.dat = np.zeros(V.dim, dtype=dtype or np.float64)
+
+    # ------------------------------------------------------------- access
+    def function_space(self):
+        return self.space
+
+    def copy(self, deepcopy=True):
+        return Function(self)
+
+    def zero(self):
+        self.dat = np.zeros_like(np.asarray(self.dat))
+        return self
+
+    @property
+    def dat_array(self):
+        return np.asarray(self.dat)
+
+    def vector(self):
+        return self.dat
+
+    def split(self):
+        return (self,)
+
+    def subfunctions(self):
+        return (self,)
+
+    # ------------------------------------------------------------- assign
+    def assign(self, expr, subset=None):
+        """u.assign(v), u.assign(2*v + w), u.assign(scalar) — pointwise on
+        dats (reference: firedrake/assign.py:35 CoefficientCollector)."""
+        import numpy as _np
+        val = _eval_pointwise(expr, self.space)
+        if _np.isscalar(val):
+            self.dat = _np.full(self.space.dim, float(val))
+        else:
+            self.dat = val
+        return self
+
+    def interpolate(self, expr):
+        from .interpolation import interpolate_onto
+        interpolate_onto(expr, self)
+        return self
+
+    def project(self, expr, **kwargs):
+        from .projection import project
+        return project(expr, self, **kwargs)
+
+    def riesz_representation(self, riesz_map="L2"):
+        from .assemble import assemble
+        from .language import TestFunction, TrialFunction, inner, dx
+        if riesz_map == "l2":
+            out = Cofunction(self.space)
+            out.dat = np.asarray(self.dat)
+            return out
+        raise NotImplementedError("Riesz maps land with Cofunction algebra")
+
+    def __repr__(self):
+        return f"Function({self.name!r}, {self.space!r})"
+
+    def __str__(self):
+        return self.name
+
+
+class Cofunction(Function):
+    """Dual-space container (assembled 1-forms). Reference:
+    firedrake/cofunction.py:22."""
+    pass
+
+
+class Constant(ConstantBase):
+    """Spatially constant value (scalar or shaped).
+    Reference: firedrake/constant.py:43."""
+
+    def __init__(self, value, domain=None, name=None):
+        super().__init__(value)
+        self.name = name or f"c_{self.count}"
+
+
+def _eval_pointwise(expr, V):
+    """Evaluate expr as a linear combination over dats for fast assign."""
+    from .language.core import (Expr, ScalarValue, Sum, Product, Division,
+                                ConstantBase, Zero)
+    if isinstance(expr, (int, float)):
+        return float(expr)
+    if isinstance(expr, ScalarValue):
+        return expr.value
+    if isinstance(expr, Zero):
+        return 0.0
+    if isinstance(expr, ConstantBase):
+        v = expr.values()
+        if v.shape == ():
+            return float(v)
+        return np.tile(np.asarray(v).reshape(-1), V.num_nodes)
+    if isinstance(expr, Function):
+        if expr.space is not V and expr.space != V:
+            raise ValueError("assign requires matching function spaces; "
+                             "use interpolate/project")
+        return np.asarray(expr.dat)
+    if isinstance(expr, Sum):
+        a = _eval_pointwise(expr.operands[0], V)
+        b = _eval_pointwise(expr.operands[1], V)
+        return a + b
+    if isinstance(expr, Product):
+        a = _eval_pointwise(expr.operands[0], V)
+        b = _eval_pointwise(expr.operands[1], V)
+        return a * b
+    if isinstance(expr, Division):
+        a = _eval_pointwise(expr.operands[0], V)
+        b = _eval_pointwise(expr.operands[1], V)
+        return a / b
+    raise NotImplementedError(
+        f"assign cannot evaluate {type(expr).__name__} pointwise; "
+        "use interpolate")

@@ -1,0 +1,247 @@
+"""Function spaces: element -> global dof numbering + cell-node maps.
+
+Reference: firedrake/functionspaceimpl.py:500 and functionspacedata.py:398
+(shared per-(mesh, element) data: node sets :92, cell node lists :116,
+boundary masks :206; PETSc Section construction dmcommon.pyx:1280).
+
+Global numbering is a pure offset computation over mesh entities:
+    dof(entity of dim d, index g, internal k) = offset[d] + g*npe[d] + k
+with cell-local views permuted per entity orientation (the reference handles
+this with plex orientations, dmcommon.pyx:1193).  The product is ONE static
+int32 array ``cell_node_map`` (ncell, ndof_per_cell) — the gather/scatter
+index table the TPU executor consumes.
+"""
+from __future__ import annotations
+
+import itertools
+import numpy as np
+from functools import cached_property, lru_cache
+
+from .elements import (FiniteElement, VectorElement, TensorElement,
+                       make_scalar_element)
+from .mesh.geometry import Mesh
+from .mesh.topology import _IDX
+
+
+# --------------------------------------------------------------------- data
+class FunctionSpaceData:
+    """Shared numbering data per (mesh topology, scalar element).
+
+    Reference: firedrake/functionspacedata.py:398 FunctionSpaceData,
+    get_shared_data :524 (cached per mesh)."""
+
+    def __init__(self, mesh: Mesh, element: FiniteElement):
+        self.mesh = mesh
+        self.element = element
+        topo = mesh.topology
+        ed = element.entity_dofs
+        dims = sorted(ed.keys())
+        self.npe = {d: (len(ed[d][0]) if ed[d] else 0) for d in dims}
+        # entity offsets
+        off = 0
+        self.offsets = {}
+        for d in dims:
+            self.offsets[d] = off
+            off += topo.num_entities(d) * self.npe[d]
+        self.num_nodes = off
+        self._build_cell_node_map()
+
+    def _build_cell_node_map(self):
+        topo = self.mesh.topology
+        elem = self.element
+        ncell = topo.num_cells
+        cmap = np.zeros((ncell, elem.ndof), dtype=_IDX)
+        for d, ents in elem.entity_dofs.items():
+            npe = self.npe[d]
+            if npe == 0:
+                continue
+            ce = topo.cell_entities(d)                   # (ncell, n_local)
+            co = topo.cell_entity_orientations(d)        # (ncell, n_local)
+            if d == 0 or d == topo.dim or npe == 1:
+                perm_needed = False
+            else:
+                perm_needed = True
+                import math
+                nvpe = topo.cell.topology[d].shape[1]
+                n_ori = math.factorial(nvpe)
+                perm_table = np.stack(
+                    [elem.entity_permutation(d, o) for o in range(n_ori)])
+            for e, slots in ents.items():
+                if not slots:
+                    continue
+                g = ce[:, e]                             # (ncell,)
+                base = self.offsets[d] + g.astype(np.int64) * npe
+                if perm_needed:
+                    p = perm_table[co[:, e]]             # (ncell, npe)
+                    vals = base[:, None] + p
+                else:
+                    vals = base[:, None] + np.arange(npe)
+                cmap[:, slots] = vals.astype(_IDX)
+        self.cell_node_map = cmap
+
+    # ---------------------------------------------------------- boundaries
+    @lru_cache(maxsize=None)
+    def _facet_closure_template(self, local_facet: int):
+        """For a local facet, the list of (entity_dim, cell-local entity id)
+        in its closure (vertices, edges (3D), the facet itself)."""
+        cell = self.mesh.cell
+        d = cell.dim - 1
+        out = []
+        fverts = set(int(v) for v in cell.facets[local_facet])
+        for ed in range(0, d + 1):
+            for eid, evs in enumerate(cell.topology[ed]):
+                if set(int(v) for v in evs) <= fverts:
+                    out.append((ed, eid))
+        return out
+
+    def boundary_nodes(self, facet_ids: np.ndarray) -> np.ndarray:
+        """Global node ids on the closure of the given facets (reference:
+        dmcommon.pyx:1689 facet_closure_nodes; bcs.py:129 DirichletBC.nodes)."""
+        topo = self.mesh.topology
+        fc = topo.facet_cells[facet_ids, 0]
+        fl = topo.facet_local_id[facet_ids, 0]
+        nodes = []
+        for lf in np.unique(fl):
+            sel = fl == lf
+            cells = fc[sel]
+            for ed, eid in self._facet_closure_template(int(lf)):
+                npe = self.npe.get(ed, 0)
+                if npe == 0:
+                    continue
+                g = topo.cell_entities(ed)[cells, eid].astype(np.int64)
+                base = self.offsets[ed] + g * npe
+                nodes.append((base[:, None] + np.arange(npe)).ravel())
+        if not nodes:
+            return np.zeros(0, dtype=_IDX)
+        return np.unique(np.concatenate(nodes)).astype(_IDX)
+
+
+_fsdata_cache: dict = {}
+
+
+def get_shared_data(mesh: Mesh, element: FiniteElement) -> FunctionSpaceData:
+    key = (id(mesh), hash(element))
+    if key not in _fsdata_cache:
+        _fsdata_cache[key] = FunctionSpaceData(mesh, element)
+    return _fsdata_cache[key]
+
+
+# -------------------------------------------------------------------- space
+class FunctionSpace:
+    """A (scalar/vector/tensor) function space over a mesh.
+
+    Reference: firedrake/functionspaceimpl.py:500 (FunctionSpace),
+    :486 (WithGeometry — we hold the mesh directly)."""
+
+    def __init__(self, mesh: Mesh, family, degree: int | None = None,
+                 name: str | None = None, vector_dim: int | None = None,
+                 tensor_shape: tuple | None = None, variant=None):
+        self.mesh_obj = mesh
+        if isinstance(family, FiniteElement):
+            elem = family
+            scalar = elem.sub if isinstance(elem, VectorElement) else elem
+        else:
+            scalar = make_scalar_element(mesh.cell.name, family, degree)
+            if tensor_shape is not None:
+                elem = TensorElement(scalar, tensor_shape)
+            elif vector_dim is not None:
+                elem = VectorElement(scalar, vector_dim)
+            else:
+                elem = scalar
+        self.element = elem
+        self.scalar_element = scalar
+        self.name = name or f"FS({scalar.family},{scalar.degree})"
+        self.sdata = get_shared_data(mesh, scalar)
+        if isinstance(elem, (VectorElement, TensorElement)):
+            self.block_size = elem.ncomp
+            self.value_shape = elem.value_shape
+        else:
+            self.block_size = 1
+            self.value_shape = elem.value_shape
+        self._subspaces = None     # mixed support in functionspace layer
+
+    # ------------------------------------------------------------- queries
+    def mesh(self):
+        return self.mesh_obj
+
+    @property
+    def num_nodes(self):
+        return self.sdata.num_nodes
+
+    @property
+    def dim(self):
+        """Total global dof count (reference: V.dim())."""
+        return self.num_nodes * self.block_size
+
+    @property
+    def node_count(self):
+        return self.num_nodes
+
+    @property
+    def dof_count(self):
+        return self.dim
+
+    @cached_property
+    def cell_node_map(self) -> np.ndarray:
+        """(ncell, ndof_scalar) int32 — scalar node indices per cell."""
+        return self.sdata.cell_node_map
+
+    @cached_property
+    def cell_dof_map(self) -> np.ndarray:
+        """(ncell, ndof_scalar*bs) indices into the flat dof vector, matching
+        the element's interleaved (node-major, component-minor) layout."""
+        bs = self.block_size
+        cnm = self.cell_node_map.astype(np.int64)
+        if bs == 1:
+            return cnm.astype(_IDX)
+        expanded = cnm[:, :, None] * bs + np.arange(bs)[None, None, :]
+        return expanded.reshape(cnm.shape[0], -1).astype(_IDX)
+
+    def boundary_nodes(self, subdomain) -> np.ndarray:
+        facets = self.mesh_obj.boundary_facets(subdomain)
+        return self.sdata.boundary_nodes(facets)
+
+    # UFL-compat helpers
+    def ufl_element(self):
+        return self.element
+
+    @property
+    def shape(self):
+        return self.value_shape
+
+    @property
+    def value_size(self):
+        import numpy as _np
+        return int(_np.prod(self.value_shape)) if self.value_shape else 1
+
+    def split(self):
+        return (self,)
+
+    @property
+    def num_sub_spaces(self):
+        return 1
+
+    def __eq__(self, other):
+        return (isinstance(other, FunctionSpace)
+                and self.mesh_obj is other.mesh_obj
+                and self.element == other.element)
+
+    def __hash__(self):
+        return hash((id(self.mesh_obj), hash(self.element)))
+
+    def __repr__(self):
+        return (f"FunctionSpace({self.mesh_obj.name}, "
+                f"{self.element!r}, dim={self.dim})")
+
+
+def VectorFunctionSpace(mesh, family, degree=None, dim=None, name=None,
+                        variant=None):
+    d = dim if dim is not None else mesh.geometric_dimension
+    return FunctionSpace(mesh, family, degree, name=name, vector_dim=d)
+
+
+def TensorFunctionSpace(mesh, family, degree=None, shape=None, name=None,
+                        variant=None):
+    g = mesh.geometric_dimension
+    shape = shape if shape is not None else (g, g)
+    return FunctionSpace(mesh, family, degree, name=name, tensor_shape=shape)

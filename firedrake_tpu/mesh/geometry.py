@@ -1,0 +1,103 @@
+"""Mesh geometry: topology + coordinates (+ boundary markers).
+
+Reference: firedrake/mesh.py:2367 MeshGeometry / :3275 Mesh factory.  The
+coordinate field is a vector Lagrange Function, created lazily to break the
+mesh <-> functionspace import cycle (same trick as the reference's callback
+initialisation, mesh.py:3085-3226).
+"""
+from __future__ import annotations
+
+import numpy as np
+from functools import cached_property
+
+from .topology import MeshTopology, _IDX
+
+
+class Mesh:
+    """A mesh: topology plus vertex coordinates plus facet markers."""
+
+    def __init__(self, topology: MeshTopology, vertex_coords: np.ndarray,
+                 facet_markers: np.ndarray | None = None, name: str = "mesh"):
+        self.topology = topology
+        self._vertex_coords = np.asarray(vertex_coords, dtype=np.float64)
+        self.name = name
+        self.geometric_dimension = self._vertex_coords.shape[1]
+        nf = len(topology.facet_cells)
+        if facet_markers is None:
+            facet_markers = np.zeros(nf, dtype=_IDX)
+        self.facet_markers = np.asarray(facet_markers, dtype=_IDX)
+        self.comm = None   # single-process host; device mesh handled in parallel/
+
+    # ------------------------------------------------------- delegation
+    @property
+    def cell(self):
+        return self.topology.cell
+
+    @property
+    def num_cells(self):
+        return self.topology.num_cells
+
+    @property
+    def num_vertices(self):
+        return self.topology.num_vertices
+
+    @property
+    def topological_dimension(self):
+        return self.topology.dim
+
+    def ufl_cell(self):
+        return self.cell
+
+    # ------------------------------------------------------- coordinates
+    @cached_property
+    def coordinates(self):
+        """Vector P1/Q1 Function holding vertex coordinates."""
+        from ..functionspace import VectorFunctionSpace
+        from ..function import Function
+        V = VectorFunctionSpace(self, "Lagrange", 1,
+                                dim=self.geometric_dimension)
+        f = Function(V, name=f"{self.name}_coordinates")
+        # P1 numbering: dof g = vertex id (vertices are entity-dim 0, offset 0)
+        f.dat = np.asarray(self._vertex_coords).reshape(-1)
+        return f
+
+    @cached_property
+    def coordinate_space(self):
+        return self.coordinates.function_space()
+
+    # ------------------------------------------------------------ facets
+    def boundary_facets(self, subdomain) -> np.ndarray:
+        """Exterior facet ids for a marker spec: int id, tuple of ids, or
+        'on_boundary' / 'everywhere'."""
+        ext = self.topology.exterior_facets
+        if subdomain in ("on_boundary", "everywhere", None):
+            return ext
+        if isinstance(subdomain, (int, np.integer)):
+            subdomain = (int(subdomain),)
+        mask = np.isin(self.facet_markers[ext], np.asarray(subdomain))
+        return ext[mask]
+
+    def marked_exterior_subset(self, subdomain_id):
+        return self.boundary_facets(subdomain_id)
+
+    @cached_property
+    def cell_volumes(self) -> np.ndarray:
+        """Host-side cell volumes (affine cells exactly; TP cells by quad)."""
+        from ..elements import make_quadrature, Lagrange
+        coords = self._vertex_coords[self.topology.cell_vertices]
+        cell = self.cell
+        e1 = Lagrange(cell.name, 1)
+        q = make_quadrature(cell.name, 2)
+        grads = e1.tabulate(q.points, 1)[1]         # (nq, nv, dim)
+        # J[q] = coords^T @ grad
+        J = np.einsum("cvg,qvd->cqgd", coords, grads)
+        if self.geometric_dimension == self.topological_dimension:
+            detJ = np.abs(np.linalg.det(J))
+        else:
+            G = np.einsum("cqgd,cqge->cqde", J, J)
+            detJ = np.sqrt(np.abs(np.linalg.det(G)))
+        return np.einsum("cq,q->c", detJ, q.weights)
+
+    def __repr__(self):
+        return (f"Mesh({self.name!r}, {self.cell.name}, "
+                f"{self.num_cells} cells, {self.num_vertices} vertices)")

@@ -1,0 +1,157 @@
+"""Host-side mesh topology & geometry.
+
+Replaces the reference's PETSc DMPlex + firedrake/cython/dmcommon.pyx layer
+(reference: firedrake/mesh.py:502 AbstractMeshTopology; dmcommon.pyx entity
+numbering/orientations :593-:1280).  Everything here is setup-time numpy; the
+products are flat int32 index arrays that feed the device executor — exactly
+the representation the TPU wants (static shapes, gather/scatter indices).
+
+Key derived data (all cached):
+  * per-dimension entity tables (canonical = sorted global vertex tuple),
+  * cell -> entity index + orientation maps (orientation = permutation index
+    aligning the cell's local view with the canonical entity order; consumed
+    by FiniteElement.entity_permutation, mirroring dmcommon's
+    entity_orientations :1193),
+  * facet <-> cell adjacency with local facet numbers (for ds/dS integrals),
+  * boundary facet markers (Firedrake's utility-mesh id conventions).
+"""
+from __future__ import annotations
+
+import itertools
+import numpy as np
+from functools import cached_property
+
+from ..elements.reference_cell import ReferenceCell, by_name
+
+_IDX = np.int32
+
+
+class MeshTopology:
+    def __init__(self, cell_vertices: np.ndarray, num_vertices: int,
+                 cell_type: str, name: str = "mesh"):
+        self.cell_vertices = np.asarray(cell_vertices, dtype=_IDX)
+        self.num_vertices = int(num_vertices)
+        self.cell = by_name(cell_type)
+        self.cell_type = self.cell.name
+        self.dim = self.cell.dim
+        self.name = name
+
+    @property
+    def num_cells(self):
+        return len(self.cell_vertices)
+
+    # ----------------------------------------------------------- entities
+    @cached_property
+    def _entity_data(self):
+        """For each dim d in (1 .. dim): dict with
+        'entities' (n_ent, nvpe) canonical sorted vertex ids,
+        'cell_entities' (ncell, n_local) entity indices,
+        'cell_orientations' (ncell, n_local) permutation indices.
+        """
+        out = {}
+        cell = self.cell
+        cv = self.cell_vertices
+        for d in range(1, self.dim + 1):
+            local = cell.topology[d]                  # (n_local, nvpe)
+            n_local, nvpe = local.shape
+            # cell-local view of each entity: global vertex ids in local order
+            views = cv[:, local]                      # (ncell, n_local, nvpe)
+            canon = np.sort(views, axis=-1)
+            flat = canon.reshape(-1, nvpe)
+            uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+            cell_entities = inv.reshape(self.num_cells, n_local).astype(_IDX)
+            # orientation: sigma with canon[j] == view[sigma[j]]
+            perms = list(itertools.permutations(range(nvpe)))
+            perm_arr = np.array(perms)                # (nperm, nvpe)
+            # for each (cell, local entity): find sigma s.t.
+            # view[sigma[j]] == canon[j] for all j
+            v = views.reshape(-1, nvpe)
+            c = canon.reshape(-1, nvpe)
+            ori = np.full(len(v), -1, dtype=_IDX)
+            for pi, p in enumerate(perm_arr):
+                match = np.all(v[:, p] == c, axis=1)
+                ori[match & (ori < 0)] = pi
+            assert np.all(ori >= 0)
+            out[d] = dict(entities=uniq.astype(_IDX),
+                          cell_entities=cell_entities,
+                          cell_orientations=ori.reshape(self.num_cells,
+                                                        n_local))
+        return out
+
+    def num_entities(self, d: int) -> int:
+        if d == 0:
+            return self.num_vertices
+        if d == self.dim:
+            return self.num_cells
+        return len(self._entity_data[d]["entities"])
+
+    def cell_entities(self, d: int) -> np.ndarray:
+        if d == 0:
+            return self.cell_vertices
+        if d == self.dim:
+            return np.arange(self.num_cells, dtype=_IDX)[:, None]
+        return self._entity_data[d]["cell_entities"]
+
+    def cell_entity_orientations(self, d: int) -> np.ndarray:
+        if d == 0 or d == self.dim:
+            shape = self.cell_entities(d).shape
+            return np.zeros(shape, dtype=_IDX)
+        return self._entity_data[d]["cell_orientations"]
+
+    # -------------------------------------------------------------- facets
+    @cached_property
+    def _facet_data(self):
+        """facet_cells (nf, 2) [-1 pad], facet_local (nf, 2),
+        using the dim-1 entity numbering."""
+        d = self.dim - 1
+        if d == 0:
+            # interval mesh: facets are vertices
+            ce = self.cell_vertices        # (ncell, 2)
+            nf = self.num_vertices
+        else:
+            ce = self._entity_data[d]["cell_entities"]
+            nf = len(self._entity_data[d]["entities"])
+        n_local = ce.shape[1]
+        facet_cells = np.full((nf, 2), -1, dtype=_IDX)
+        facet_local = np.full((nf, 2), -1, dtype=_IDX)
+        counts = np.zeros(nf, dtype=_IDX)
+        # vectorized two-pass fill
+        cells_flat = np.repeat(np.arange(self.num_cells, dtype=_IDX), n_local)
+        local_flat = np.tile(np.arange(n_local, dtype=_IDX), self.num_cells)
+        f_flat = ce.reshape(-1)
+        order = np.argsort(f_flat, kind="stable")
+        f_sorted = f_flat[order]
+        first = np.searchsorted(f_sorted, np.arange(nf))
+        last = np.searchsorted(f_sorted, np.arange(nf), side="right")
+        counts = (last - first).astype(_IDX)
+        assert counts.max() <= 2
+        sel0 = first[counts >= 1]
+        facet_cells[counts >= 1, 0] = cells_flat[order[sel0]]
+        facet_local[counts >= 1, 0] = local_flat[order[sel0]]
+        sel1 = (first + 1)[counts == 2]
+        facet_cells[counts == 2, 1] = cells_flat[order[sel1]]
+        facet_local[counts == 2, 1] = local_flat[order[sel1]]
+        return facet_cells, facet_local
+
+    @cached_property
+    def facet_cells(self):
+        return self._facet_data[0]
+
+    @cached_property
+    def facet_local_id(self):
+        return self._facet_data[1]
+
+    @cached_property
+    def exterior_facets(self) -> np.ndarray:
+        return np.nonzero(self.facet_cells[:, 1] < 0)[0].astype(_IDX)
+
+    @cached_property
+    def interior_facets(self) -> np.ndarray:
+        return np.nonzero(self.facet_cells[:, 1] >= 0)[0].astype(_IDX)
+
+    @cached_property
+    def facet_vertices(self) -> np.ndarray:
+        d = self.dim - 1
+        if d == 0:
+            return np.arange(self.num_vertices, dtype=_IDX)[:, None]
+        return self._entity_data[d]["entities"]

@@ -1,0 +1,271 @@
+"""JAX-native Krylov solvers (the PETSc KSP analogue, reference layer L1 —
+SURVEY §2.9 N13).  All solvers are matvec-callback based (matrix-free
+first, like firedrake/matrix_free/operators.py:211) and built on
+lax.while_loop so a whole solve is ONE XLA program: no host round-trips
+per iteration, which is what kills latency on TPU.
+
+Convergence: ||r||_2 <= max(rtol * ||r0||, atol), iteration cap max_it —
+matching PETSc's default test semantics closely enough for the regression
+suite (KSPConvergedDefault uses the preconditioned norm; we use the true
+residual norm, which is the stricter choice).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class KSPResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    residual_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _tolcheck(rnorm, r0norm, rtol, atol):
+    return rnorm <= jnp.maximum(rtol * r0norm, atol)
+
+
+def cg(op: Callable, b, x0=None, pc: Callable = None, rtol=1e-7,
+       atol=1e-50, max_it=10000) -> KSPResult:
+    """Preconditioned conjugate gradients."""
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - op(x0)
+    z0 = pc(r0)
+    gamma0 = jnp.vdot(r0, z0)
+    r0norm = jnp.linalg.norm(r0)
+
+    def cond(state):
+        x, r, z, p, gamma, it, rnorm = state
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (it < max_it)
+
+    def body(state):
+        x, r, z, p, gamma, it, rnorm = state
+        Ap = op(p)
+        alpha = gamma / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pc(r)
+        gamma_new = jnp.vdot(r, z)
+        beta = gamma_new / gamma
+        p = z + beta * p
+        return x, r, z, p, gamma_new, it + 1, jnp.linalg.norm(r)
+
+    init = (x0, r0, z0, z0, gamma0, jnp.zeros((), jnp.int32), r0norm)
+    x, r, z, p, gamma, it, rnorm = jax.lax.while_loop(cond, body, init)
+    return KSPResult(x, it, rnorm, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
+def bicgstab(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
+             max_it=10000) -> KSPResult:
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - op(x0)
+    rhat = r0
+    r0norm = jnp.linalg.norm(r0)
+
+    def cond(state):
+        x, r, p, v, rho, alpha, omega, it, rnorm = state
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (it < max_it)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it, rnorm = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = pc(p)
+        v = op(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = pc(s)
+        t = op(shat)
+        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, it + 1,
+                jnp.linalg.norm(r))
+
+    one = jnp.ones(())
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.zeros((), jnp.int32), r0norm)
+    out = jax.lax.while_loop(cond, body, init)
+    x, r = out[0], out[1]
+    it, rnorm = out[7], out[8]
+    return KSPResult(x, it, rnorm, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
+def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
+          restart=30) -> KSPResult:
+    """Restarted GMRES with left preconditioning and Givens rotations.
+
+    The Arnoldi basis lives in a fixed (restart+1, n) buffer — static
+    shapes, lax loops only."""
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = restart
+    r0 = pc(b - op(x0))
+    r0norm = jnp.linalg.norm(r0)
+
+    def arnoldi_step(carry, j):
+        V, H, cs, sn, g = carry
+        w = pc(op(V[j]))
+        # modified Gram-Schmidt against all basis vectors (masked)
+        def mgs(k, wh):
+            w, hcol = wh
+            hk = jnp.where(k <= j, jnp.vdot(V[k], w), 0.0)
+            w = w - hk * V[k]
+            return w, hcol.at[k].set(hk)
+        w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                    (w, jnp.zeros(m + 1)))
+        hj1 = jnp.linalg.norm(w)
+        hcol = hcol.at[j + 1].set(hj1)
+        V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
+        # apply existing Givens rotations to hcol
+        def rot(k, hc):
+            t = cs[k] * hc[k] + sn[k] * hc[k + 1]
+            hc = hc.at[k + 1].set(-sn[k] * hc[k] + cs[k] * hc[k + 1])
+            return hc.at[k].set(t)
+        def rot_masked(k, hc):
+            return jax.lax.cond(k < j, lambda: rot(k, hc), lambda: hc)
+        hcol = jax.lax.fori_loop(0, m, rot_masked, hcol)
+        # new rotation to kill hcol[j+1]
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
+        s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+        cs2 = cs.at[j].set(c)
+        sn2 = sn.at[j].set(s)
+        hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
+        hcol = hcol.at[j + 1].set(0.0)
+        H = H.at[:, j].set(hcol)
+        g2 = g.at[j + 1].set(-s * g[j])
+        g2 = g2.at[j].set(c * g[j])
+        return (V, H, cs2, sn2, g2)
+
+    def cycle(x):
+        r = pc(b - op(x))
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n)).at[0].set(
+            jnp.where(beta > 0, r / beta, r))
+        H = jnp.zeros((m + 1, m))
+        cs = jnp.zeros(m)
+        sn = jnp.zeros(m)
+        g = jnp.zeros(m + 1).at[0].set(beta)
+
+        def inner_cond(st):
+            V, H, cs, sn, g, j = st
+            return (j < m) & (jnp.abs(g[j]) >
+                              jnp.maximum(rtol * r0norm, atol))
+
+        def inner_body(st):
+            V, H, cs, sn, g, j = st
+            V, H, cs, sn, g = arnoldi_step((V, H, cs, sn, g), j)
+            return V, H, cs, sn, g, j + 1
+
+        V, H, cs, sn, g, j = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (V, H, cs, sn, g, jnp.zeros((), jnp.int32)))
+        # solve the (j x j) triangular system H y = g (masked back-subst)
+        Hm = H[:m, :m] + jnp.eye(m) * jnp.where(
+            jnp.arange(m) >= j, 1.0, 0.0)[None, :] * 0.0
+        # mask: treat columns >= j as identity to keep solve well-posed
+        Hmask = jnp.where((jnp.arange(m)[:, None] < j)
+                          & (jnp.arange(m)[None, :] < j), H[:m, :m],
+                          jnp.eye(m))
+        gm = jnp.where(jnp.arange(m) < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hmask, gm, lower=False)
+        x = x + V[:m].T @ y
+        return x, jnp.abs(g[j]), j
+
+    def outer_cond(st):
+        x, rnorm, total_it = st
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (total_it < max_it)
+
+    def outer_body(st):
+        x, rnorm, total_it = st
+        x, rn, j = cycle(x)
+        return x, rn, total_it + j
+
+    x, rnorm, it = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (x0, r0norm, jnp.zeros((), jnp.int32)))
+    # report true residual
+    true_r = jnp.linalg.norm(b - op(x))
+    return KSPResult(x, it, true_r, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
+def richardson(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
+               max_it=10000, damping=1.0) -> KSPResult:
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    r0 = b - op(x0)
+    r0norm = jnp.linalg.norm(r0)
+
+    def cond(st):
+        x, r, it, rnorm = st
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (it < max_it)
+
+    def body(st):
+        x, r, it, rnorm = st
+        x = x + damping * pc(r)
+        r = b - op(x)
+        return x, r, it + 1, jnp.linalg.norm(r)
+
+    x, r, it, rnorm = jax.lax.while_loop(
+        cond, body, (x0, r0, jnp.zeros((), jnp.int32), r0norm))
+    return KSPResult(x, it, rnorm, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
+def chebyshev(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
+              max_it=10000, emin=0.1, emax=1.1) -> KSPResult:
+    """Chebyshev iteration on eigenvalue bounds [emin, emax] of pc∘op —
+    the classic MG smoother (PETSc KSPCHEBYSHEV)."""
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    theta = (emax + emin) / 2
+    delta = (emax - emin) / 2
+    r0 = b - op(x0)
+    r0norm = jnp.linalg.norm(r0)
+
+    def cond(st):
+        x, r, p, alpha, it, rnorm = st
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (it < max_it)
+
+    def body(st):
+        x, r, p, alpha, it, rnorm = st
+        z = pc(r)
+        beta = jnp.where(it == 0, 0.0,
+                         (delta * alpha / 2) ** 2)
+        alpha_new = jnp.where(it == 0, 1.0 / theta,
+                              1.0 / (theta - beta / alpha))
+        p = z + beta * p
+        x = x + alpha_new * p
+        r = b - op(x)
+        return x, r, p, alpha_new, it + 1, jnp.linalg.norm(r)
+
+    init = (x0, r0, jnp.zeros_like(b), jnp.ones(()),
+            jnp.zeros((), jnp.int32), r0norm)
+    x, r, p, a, it, rnorm = jax.lax.while_loop(cond, body, init)
+    return KSPResult(x, it, rnorm, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
+def minres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
+           max_it=10000) -> KSPResult:
+    """MINRES via gmres fallback (dedicated Lanczos version later)."""
+    return gmres(op, b, x0=x0, pc=pc, rtol=rtol, atol=atol, max_it=max_it,
+                 restart=60)
+
+
+KSP_METHODS = {
+    "cg": cg,
+    "bicgstab": bicgstab,
+    "bcgs": bicgstab,
+    "gmres": gmres,
+    "minres": minres,
+    "richardson": richardson,
+    "chebyshev": chebyshev,
+}

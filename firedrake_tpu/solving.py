@@ -1,0 +1,376 @@
+"""solve() dispatch + linear/nonlinear variational solvers.
+
+Reference: firedrake/solving.py:34 (solve), firedrake/variational_solver.py
+(LinearVariationalSolver :293, NonlinearVariationalSolver with SNES
+:309-461), firedrake/solving_utils.py:138 (_SNESContext), firedrake/
+linear_solver.py.  PETSc SNES/KSP are replaced by JAX-native Newton +
+Krylov (solvers/krylov.py); the `solver_parameters` dict API is preserved.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .language.measure import Form, Equation
+from .language.calculus import lhs, rhs, derivative, action, replace
+from .language.core import Argument, Zero
+from .function import Function
+from .bcs import DirichletBC
+from .assemble import assemble, get_assembler
+from .solvers.krylov import KSP_METHODS
+from .solvers.preconditioners import make_pc, direct_solve, identity_pc
+
+__all__ = ["solve", "LinearVariationalProblem", "LinearVariationalSolver",
+           "NonlinearVariationalProblem", "NonlinearVariationalSolver",
+           "LinearSolver"]
+
+DEFAULT_KSP_PARAMS = {
+    "ksp_type": "cg",
+    "pc_type": "jacobi",
+    "ksp_rtol": 1e-7,
+    "ksp_atol": 1e-50,
+    "ksp_max_it": 10000,
+}
+DEFAULT_SNES_PARAMS = {
+    "snes_type": "newtonls",
+    "snes_rtol": 1e-8,
+    "snes_atol": 1e-50,
+    "snes_max_it": 50,
+    "snes_linesearch_type": "basic",
+}
+
+
+def _merged_params(solver_parameters, nonlinear=False):
+    p = dict(DEFAULT_KSP_PARAMS)
+    if nonlinear:
+        p.update(DEFAULT_SNES_PARAMS)
+    p.update(solver_parameters or {})
+    return p
+
+
+def _bc_data(bcs, n):
+    """(bc_idx int array, g full vector)."""
+    if not bcs:
+        return np.zeros(0, dtype=np.int32), np.zeros(n)
+    idx = np.unique(np.concatenate([bc.dof_indices for bc in bcs]))
+    g = np.zeros(n)
+    for bc in bcs:
+        gv = bc.value_vector()
+        g[bc.dof_indices] = gv[bc.dof_indices]
+    return idx.astype(np.int32), g
+
+
+def _run_ksp(op, b, params, pc=None, x0=None):
+    ksp_type = params.get("ksp_type", "cg")
+    if ksp_type == "preonly":
+        raise RuntimeError("preonly handled by caller")
+    meth = KSP_METHODS[ksp_type]
+    kw = dict(rtol=params.get("ksp_rtol", 1e-7),
+              atol=params.get("ksp_atol", 1e-50),
+              max_it=int(params.get("ksp_max_it", 10000)))
+    if ksp_type == "gmres":
+        kw["restart"] = int(params.get("ksp_gmres_restart", 30))
+    res = meth(op, b, x0=x0, pc=pc or identity_pc, **kw)
+    return res
+
+
+class LinearVariationalProblem:
+    """Reference: variational_solver.py:259-290 (wraps a x = L)."""
+
+    def __init__(self, a, L, u, bcs=None, aP=None,
+                 form_compiler_parameters=None, constant_jacobian=False):
+        self.a = a
+        # NB: don't write `L == 0` — Form.__eq__ builds an Equation.
+        if L is None or (isinstance(L, (int, float)) and L == 0) \
+                or (isinstance(L, Form) and L.empty()):
+            L = None
+        self.L = L
+        self.u = u
+        self.bcs = tuple(bcs or ())
+        self.constant_jacobian = constant_jacobian
+
+
+class LinearVariationalSolver:
+    def __init__(self, problem: LinearVariationalProblem, *,
+                 solver_parameters=None, options_prefix=None, appctx=None,
+                 nullspace=None, **kwargs):
+        self.problem = problem
+        self.params = _merged_params(solver_parameters)
+        self.nullspace = nullspace
+        self._mat = None
+
+    def solve(self):
+        p = self.problem
+        params = self.params
+        V = p.u.function_space()
+        n = V.dim
+        bc_idx, g = _bc_data(p.bcs, n)
+        gj = jnp.asarray(g)
+
+        b = (jnp.asarray(assemble(p.L).dat) if p.L is not None
+             else jnp.zeros(n))
+
+        mat_type = params.get("mat_type", "aij")
+        if mat_type == "matfree":
+            asm = get_assembler(_action_form(p.a))
+            xf = _action_coeff(p.a)
+            coords = jnp.asarray(V.mesh_obj.coordinates.dat)
+
+            def raw_op(x):
+                cd = {c.count: jnp.asarray(c.dat)
+                      for c in asm.coefficients}
+                cd[xf.count] = x
+                cv = {c.count: jnp.asarray(c.values())
+                      for c in asm.constants}
+                return asm._run(coords, cd, cv)
+
+            op, bvec = _constrained_op(raw_op, b, bc_idx, gj, n)
+            pc = make_pc(params.get("pc_type", "none")
+                         if params.get("pc_type") != "jacobi" else "none",
+                         None, params)
+            res = _run_ksp(op, bvec, params, pc=pc,
+                           x0=jnp.asarray(p.u.dat))
+        else:
+            A0 = assemble(p.a) if (self._mat is None
+                                   or not p.constant_jacobian) else self._mat
+            if p.constant_jacobian:
+                self._mat = A0
+            bvec = b - A0.matvec(gj) if len(bc_idx) else b
+            if len(bc_idx):
+                bvec = bvec.at[jnp.asarray(bc_idx)].set(gj[
+                    jnp.asarray(bc_idx)])
+                A = A0.with_dirichlet(jnp.asarray(bc_idx))
+            else:
+                A = A0
+            if params.get("ksp_type") == "preonly":
+                if params.get("pc_type") in ("lu", "cholesky", "ilu"):
+                    p.u.dat = direct_solve(A, bvec)
+                    self.ksp_iterations = 1
+                    return
+                raise NotImplementedError("preonly with pc_type "
+                                          f"{params.get('pc_type')!r}")
+            pc = make_pc(params.get("pc_type", "jacobi"), A, params)
+            res = _run_ksp(A.matvec, bvec, params, pc=pc,
+                           x0=jnp.asarray(p.u.dat))
+        p.u.dat = res.x
+        self.ksp_iterations = int(res.iterations)
+        self.converged = bool(res.converged)
+        if not self.converged:
+            import warnings
+            warnings.warn(f"linear solve did not converge: "
+                          f"rnorm={float(res.residual_norm):.3e} after "
+                          f"{self.ksp_iterations} its")
+
+
+def _action_form(a):
+    from .language.calculus import action
+    trial = a.arguments()[-1]
+    w = Function(trial.space, name="mf_x")
+    f = action(a, w)
+    f._mf_coeff = w
+    return f
+
+
+_action_cache = {}
+
+
+def _action_coeff(a):
+    key = id(a)
+    if key not in _action_cache:
+        _action_cache[key] = _action_form(a)
+    return _action_cache[key]._mf_coeff
+
+
+def _constrained_op(raw_op, b, bc_idx, g, n):
+    """Matrix-free Dirichlet: op = P A P + (I-P); rhs = P(b - A g) + g."""
+    if len(bc_idx) == 0:
+        return raw_op, b
+    idx = jnp.asarray(bc_idx)
+    mask = jnp.zeros(n, dtype=bool).at[idx].set(True)
+
+    def P(x):
+        return jnp.where(mask, 0.0, x)
+
+    def op(x):
+        return P(raw_op(P(x))) + jnp.where(mask, x, 0.0)
+
+    bvec = P(b - raw_op(g)) + jnp.where(mask, g, 0.0)
+    return op, bvec
+
+
+# --------------------------------------------------------------- nonlinear
+class NonlinearVariationalProblem:
+    """Reference: variational_solver.py NonlinearVariationalProblem."""
+
+    def __init__(self, F, u, bcs=None, J=None, Jp=None,
+                 form_compiler_parameters=None):
+        self.F = F
+        self.u = u
+        self.bcs = tuple(bcs or ())
+        self.J = J if J is not None else derivative(F, u)
+
+
+class NonlinearVariationalSolver:
+    """Newton with line search — the SNES analogue (reference:
+    solving_utils.py:138 _SNESContext; SNESComputeFunction/Jacobian
+    callbacks :527/:561)."""
+
+    def __init__(self, problem, *, solver_parameters=None,
+                 options_prefix=None, appctx=None, nullspace=None,
+                 pre_jacobian_callback=None, pre_function_callback=None,
+                 **kwargs):
+        self.problem = problem
+        self.params = _merged_params(solver_parameters, nonlinear=True)
+
+    def _residual(self, uvec):
+        p = self.problem
+        p.u.dat = uvec
+        r = jnp.asarray(assemble(p.F).dat)
+        V = p.u.function_space()
+        bc_idx, g = _bc_data(p.bcs, V.dim)
+        if len(bc_idx):
+            idx = jnp.asarray(bc_idx)
+            r = r.at[idx].set(uvec[idx] - jnp.asarray(g)[idx])
+        return r
+
+    def solve(self):
+        p = self.problem
+        params = self.params
+        V = p.u.function_space()
+        n = V.dim
+        bc_idx, g = _bc_data(p.bcs, n)
+        rtol = params.get("snes_rtol", 1e-8)
+        atol = params.get("snes_atol", 1e-50)
+        max_it = int(params.get("snes_max_it", 50))
+        ls = params.get("snes_linesearch_type", "basic")
+        mat_type = params.get("mat_type", "aij")
+
+        # put the initial guess on the constraint manifold
+        u = jnp.asarray(p.u.dat)
+        if len(bc_idx):
+            u = u.at[jnp.asarray(bc_idx)].set(jnp.asarray(g)[
+                jnp.asarray(bc_idx)])
+
+        r = self._residual(u)
+        r0 = float(jnp.linalg.norm(r))
+        rnorm = r0
+        self.snes_iterations = 0
+        for it in range(max_it):
+            if rnorm <= max(rtol * r0, atol) or r0 == 0.0:
+                break
+            du = self._newton_step(u, r, bc_idx, params, mat_type)
+            # line search
+            if ls in ("basic", "none"):
+                t = 1.0
+                u_new = u + du
+                r_new = self._residual(u_new)
+            else:   # backtracking "bt" / "l2"
+                t = 1.0
+                for _ in range(8):
+                    u_new = u + t * du
+                    r_new = self._residual(u_new)
+                    if float(jnp.linalg.norm(r_new)) < rnorm:
+                        break
+                    t *= 0.5
+            u, r = u_new, r_new
+            rnorm = float(jnp.linalg.norm(r))
+            self.snes_iterations = it + 1
+        p.u.dat = u
+        self.converged = rnorm <= max(rtol * r0, atol)
+        if not self.converged:
+            import warnings
+            warnings.warn(f"Newton did not converge: |r|={rnorm:.3e} "
+                          f"after {self.snes_iterations} iterations")
+
+    def _newton_step(self, u, r, bc_idx, params, mat_type):
+        p = self.problem
+        p.u.dat = u
+        if mat_type == "matfree":
+            asm = get_assembler(_action_form(p.J))
+            xf = _action_coeff(p.J)
+            coords = jnp.asarray(
+                p.u.function_space().mesh_obj.coordinates.dat)
+
+            def raw_op(x):
+                cd = {c.count: jnp.asarray(c.dat)
+                      for c in asm.coefficients}
+                cd[xf.count] = x
+                cv = {c.count: jnp.asarray(c.values())
+                      for c in asm.constants}
+                return asm._run(coords, cd, cv)
+
+            n = u.shape[0]
+            op, rhsv = _constrained_op(raw_op, -r, bc_idx,
+                                       jnp.zeros(n), n)
+            # Newton rhs: bc rows of -r already hold -(u-g); the
+            # constrained op keeps identity there, so pass through:
+            if len(bc_idx):
+                idx = jnp.asarray(bc_idx)
+                rhsv = rhsv.at[idx].set(-r[idx])
+            pc = identity_pc
+            res = _run_ksp(op, rhsv, params, pc=pc)
+            return res.x
+        J = assemble(p.J)
+        rhs_v = -r
+        if len(bc_idx):
+            J = J.with_dirichlet(jnp.asarray(bc_idx))
+        if params.get("ksp_type") == "preonly":
+            return direct_solve(J, rhs_v)
+        pc = make_pc(params.get("pc_type", "jacobi"), J, params)
+        res = _run_ksp(J.matvec, rhs_v, params, pc=pc)
+        return res.x
+
+
+class LinearSolver:
+    """Solve with a pre-assembled Matrix (reference:
+    firedrake/linear_solver.py)."""
+
+    def __init__(self, A, *, P=None, solver_parameters=None, **kwargs):
+        self.A = A
+        self.params = _merged_params(solver_parameters)
+
+    def solve(self, x: Function, b):
+        bvec = jnp.asarray(b.dat if isinstance(b, Function) else b)
+        A = self.A
+        bcs = getattr(A, "bcs", ())
+        if self.params.get("ksp_type") == "preonly":
+            x.dat = direct_solve(A, bvec)
+            return
+        pc = make_pc(self.params.get("pc_type", "jacobi"), A, self.params)
+        res = _run_ksp(A.matvec, bvec, self.params, pc=pc)
+        x.dat = res.x
+        self.ksp_iterations = int(res.iterations)
+
+
+# ------------------------------------------------------------------ solve()
+def solve(*args, **kwargs):
+    """solve(a == L, u, bcs=...), solve(F == 0, u, bcs=...), or
+    solve(A, x, b) (reference: firedrake/solving.py:34)."""
+    if isinstance(args[0], Equation):
+        eq, u = args[0], args[1]
+        bcs = kwargs.get("bcs")
+        sp = kwargs.get("solver_parameters")
+        J = kwargs.get("J")
+        if isinstance(eq.rhs, Form) and not eq.rhs.empty() or (
+                isinstance(eq.rhs, Form) and len(eq.lhs.arguments()) == 2):
+            pass
+        is_linear = len(eq.lhs.arguments()) == 2
+        if is_linear:
+            problem = LinearVariationalProblem(eq.lhs, eq.rhs, u, bcs=bcs)
+            solver = LinearVariationalSolver(problem, solver_parameters=sp)
+        else:
+            F = eq.lhs
+            if isinstance(eq.rhs, Form) and not eq.rhs.empty():
+                F = F - eq.rhs
+            problem = NonlinearVariationalProblem(F, u, bcs=bcs, J=J)
+            solver = NonlinearVariationalSolver(problem,
+                                                solver_parameters=sp)
+        solver.solve()
+        return u
+    # linear-algebra form: solve(A, x, b)
+    A, x, b = args[:3]
+    solver = LinearSolver(A, solver_parameters=kwargs.get(
+        "solver_parameters"))
+    solver.solve(x, b)
+    return x
