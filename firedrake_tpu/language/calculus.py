@@ -24,11 +24,25 @@ from .measure import Form, Integral
 
 
 # ---------------------------------------------------------------- rebuild
+_LINEAR_ONE = (Grad, Indexed, Restricted, Transpose, Trace, ListTensor)
+_MULTILINEAR = (Inner, Dot, Outer, Cross, Product)
+
+
 def reconstruct(node: Expr, ops):
-    """Rebuild a node with new operands, preserving non-operand state."""
+    """Rebuild a node with new operands, preserving non-operand state.
+
+    Zero short-circuits use the ORIGINAL node's shape — constructors like
+    Grad cannot infer the geometric dimension from a bare Zero operand."""
     t = type(node)
     if isinstance(node, Terminal):
         return node
+    if (issubclass(t, _LINEAR_ONE) or t in (Div, Curl)) \
+            and len(ops) >= 1 and all(o.is_zero() for o in ops):
+        return Zero(node.shape)
+    if issubclass(t, _MULTILINEAR) and any(o.is_zero() for o in ops):
+        return Zero(node.shape)
+    if t is Division and ops[0].is_zero():
+        return Zero(node.shape)
     if t is Indexed:
         return Indexed(ops[0], node.indices)
     if t is MathFunction:

@@ -387,7 +387,9 @@ class Product(Expr):
         if a.shape != () and b.shape != ():
             raise ValueError("`*` needs at least one scalar operand; "
                              "use dot/inner/outer")
-        if a.is_zero() or b.is_zero():
+        if a.is_zero() or b.is_zero() \
+                or (isinstance(a, ScalarValue) and a.value == 0.0) \
+                or (isinstance(b, ScalarValue) and b.value == 0.0):
             return Zero(a.shape if a.shape else b.shape)
         if isinstance(a, ScalarValue) and isinstance(b, ScalarValue):
             return ScalarValue(a.value * b.value)
