@@ -35,6 +35,8 @@ from .assemble import assemble, get_assembler
 from .interpolation import interpolate, Interpolator
 from .projection import project, Projector
 from .norms import norm, errornorm
+from .mg.mesh import MeshHierarchy, HierarchyBase
+from .mg.transfer import prolong, restrict, inject
 from .solving import (solve, LinearVariationalProblem,
                       LinearVariationalSolver,
                       NonlinearVariationalProblem,
@@ -61,4 +63,5 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "LinearVariationalProblem", "LinearVariationalSolver",
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
+    "MeshHierarchy", "HierarchyBase", "prolong", "restrict", "inject",
 ])

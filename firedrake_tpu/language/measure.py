@@ -42,7 +42,8 @@ class Measure:
         if integrand.is_zero():
             return Form(())
         return Form((Integral(integrand, self.integral_type,
-                              self.subdomain_id, self.metadata),))
+                              self.subdomain_id, self.metadata,
+                              self.domain),))
 
     def __rmul__(self, integrand):
         return self.integral(integrand)
@@ -54,17 +55,20 @@ dS = Measure("interior_facet")
 
 
 class Integral:
-    __slots__ = ("integrand", "integral_type", "subdomain_id", "metadata")
+    __slots__ = ("integrand", "integral_type", "subdomain_id", "metadata",
+                 "domain")
 
-    def __init__(self, integrand, integral_type, subdomain_id, metadata):
+    def __init__(self, integrand, integral_type, subdomain_id, metadata,
+                 domain=None):
         self.integrand = integrand
         self.integral_type = integral_type
         self.subdomain_id = subdomain_id
         self.metadata = metadata
+        self.domain = domain
 
     def reconstruct(self, integrand):
         return Integral(integrand, self.integral_type, self.subdomain_id,
-                        self.metadata)
+                        self.metadata, self.domain)
 
     def __repr__(self):
         return (f"Integral({self.integrand!r}, {self.integral_type!r}, "
@@ -149,6 +153,8 @@ class Form:
 
     def mesh(self):
         for it in self.integrals_list:
+            if it.domain is not None:
+                return it.domain
             for e in it.integrand.traverse():
                 if isinstance(e, (Argument, Coefficient)):
                     return e.space.mesh_obj

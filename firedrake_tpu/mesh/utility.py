@@ -40,6 +40,7 @@ def _mark_box_facets(mesh: Mesh, lengths):
     interior = topo.facet_cells[:, 1] >= 0
     markers[interior] = 0
     mesh.facet_markers = markers
+    mesh._box_lengths = tuple(lengths)
     return mesh
 
 
@@ -56,6 +57,7 @@ def IntervalMesh(ncells: int, length_or_left=1.0, right=None, name="mesh"):
     markers[0] = 1
     markers[ncells] = 2
     mesh.facet_markers = markers
+    mesh._box_lengths = (right_,) if left == 0.0 else None
     return mesh
 
 

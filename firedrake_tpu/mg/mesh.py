@@ -1,0 +1,248 @@
+"""Mesh hierarchies by uniform refinement.
+
+Reference: firedrake/mg/mesh.py:184 MeshHierarchy (DMPlex uniform
+refinement, keeping coarse->fine cell maps) / HierarchyBase :36.
+Refinement is host-side numpy; the products are the child-cell maps the
+transfer kernels consume.
+
+Simplex refinement: red refinement — each triangle -> 4 children, each tet
+-> 4 corner tets + 4 octahedron tets (Bey's rule, diagonal m01-m23);
+quads/hexes -> 2^d children through edge/face/cell midpoints.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..mesh.topology import MeshTopology, _IDX
+from ..mesh.geometry import Mesh
+
+__all__ = ["MeshHierarchy", "HierarchyBase", "refine_mesh"]
+
+
+def _refine_triangle(mesh: Mesh):
+    topo = mesh.topology
+    nv = topo.num_vertices
+    edges = topo._entity_data[1]["entities"]         # (ne, 2) sorted
+    mids = mesh._vertex_coords[edges].mean(axis=1)
+    verts = np.vstack([mesh._vertex_coords, mids])
+    cell_edges = topo.cell_entities(1)               # (nc, 3) our order:
+    # edge i opposite vertex i: e0=(1,2), e1=(0,2), e2=(0,1)
+    cv = topo.cell_vertices
+    m12 = nv + cell_edges[:, 0]
+    m02 = nv + cell_edges[:, 1]
+    m01 = nv + cell_edges[:, 2]
+    v0, v1, v2 = cv[:, 0], cv[:, 1], cv[:, 2]
+    children = np.stack([
+        np.stack([v0, m01, m02], 1),
+        np.stack([v1, m12, m01], 1),
+        np.stack([v2, m02, m12], 1),
+        np.stack([m01, m12, m02], 1),
+    ], axis=1)                                        # (nc, 4, 3)
+    cells = children.reshape(-1, 3)
+    c2f = np.arange(len(cells)).reshape(-1, 4, order="C")
+    # children interleaved per coarse cell: cell c children at 4c..4c+3
+    cells = children.reshape(-1, 3)
+    c2f = (np.arange(topo.num_cells)[:, None] * 4
+           + np.arange(4)[None, :])
+    return cells, verts, c2f
+
+
+def _refine_tet(mesh: Mesh):
+    topo = mesh.topology
+    nv = topo.num_vertices
+    edges = topo._entity_data[1]["entities"]
+    mids = mesh._vertex_coords[edges].mean(axis=1)
+    verts = np.vstack([mesh._vertex_coords, mids])
+    ce = topo.cell_entities(1)                        # (nc, 6)
+    cv = topo.cell_vertices
+    # our tet edge order: (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)
+    m01 = nv + ce[:, 0]
+    m02 = nv + ce[:, 1]
+    m03 = nv + ce[:, 2]
+    m12 = nv + ce[:, 3]
+    m13 = nv + ce[:, 4]
+    m23 = nv + ce[:, 5]
+    v0, v1, v2, v3 = (cv[:, i] for i in range(4))
+    # Bey's red refinement (diagonal m01–m23)
+    children = np.stack([
+        np.stack([v0, m01, m02, m03], 1),
+        np.stack([v1, m01, m12, m13], 1),
+        np.stack([v2, m02, m12, m23], 1),
+        np.stack([v3, m03, m13, m23], 1),
+        np.stack([m01, m02, m03, m23], 1),
+        np.stack([m01, m02, m12, m23], 1),
+        np.stack([m01, m03, m13, m23], 1),
+        np.stack([m01, m12, m13, m23], 1),
+    ], axis=1)                                        # (nc, 8, 4)
+    cells = children.reshape(-1, 4)
+    c2f = (np.arange(topo.num_cells)[:, None] * 8
+           + np.arange(8)[None, :])
+    return cells, verts, c2f
+
+
+def _refine_quad(mesh: Mesh):
+    topo = mesh.topology
+    nv = topo.num_vertices
+    edges = topo._entity_data[1]["entities"]
+    ne = len(edges)
+    mids = mesh._vertex_coords[edges].mean(axis=1)
+    centers = mesh._vertex_coords[topo.cell_vertices].mean(axis=1)
+    verts = np.vstack([mesh._vertex_coords, mids, centers])
+    ce = topo.cell_entities(1)                        # (nc, 4)
+    cv = topo.cell_vertices                           # lex: (0,0),(1,0),(0,1),(1,1)
+    # our quad edges: e0=(0,1) y=0, e1=(2,3) y=1, e2=(0,2) x=0, e3=(1,3) x=1
+    mb = nv + ce[:, 0]
+    mt = nv + ce[:, 1]
+    ml = nv + ce[:, 2]
+    mr = nv + ce[:, 3]
+    cc = nv + ne + np.arange(topo.num_cells)
+    v00, v10, v01, v11 = (cv[:, i] for i in range(4))
+    children = np.stack([
+        np.stack([v00, mb, ml, cc], 1),
+        np.stack([mb, v10, cc, mr], 1),
+        np.stack([ml, cc, v01, mt], 1),
+        np.stack([cc, mr, mt, v11], 1),
+    ], axis=1)
+    cells = children.reshape(-1, 4)
+    c2f = (np.arange(topo.num_cells)[:, None] * 4
+           + np.arange(4)[None, :])
+    return cells, verts, c2f
+
+
+_REFINERS = {"triangle": _refine_triangle, "tetrahedron": _refine_tet,
+             "quadrilateral": _refine_quad}
+
+# child reference maps: fine child k occupies sub-cell of the reference
+# cell; A_k, b_k with  X_coarse = A_k @ X_fine + b_k
+def child_reference_maps(cell_name: str):
+    import numpy as np
+    if cell_name == "triangle":
+        V = np.array([[0.0, 0], [1, 0], [0, 1]])
+        m01, m02, m12 = (V[0]+V[1])/2, (V[0]+V[2])/2, (V[1]+V[2])/2
+        tris = [  # must match _refine_triangle child vertex order
+            (V[0], m01, m02),
+            (V[1], m12, m01),
+            (V[2], m02, m12),
+            (m01, m12, m02),
+        ]
+        out = []
+        for (a, b, c) in tris:
+            A = np.stack([b - a, c - a], axis=1)
+            out.append((A, a))
+        return out
+    if cell_name == "tetrahedron":
+        V = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        m = lambda i, j: (V[i] + V[j]) / 2
+        tets = [
+            (V[0], m(0, 1), m(0, 2), m(0, 3)),
+            (V[1], m(0, 1), m(1, 2), m(1, 3)),
+            (V[2], m(0, 2), m(1, 2), m(2, 3)),
+            (V[3], m(0, 3), m(1, 3), m(2, 3)),
+            (m(0, 1), m(0, 2), m(0, 3), m(2, 3)),
+            (m(0, 1), m(0, 2), m(1, 2), m(2, 3)),
+            (m(0, 1), m(0, 3), m(1, 3), m(2, 3)),
+            (m(0, 1), m(1, 2), m(1, 3), m(2, 3)),
+        ]
+        out = []
+        for vs in tets:
+            a = vs[0]
+            A = np.stack([vs[i] - a for i in (1, 2, 3)], axis=1)
+            out.append((A, a))
+        return out
+    if cell_name == "quadrilateral":
+        h = 0.5
+        out = []
+        for (ox, oy) in [(0, 0), (h, 0), (0, h), (h, h)]:
+            A = np.eye(2) * h
+            out.append((A, np.array([ox, oy])))
+        return out
+    raise NotImplementedError(cell_name)
+
+
+def refine_mesh(mesh: Mesh):
+    try:
+        refiner = _REFINERS[mesh.cell.name]
+    except KeyError:
+        raise NotImplementedError(f"refinement of {mesh.cell.name}")
+    cells, verts, c2f = refiner(mesh)
+    topo = MeshTopology(cells.astype(_IDX), len(verts), mesh.cell.name,
+                        name=f"{mesh.name}_ref")
+    fine = Mesh(topo, verts, name=f"{mesh.name}_ref")
+    # marker inheritance for box-utility meshes: re-mark geometrically
+    if getattr(mesh, "_box_lengths", None) is not None:
+        from ..mesh.utility import _mark_box_facets
+        fine._box_lengths = mesh._box_lengths
+        _mark_box_facets(fine, mesh._box_lengths)
+    else:
+        _inherit_markers(mesh, fine)
+    fine._coarse_mesh = mesh
+    fine._c2f_cells = c2f
+    return fine
+
+
+def _inherit_markers(coarse: Mesh, fine: Mesh):
+    """Geometric marker inheritance: a fine exterior facet centroid lies on
+    exactly one coarse exterior facet; copy its marker."""
+    ct, ft = coarse.topology, fine.topology
+    cf = ct.exterior_facets
+    if len(cf) == 0:
+        return
+    cfv = ct.facet_vertices[cf]
+    cpts = coarse._vertex_coords[cfv]                 # (ncf, nvpf, g)
+    ffac = ft.exterior_facets
+    fcent = fine._vertex_coords[ft.facet_vertices[ffac]].mean(axis=1)
+    markers = np.zeros(len(ft.facet_cells), dtype=_IDX)
+    # distance from fine centroid to coarse facet (affine hull + bounds)
+    for i, fi in enumerate(cf):
+        marker = coarse.facet_markers[fi]
+        if marker == 0:
+            continue
+        pts = cpts[i]
+        a = pts[0]
+        if pts.shape[0] == 2:
+            d = pts[1] - a
+            t = ((fcent - a) @ d) / (d @ d)
+            proj = a + np.clip(t, 0, 1)[:, None] * d
+        else:
+            d1, d2 = pts[1] - a, pts[2] - a
+            G = np.array([[d1 @ d1, d1 @ d2], [d2 @ d1, d2 @ d2]])
+            rhs = np.stack([(fcent - a) @ d1, (fcent - a) @ d2])
+            uv = np.linalg.solve(G, rhs).T
+            proj = a + uv[:, :1] * d1 + uv[:, 1:] * d2
+        on = np.linalg.norm(fcent - proj, axis=1) < 1e-12
+        markers[ffac[on]] = marker
+    fine.facet_markers = markers
+
+
+class HierarchyBase:
+    """Reference: firedrake/mg/mesh.py:36."""
+
+    def __init__(self, meshes):
+        self.meshes = list(meshes)
+        for lvl, m in enumerate(self.meshes):
+            m._mg_hierarchy = self
+            m._mg_level = lvl
+
+    def __iter__(self):
+        return iter(self.meshes)
+
+    def __getitem__(self, i):
+        return self.meshes[i]
+
+    def __len__(self):
+        return len(self.meshes)
+
+    @property
+    def coarsest(self):
+        return self.meshes[0]
+
+    @property
+    def finest(self):
+        return self.meshes[-1]
+
+
+def MeshHierarchy(mesh: Mesh, refinement_levels: int, **kwargs):
+    meshes = [mesh]
+    for _ in range(refinement_levels):
+        meshes.append(refine_mesh(meshes[-1]))
+    return HierarchyBase(meshes)

@@ -25,8 +25,10 @@ __all__ = ["solve", "LinearVariationalProblem", "LinearVariationalSolver",
            "NonlinearVariationalProblem", "NonlinearVariationalSolver",
            "LinearSolver"]
 
+# PETSc defaults are gmres+ilu; we default gmres+jacobi (ilu has no
+# TPU-friendly analogue yet — block-jacobi lands with the PC zoo)
 DEFAULT_KSP_PARAMS = {
-    "ksp_type": "cg",
+    "ksp_type": "gmres",
     "pc_type": "jacobi",
     "ksp_rtol": 1e-7,
     "ksp_atol": 1e-50,
@@ -113,8 +115,9 @@ class LinearVariationalSolver:
 
         mat_type = params.get("mat_type", "aij")
         if mat_type == "matfree":
-            asm = get_assembler(_action_form(p.a))
-            xf = _action_coeff(p.a)
+            af = _action_cached(p.a)
+            asm = get_assembler(af)
+            xf = af._mf_coeff
             coords = jnp.asarray(V.mesh_obj.coordinates.dat)
 
             def raw_op(x):
@@ -150,7 +153,14 @@ class LinearVariationalSolver:
                     return
                 raise NotImplementedError("preonly with pc_type "
                                           f"{params.get('pc_type')!r}")
-            pc = make_pc(params.get("pc_type", "jacobi"), A, params)
+            pcname = params.get("pc_type", "jacobi")
+            if pcname == "mg":
+                from .mg.vcycle import GMGPreconditioner
+                if not hasattr(self, "_gmg"):
+                    self._gmg = GMGPreconditioner(p.a, p.bcs, V)
+                pc = self._gmg
+            else:
+                pc = make_pc(pcname, A, params)
             res = _run_ksp(A.matvec, bvec, params, pc=pc,
                            x0=jnp.asarray(p.u.dat))
         p.u.dat = res.x
@@ -175,11 +185,13 @@ def _action_form(a):
 _action_cache = {}
 
 
-def _action_coeff(a):
+def _action_cached(a):
+    """One action form (and hence ONE matvec-input coefficient) per
+    bilinear form object."""
     key = id(a)
     if key not in _action_cache:
         _action_cache[key] = _action_form(a)
-    return _action_cache[key]._mf_coeff
+    return _action_cache[key]
 
 
 def _constrained_op(raw_op, b, bc_idx, g, n):
@@ -287,8 +299,9 @@ class NonlinearVariationalSolver:
         p = self.problem
         p.u.dat = u
         if mat_type == "matfree":
-            asm = get_assembler(_action_form(p.J))
-            xf = _action_coeff(p.J)
+            af = _action_cached(p.J)
+            asm = get_assembler(af)
+            xf = af._mf_coeff
             coords = jnp.asarray(
                 p.u.function_space().mesh_obj.coordinates.dat)
 

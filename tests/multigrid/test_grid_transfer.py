@@ -1,0 +1,104 @@
+"""Grid transfer + GMG solves (reference: tests/firedrake/multigrid/
+test_grid_transfer.py, test_poisson_gmg.py)."""
+import math
+
+import numpy as np
+import pytest
+
+import firedrake_tpu as fd
+from firedrake_tpu import (FunctionSpace, VectorFunctionSpace, Function,
+                           TestFunction, TrialFunction, SpatialCoordinate,
+                           UnitSquareMesh, UnitCubeMesh, MeshHierarchy,
+                           DirichletBC, inner, grad, dx, solve, errornorm,
+                           prolong, restrict, inject, sin,
+                           LinearVariationalProblem,
+                           LinearVariationalSolver)
+import jax.numpy as jnp
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_prolong_exact_polynomial(degree):
+    mh = MeshHierarchy(UnitSquareMesh(2, 2), 2)
+    Vc = FunctionSpace(mh[0], "CG", degree)
+    Vf = FunctionSpace(mh[1], "CG", degree)
+    Xc, Xf = SpatialCoordinate(mh[0]), SpatialCoordinate(mh[1])
+    expr_c = Xc[0] ** degree + Xc[1]
+    expr_f = Xf[0] ** degree + Xf[1]
+    fc = Function(Vc).interpolate(expr_c)
+    ff = Function(Vf)
+    prolong(fc, ff)
+    fex = Function(Vf).interpolate(expr_f)
+    assert np.abs(np.asarray(ff.dat) - np.asarray(fex.dat)).max() < 1e-12
+    # inject is a left inverse of prolong
+    fb = Function(Vc)
+    inject(ff, fb)
+    assert np.abs(np.asarray(fb.dat) - np.asarray(fc.dat)).max() < 1e-12
+
+
+def test_restrict_is_transpose():
+    mh = MeshHierarchy(UnitSquareMesh(3, 3), 1)
+    Vc = FunctionSpace(mh[0], "CG", 2)
+    Vf = FunctionSpace(mh[1], "CG", 2)
+    from firedrake_tpu.mg.transfer import get_transfer
+    t = get_transfer(Vc, Vf)
+    rng = np.random.default_rng(7)
+    r = rng.standard_normal(Vf.dim)
+    c = rng.standard_normal(Vc.dim)
+    lhs = np.dot(np.asarray(t.restrict_fn(jnp.asarray(r))), c)
+    rhs = np.dot(r, np.asarray(t.prolong_fn(jnp.asarray(c))))
+    assert abs(lhs - rhs) < 1e-12 * max(1, abs(lhs))
+
+
+def test_tet_refinement_volume():
+    mh = MeshHierarchy(UnitCubeMesh(1, 1, 1), 2)
+    for m in mh:
+        assert abs(m.cell_volumes.sum() - 1.0) < 1e-12
+    assert mh[2].num_cells == 6 * 64
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_poisson_gmg_iteration_count(degree):
+    """GMG-preconditioned CG converges in O(1) iterations, independent of
+    the mesh (reference: multigrid/test_poisson_gmg.py)."""
+    its = []
+    for levels in [2, 3]:
+        mh = MeshHierarchy(UnitSquareMesh(4, 4), levels)
+        mesh = mh[-1]
+        V = FunctionSpace(mesh, "CG", degree)
+        u, v = TrialFunction(V), TestFunction(V)
+        X = SpatialCoordinate(mesh)
+        f = Function(V).interpolate(
+            2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+        bc = DirichletBC(V, 0.0, "on_boundary")
+        uh = Function(V)
+        prob = LinearVariationalProblem(inner(grad(u), grad(v)) * dx,
+                                        inner(f, v) * dx, uh, bcs=[bc])
+        s = LinearVariationalSolver(
+            prob, solver_parameters={"ksp_type": "cg", "pc_type": "mg",
+                                     "ksp_rtol": 1e-10})
+        s.solve()
+        its.append(s.ksp_iterations)
+        err = errornorm(sin(math.pi * X[0]) * sin(math.pi * X[1]), uh)
+        assert err < 10.0 / (4 * 2 ** levels) ** (degree + 1), err
+    assert max(its) <= 20
+    assert abs(its[0] - its[1]) <= 3   # mesh-independent
+
+
+def test_poisson_gmg_3d():
+    mh = MeshHierarchy(UnitCubeMesh(2, 2, 2), 2)
+    mesh = mh[-1]
+    V = FunctionSpace(mesh, "CG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    X = SpatialCoordinate(mesh)
+    ex = sin(math.pi * X[0]) * sin(math.pi * X[1]) * sin(math.pi * X[2])
+    f = Function(V).interpolate(3 * math.pi ** 2 * ex)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    uh = Function(V)
+    prob = LinearVariationalProblem(inner(grad(u), grad(v)) * dx,
+                                    inner(f, v) * dx, uh, bcs=[bc])
+    s = LinearVariationalSolver(
+        prob, solver_parameters={"ksp_type": "cg", "pc_type": "mg",
+                                 "ksp_rtol": 1e-9})
+    s.solve()
+    assert s.ksp_iterations <= 25
+    assert errornorm(ex, uh) < 0.1
