@@ -29,7 +29,8 @@ from .mesh.topology import MeshTopology
 
 from .functionspace import (FunctionSpace, VectorFunctionSpace,
                             TensorFunctionSpace)
-from .function import Function, Cofunction, Constant
+from .mixed import MixedFunctionSpace
+from .function import Function, Cofunction, Constant, MixedFunction
 from .bcs import DirichletBC, homogenize
 from .assemble import assemble, get_assembler
 from .interpolation import interpolate, Interpolator
@@ -57,6 +58,7 @@ __version__ = "0.1.0"
 
 __all__ = (list(_lang_all) + list(_mesh_all) + [
     "FunctionSpace", "VectorFunctionSpace", "TensorFunctionSpace",
+    "MixedFunctionSpace", "MixedFunction",
     "Function", "Cofunction", "Constant", "DirichletBC", "homogenize",
     "assemble", "interpolate", "Interpolator", "project", "Projector",
     "norm", "errornorm", "solve",

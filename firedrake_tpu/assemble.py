@@ -253,8 +253,8 @@ def get_assembler(form: Form, bcs=None, mat_type="aij",
            zero_bc_nodes,
            tuple(id(c) for c in form.coefficients()))
     if key not in _assembler_cache:
-        _assembler_cache[key] = FormAssembler(form, bcs, mat_type,
-                                              zero_bc_nodes)
+        cls = MixedFormAssembler if _form_is_mixed(form) else FormAssembler
+        _assembler_cache[key] = cls(form, bcs, mat_type, zero_bc_nodes)
     else:
         _assembler_cache[key].bcs = tuple(bcs or ())
     return _assembler_cache[key]
@@ -271,3 +271,85 @@ def assemble(form, tensor=None, bcs=None, mat_type="aij",
         return 0.0
     assembler = get_assembler(form, bcs, mat_type, zero_bc_nodes)
     return assembler.assemble(tensor=tensor)
+
+
+# ------------------------------------------------------------ mixed spaces
+def _form_is_mixed(form: Form):
+    for it in form.integrals():
+        for t in it.integrand.traverse():
+            if isinstance(t, Argument) and t.part is not None:
+                return True
+    return False
+
+
+class MixedFormAssembler:
+    """Block-wise assembly over mixed spaces: each block is extracted
+    symbolically (mixed.extract_block, the multilinearity trick replacing
+    formmanipulation.py split_form) and assembled with the scalar-path
+    FormAssembler."""
+
+    def __init__(self, form: Form, bcs=(), mat_type="aij",
+                 zero_bc_nodes=False):
+        from .mixed import (extract_block, form_parts, BlockMatrix,
+                            MixedFunctionSpace)
+        self.form = form
+        self.bcs = tuple(bcs or ())
+        self.zero_bc_nodes = zero_bc_nodes
+        args = form.arguments()
+        numbers = sorted({a.number for a in args})
+        self.rank = len(numbers)
+        tests = [a for a in args if a.number == 0]
+        trials = [a for a in args if a.number == 1]
+        self.W_test = tests[0].space.parent if tests else None
+        self.W_trial = trials[0].space.parent if trials else None
+        self.mesh = form.mesh()
+
+        self.block_assemblers = {}
+        if self.rank == 2:
+            for i in range(self.W_test.num_sub_spaces):
+                for j in range(self.W_trial.num_sub_spaces):
+                    bf = extract_block(form, i, j)
+                    if not bf.empty():
+                        self.block_assemblers[(i, j)] = FormAssembler(bf)
+        elif self.rank == 1:
+            for i in range(self.W_test.num_sub_spaces):
+                bf = extract_block(form, i, None)
+                if not bf.empty():
+                    self.block_assemblers[(i,)] = FormAssembler(bf)
+        else:
+            raise ValueError("0-forms cannot contain arguments")
+
+    def assemble(self, tensor=None):
+        import jax.numpy as _jnp
+        from .mixed import BlockMatrix
+        if self.rank == 2:
+            blocks = {k: a.assemble() for k, a in
+                      self.block_assemblers.items()}
+            mat = BlockMatrix(self.W_test, self.W_trial, blocks)
+            if self.bcs:
+                rows = np.unique(np.concatenate(
+                    [bc.dof_indices for bc in self.bcs]))
+                mat = mat.with_dirichlet(rows)
+            mat.bcs = self.bcs
+            return mat
+        # rank 1: concatenated vector
+        outs = []
+        for i, Vi in enumerate(self.W_test.subspaces):
+            a = self.block_assemblers.get((i,))
+            if a is None:
+                outs.append(_jnp.zeros(Vi.dim))
+            else:
+                outs.append(_jnp.asarray(a.assemble().dat))
+        out = _jnp.concatenate(outs)
+        for bc in self.bcs:
+            if self.zero_bc_nodes:
+                out = bc.zero(out)
+            else:
+                out = bc.apply(out)
+        if tensor is not None:
+            tensor.dat = out
+            return tensor
+        from .function import MixedFunction
+        f = MixedFunction(self.W_test)
+        f.dat = np.asarray(out)
+        return f

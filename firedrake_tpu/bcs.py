@@ -32,24 +32,40 @@ class DirichletBC:
         return self._nodes
 
     @property
+    def _offset(self) -> int:
+        """Dof offset when the space is a mixed-space component
+        (W.sub(i)); bc indices are then global in the concatenated
+        vector."""
+        return int(getattr(self.function_space_obj, "offset", 0))
+
+    @property
+    def _total_dim(self) -> int:
+        V = self.function_space_obj
+        parent = getattr(V, "parent", None)
+        return parent.dim if parent is not None else V.dim
+
+    @property
     def dof_indices(self) -> np.ndarray:
-        """Flat dof indices (expanded over components)."""
+        """Flat dof indices (expanded over components, offset for mixed)."""
         V = self.function_space_obj
         bs = V.block_size
         n = self.nodes.astype(np.int64)
         if bs == 1:
-            return n.astype(np.int32)
-        if self.sub_component is not None:
-            return (n * bs + self.sub_component).astype(np.int32)
-        return (n[:, None] * bs + np.arange(bs)[None, :]).reshape(-1).astype(
-            np.int32)
+            idx = n
+        elif self.sub_component is not None:
+            idx = n * bs + self.sub_component
+        else:
+            idx = (n[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
+        return (idx + self._offset).astype(np.int32)
 
     def value_vector(self) -> np.ndarray:
-        """Full-length dof vector with g on the bc dofs, 0 elsewhere."""
+        """Dof vector over the FULL (possibly mixed) system with g on the
+        bc dofs, 0 elsewhere."""
         from .function import Function
         V = self.function_space_obj
-        out = np.zeros(V.dim)
+        out = np.zeros(self._total_dim)
         idx = self.dof_indices
+        lidx = idx - self._offset     # indices local to this (sub)space
         g = self.g
         if isinstance(g, (int, float)):
             out[idx] = float(g)
@@ -59,15 +75,15 @@ class DirichletBC:
                 out[idx] = float(v[0])
             else:
                 # per-component constant on a vector space
-                bs = V.block_size
                 full = np.tile(v, V.num_nodes)
-                out[idx] = full[idx]
+                out[idx] = full[lidx]
         elif isinstance(g, Function):
-            out[idx] = np.asarray(g.dat)[idx]
+            out[idx] = np.asarray(g.dat)[lidx]
         elif isinstance(g, Expr):
-            f = Function(V)
+            parent = getattr(V, "_V", V)
+            f = Function(parent)
             f.interpolate(g)
-            out[idx] = np.asarray(f.dat)[idx]
+            out[idx] = np.asarray(f.dat)[lidx]
         elif g in ("x", None):
             pass
         else:

@@ -41,6 +41,7 @@ from ..language.operators import Div, Curl
 from .preprocess import _LastIndex
 from ..elements import make_quadrature, Lagrange, VectorElement
 from .tabulation import element_tables
+from .smallmat import det as _smalldet, inv as _smallinv
 
 
 # =========================================================== table helpers
@@ -125,13 +126,13 @@ class BaseContext:
         X = jnp.einsum("jg,qj->qg", coords, t0)
         J = jnp.einsum("jg,qjt->qgt", coords, t1)
         if self.gdim == self.tdim:
-            detJ = jnp.linalg.det(J)
-            Jinv = jnp.linalg.inv(J)                  # (nq, tdim, gdim)
+            detJ = _smalldet(J)
+            Jinv = _smallinv(J)                       # (nq, tdim, gdim)
             adet = jnp.abs(detJ)
         else:
             G = jnp.einsum("qgt,qgs->qts", J, J)
-            adet = jnp.sqrt(jnp.linalg.det(G))
-            Jinv = jnp.einsum("qts,qgs->qtg", jnp.linalg.inv(G), J)
+            adet = jnp.sqrt(_smalldet(G))
+            Jinv = jnp.einsum("qts,qgs->qtg", _smallinv(G), J)
         out = dict(X=X, J=J, detJ=adet, Jinv=Jinv)
         self._cache[key] = out
         return out
@@ -158,10 +159,10 @@ class BaseContext:
         coords = self.coords_of(side)
         J = jnp.einsum("jg,qjt->qgt", coords, t1)
         if self.gdim == self.tdim:
-            dJ = jnp.abs(jnp.linalg.det(J))
+            dJ = jnp.abs(_smalldet(J))
         else:
             G = jnp.einsum("qgt,qgs->qts", J, J)
-            dJ = jnp.sqrt(jnp.linalg.det(G))
+            dJ = jnp.sqrt(_smalldet(G))
         return jnp.sum(dJ * jnp.asarray(wts))
 
 
@@ -248,7 +249,7 @@ class ExteriorFacetContext(BaseContext):
             else:
                 T = jnp.einsum("qgt,tf->qgf", J, A)
                 Gm = jnp.einsum("qgf,qge->qfe", T, T)
-                s = jnp.sqrt(jnp.linalg.det(Gm))
+                s = jnp.sqrt(_smalldet(Gm))
             self._cache[key] = s * jnp.asarray(self.qwts)
         return self._cache[key]
 
@@ -323,7 +324,7 @@ class InteriorFacetContext(BaseContext):
             else:
                 T = jnp.einsum("qgt,tf->qgf", J, A)
                 Gm = jnp.einsum("qgf,qge->qfe", T, T)
-                s = jnp.sqrt(jnp.linalg.det(Gm))
+                s = jnp.sqrt(_smalldet(Gm))
             self._cache[key] = s * jnp.asarray(self.qwts)
         return self._cache[key]
 
@@ -553,9 +554,9 @@ class Lowerer:
             v = ev(e.operands[0], side)
             return jnp.einsum("...ii->...", v)
         if t is Determinant:
-            return jnp.linalg.det(ev(e.operands[0], side))
+            return _smalldet(ev(e.operands[0], side))
         if t is Inverse:
-            return jnp.linalg.inv(ev(e.operands[0], side))
+            return _smallinv(ev(e.operands[0], side))
         if t is Div:
             # div = trace over (last value axis, gradient axis) of grad
             g = Grad(e.operands[0])

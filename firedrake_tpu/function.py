@@ -15,6 +15,18 @@ from .functionspace import FunctionSpace
 class Function(Coefficient):
     """A field in a FunctionSpace; usable directly in forms."""
 
+    def __new__(cls, V, *args, **kwargs):
+        from .mixed import MixedFunctionSpace
+        if cls in (Function, Cofunction) and isinstance(
+                V, MixedFunctionSpace):
+            obj = super().__new__(MixedFunction)
+            # Python only calls __init__ when isinstance(obj, cls);
+            # MixedFunction is not a Cofunction subclass, so init here.
+            if not isinstance(obj, cls):
+                obj.__init__(V, *args, **kwargs)
+            return obj
+        return super().__new__(cls)
+
     def __init__(self, V: FunctionSpace, val=None, name: str | None = None,
                  dtype=None):
         if isinstance(V, Function):   # Function(Function) copies
@@ -97,6 +109,67 @@ class Cofunction(Function):
     """Dual-space container (assembled 1-forms). Reference:
     firedrake/cofunction.py:22."""
     pass
+
+
+class MixedFunction(Function):
+    """Function on a MixedFunctionSpace: a tuple of per-field Functions
+    sharing one logical concatenated dof vector (reference: pyop2
+    MixedDat, firedrake Function.subfunctions)."""
+
+    def __init__(self, W, val=None, name=None, dtype=None):
+        from .language.core import Coefficient as _Co
+        _Co.__init__(self, W)
+        self.name = name or f"w_{self.count}"
+        self.parts = tuple(Function(V, name=f"{self.name}[{i}]")
+                           for i, V in enumerate(W.subspaces))
+        if val is not None:
+            self.dat = val
+
+    @property
+    def dat(self):
+        return np.concatenate([np.asarray(p.dat) for p in self.parts])
+
+    @dat.setter
+    def dat(self, value):
+        W = self.space
+        v = np.asarray(value).reshape(-1)
+        assert v.size == W.dim
+        for p, off in zip(self.parts, W.offsets):
+            p.dat = v[off:off + p.space.dim]
+
+    def function_space(self):
+        return self.space
+
+    def split(self):
+        return self.parts
+
+    @property
+    def subfunctions(self):
+        return self.parts
+
+    def sub(self, i):
+        return self.parts[i]
+
+    def assign(self, other):
+        if isinstance(other, MixedFunction):
+            for p, q in zip(self.parts, other.parts):
+                p.dat = np.asarray(q.dat).copy()
+            return self
+        if isinstance(other, (int, float)):
+            for p in self.parts:
+                p.assign(other)
+            return self
+        raise NotImplementedError("mixed assign of expressions")
+
+    def copy(self, deepcopy=True):
+        out = MixedFunction(self.space, name=f"{self.name}_copy")
+        out.assign(self)
+        return out
+
+    def zero(self):
+        for p in self.parts:
+            p.zero()
+        return self
 
 
 class Constant(ConstantBase):

@@ -39,8 +39,9 @@ def _build(expr: Expr, V):
         low = Lowerer(ctx, None, None,
                       {c.count: w for c, w in zip(coeffs, ws)},
                       {c.count: v for c, v in zip(consts, cvs)})
-        v = low.eval(integrand, None)        # (1, 1, npts) + vs
-        return v[0, 0]                       # (npts,) + vs
+        v = low.eval(integrand, None)        # (1, 1, npts') + vs
+        # constant subexpressions keep a size-1 point axis: broadcast
+        return jnp.broadcast_to(v[0, 0], (len(pts),) + integrand.shape)
 
     coords_space = mesh.coordinates.function_space()
     cmap3 = jnp.asarray(coords_space.cell_dof_map.reshape(

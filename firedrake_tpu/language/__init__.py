@@ -34,7 +34,7 @@ def TrialFunction(V):
 
 
 def TestFunctions(V):
-    return tuple(TestFunction(V)) if False else split(TestFunction(V))
+    return split(TestFunction(V))
 
 
 def TrialFunctions(V):
@@ -42,12 +42,14 @@ def TrialFunctions(V):
 
 
 def split(u):
-    """Split a mixed function/argument into components (mixed spaces land
-    in a later milestone; single-space split returns (u,))."""
+    """Split a mixed function/argument into components (UFL split)."""
     V = u.function_space()
-    if V.num_sub_spaces == 1:
-        return (u,)
-    raise NotImplementedError("mixed split")
+    from ..mixed import MixedFunctionSpace, mixed_arguments
+    if isinstance(V, MixedFunctionSpace):
+        if isinstance(u, Argument):
+            return mixed_arguments(V, u.number)
+        return u.parts
+    return (u,)
 
 
 def CellSize(mesh):

@@ -220,7 +220,20 @@ def _gateaux_impl(e, u, du, memo):
 
 def derivative(form, u, du=None):
     """Gateaux derivative of a Form (or Expr) w.r.t. coefficient u in
-    direction du (default: a new Argument = trial function)."""
+    direction du (default: a new Argument = trial function).  For a mixed
+    Function, differentiates w.r.t. every part against the matching trial
+    part (reference: ufl derivative over mixed coefficients)."""
+    parts = getattr(u, "parts", None)
+    if parts is not None and du is None:
+        nums = [arg.number for arg in form.arguments()]
+        n = max(nums) + 1 if nums else 0
+        trials = tuple(Argument(u.function_space().sub(i), n, part=i)
+                       for i in range(len(parts)))
+        out = None
+        for p, t in zip(parts, trials):
+            d = derivative(form, p, du=t)
+            out = d if out is None else out + d
+        return out
     if du is None:
         from .core import Argument as _Arg
         if isinstance(form, Form):

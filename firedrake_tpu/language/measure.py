@@ -132,7 +132,7 @@ class Form:
         for it in self.integrals_list:
             for e in it.integrand.traverse():
                 if isinstance(e, Argument):
-                    seen[e.number] = e
+                    seen[(e.number, -1 if e.part is None else e.part)] = e
         return tuple(seen[k] for k in sorted(seen))
 
     def coefficients(self):

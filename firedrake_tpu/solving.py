@@ -365,10 +365,8 @@ def solve(*args, **kwargs):
         bcs = kwargs.get("bcs")
         sp = kwargs.get("solver_parameters")
         J = kwargs.get("J")
-        if isinstance(eq.rhs, Form) and not eq.rhs.empty() or (
-                isinstance(eq.rhs, Form) and len(eq.lhs.arguments()) == 2):
-            pass
-        is_linear = len(eq.lhs.arguments()) == 2
+        nums = {a.number for a in eq.lhs.arguments()}
+        is_linear = nums == {0, 1}
         if is_linear:
             problem = LinearVariationalProblem(eq.lhs, eq.rhs, u, bcs=bcs)
             solver = LinearVariationalSolver(problem, solver_parameters=sp)
