@@ -36,6 +36,9 @@ from .assemble import assemble, get_assembler
 from .interpolation import interpolate, Interpolator
 from .projection import project, Projector
 from .norms import norm, errornorm
+from .nullspace import VectorSpaceBasis, MixedVectorSpaceBasis
+from .io import (VTKFile, File, CheckpointFile, DumbCheckpoint,
+                 FILE_CREATE, FILE_READ, FILE_UPDATE)
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject
 from .solving import (solve, LinearVariationalProblem,
@@ -61,7 +64,10 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "MixedFunctionSpace", "MixedFunction",
     "Function", "Cofunction", "Constant", "DirichletBC", "homogenize",
     "assemble", "interpolate", "Interpolator", "project", "Projector",
-    "norm", "errornorm", "solve",
+    "norm", "errornorm", "solve", "VectorSpaceBasis",
+    "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",
+    "FILE_CREATE", "FILE_READ", "FILE_UPDATE",
+    "MixedVectorSpaceBasis",
     "LinearVariationalProblem", "LinearVariationalSolver",
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",

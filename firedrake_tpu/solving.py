@@ -159,9 +159,23 @@ class LinearVariationalSolver:
                 if not hasattr(self, "_gmg"):
                     self._gmg = GMGPreconditioner(p.a, p.bcs, V)
                 pc = self._gmg
+            elif pcname == "fieldsplit":
+                from .solvers.fieldsplit import FieldsplitPC
+                pc = FieldsplitPC(A, V, params)
             else:
                 pc = make_pc(pcname, A, params)
-            res = _run_ksp(A.matvec, bvec, params, pc=pc,
+            opfn = A.matvec
+            if self.nullspace is not None and not \
+                    getattr(self.nullspace, "is_trivial", lambda: False)():
+                ns = self.nullspace
+                base = A.matvec
+
+                def opfn(x, _base=base, _ns=ns):
+                    px = _ns.orthogonalize(x)
+                    return _ns.orthogonalize(_base(px)) + (x - px)
+
+                bvec = ns.orthogonalize(bvec)
+            res = _run_ksp(opfn, bvec, params, pc=pc,
                            x0=jnp.asarray(p.u.dat))
         p.u.dat = res.x
         self.ksp_iterations = int(res.iterations)
