@@ -39,6 +39,16 @@ from .norms import norm, errornorm
 from .nullspace import VectorSpaceBasis, MixedVectorSpaceBasis
 from .io import (VTKFile, File, CheckpointFile, DumbCheckpoint,
                  FILE_CREATE, FILE_READ, FILE_UPDATE)
+from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
+from .slope_limiter import VertexBasedLimiter
+from .eigensolver import LinearEigenproblem, LinearEigensolver
+from .randomfunctiongen import Generator as RandomGenerator, PCG64
+from .utils.parameters import parameters, Parameters
+from .utils.logging import (set_log_level, info, warning, error, debug,
+                            info_red, info_blue, info_green,
+                            DEBUG, INFO, WARNING, ERROR, CRITICAL)
+from .utils.profiling import (timed_region, timed_function,
+                              print_event_summary, write_flamegraph)
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject
 from .solving import (solve, LinearVariationalProblem,
@@ -67,6 +77,12 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "norm", "errornorm", "solve", "VectorSpaceBasis",
     "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",
+    "par_loop", "READ", "WRITE", "RW", "INC", "MIN", "MAX",
+    "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
+    "RandomGenerator", "PCG64", "parameters", "Parameters",
+    "set_log_level", "info", "warning", "error", "debug",
+    "timed_region", "timed_function", "print_event_summary",
+    "write_flamegraph",
     "MixedVectorSpaceBasis",
     "LinearVariationalProblem", "LinearVariationalSolver",
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",

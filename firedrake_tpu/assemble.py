@@ -270,7 +270,15 @@ def assemble(form, tensor=None, bcs=None, mat_type="aij",
     if form.empty():
         return 0.0
     assembler = get_assembler(form, bcs, mat_type, zero_bc_nodes)
-    return assembler.assemble(tensor=tensor)
+    result = assembler.assemble(tensor=tensor)
+    if isinstance(result, float):
+        from .adjoint.tape import (annotate_tape, get_working_tape,
+                                   FunctionalBlock, AdjFloat)
+        if annotate_tape():
+            block = FunctionalBlock(form, result)
+            get_working_tape().add_block(block)
+            return AdjFloat(result, block)
+    return result
 
 
 # ------------------------------------------------------------ mixed spaces

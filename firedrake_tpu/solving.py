@@ -278,14 +278,21 @@ class NonlinearVariationalSolver:
             u = u.at[jnp.asarray(bc_idx)].set(jnp.asarray(g)[
                 jnp.asarray(bc_idx)])
 
+        stol = params.get("snes_stol", 1e-8)
         r = self._residual(u)
         r0 = float(jnp.linalg.norm(r))
         rnorm = r0
         self.snes_iterations = 0
+        stalled = False
         for it in range(max_it):
             if rnorm <= max(rtol * r0, atol) or r0 == 0.0:
                 break
             du = self._newton_step(u, r, bc_idx, params, mat_type)
+            # PETSc snes_stol: step too small relative to the iterate
+            if float(jnp.linalg.norm(du)) <= stol * max(
+                    float(jnp.linalg.norm(u)), 1e-30):
+                stalled = True
+                break
             # line search
             if ls in ("basic", "none"):
                 t = 1.0
@@ -303,7 +310,7 @@ class NonlinearVariationalSolver:
             rnorm = float(jnp.linalg.norm(r))
             self.snes_iterations = it + 1
         p.u.dat = u
-        self.converged = rnorm <= max(rtol * r0, atol)
+        self.converged = stalled or rnorm <= max(rtol * r0, atol)
         if not self.converged:
             import warnings
             warnings.warn(f"Newton did not converge: |r|={rnorm:.3e} "
@@ -392,6 +399,18 @@ def solve(*args, **kwargs):
             solver = NonlinearVariationalSolver(problem,
                                                 solver_parameters=sp)
         solver.solve()
+        from .adjoint.tape import (annotate_tape, get_working_tape,
+                                   SolveBlock)
+        if annotate_tape():
+            if is_linear:
+                from .language.calculus import action
+                resid = action(eq.lhs, u) - (
+                    eq.rhs if isinstance(eq.rhs, Form) else
+                    Form(()))
+            else:
+                resid = F
+            get_working_tape().add_block(
+                SolveBlock(resid, u, bcs, sp))
         return u
     # linear-algebra form: solve(A, x, b)
     A, x, b = args[:3]

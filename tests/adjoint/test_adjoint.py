@@ -1,0 +1,87 @@
+"""Adjoint gradients (reference: tests/firedrake/adjoint/ — e.g.
+test_reduced_functional.py, taylor tests)."""
+import math
+
+import numpy as np
+import pytest
+
+import firedrake_tpu as fd
+from firedrake_tpu import (FunctionSpace, Function, TestFunction,
+                           SpatialCoordinate, UnitSquareMesh, DirichletBC,
+                           Constant, inner, grad, dx, solve, sin)
+from firedrake_tpu.adjoint import (continue_annotation, pause_annotation,
+                                   get_working_tape, Control,
+                                   ReducedFunctional, taylor_test)
+
+
+@pytest.fixture(autouse=True)
+def clean_tape():
+    get_working_tape().clear_tape()
+    pause_annotation()
+    yield
+    get_working_tape().clear_tape()
+    pause_annotation()
+
+
+def test_functional_only_gradient():
+    """J(m) = 0.5||m||^2: dJ/dm = M m (mass-weighted gradient)."""
+    mesh = UnitSquareMesh(4, 4)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    m = Function(V).interpolate(X[0])
+    continue_annotation()
+    J = fd.assemble(0.5 * inner(m, m) * dx)
+    pause_annotation()
+    rf = ReducedFunctional(J, Control(m))
+    g = rf.derivative()
+    # compare with assembled mass action
+    from firedrake_tpu import TrialFunction
+    u, v = TrialFunction(V), TestFunction(V)
+    M = fd.assemble(inner(u, v) * dx)
+    expect = M.to_scipy() @ np.asarray(m.dat)
+    assert np.abs(np.asarray(g.dat) - expect).max() < 1e-12
+
+
+def test_pde_constrained_taylor():
+    """J = 0.5||u - d||^2 with -lap(u) = m: Taylor order ~2."""
+    mesh = UnitSquareMesh(6, 6)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    m = Function(V, name="control").interpolate(X[0] * X[1])
+    u = Function(V, name="state")
+    v = TestFunction(V)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    d = Function(V).interpolate(sin(math.pi * X[0]) * sin(math.pi * X[1]))
+
+    continue_annotation()
+    F = (inner(grad(u), grad(v)) - inner(m, v)) * dx
+    solve(F == 0, u, bcs=[bc],
+          solver_parameters={"ksp_rtol": 1e-13})
+    J = fd.assemble(0.5 * inner(u - d, u - d) * dx)
+    pause_annotation()
+
+    rf = ReducedFunctional(J, Control(m))
+    h = Function(V)
+    h.dat = np.random.default_rng(0).standard_normal(V.dim) * 0.1
+    order = taylor_test(rf, m, h)
+    assert order > 1.9, order
+
+
+def test_replay_changes_value():
+    mesh = UnitSquareMesh(4, 4)
+    V = FunctionSpace(mesh, "CG", 1)
+    m = Function(V).assign(1.0)
+    u = Function(V)
+    v = TestFunction(V)
+    bc = DirichletBC(V, 0.0, "on_boundary")
+    continue_annotation()
+    F = (inner(grad(u), grad(v)) - inner(m, v)) * dx
+    solve(F == 0, u, bcs=[bc], solver_parameters={"ksp_rtol": 1e-13})
+    J = fd.assemble(inner(u, u) * dx)
+    pause_annotation()
+    rf = ReducedFunctional(J, Control(m))
+    J1 = rf(m)
+    m2 = Function(V).assign(2.0)
+    J2 = rf(m2)
+    # linear PDE: u scales with m, J quadratic -> factor 4
+    assert abs(J2 / J1 - 4.0) < 1e-6
