@@ -9,3 +9,20 @@ __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "get_working_tape", "set_working_tape", "Tape", "Control",
            "ReducedFunctional", "compute_gradient", "taylor_test",
            "AdjFloat"]
+
+
+# `firedrake_tpu.adjoint` is both this package AND (for API parity with
+# ufl.adjoint re-exported at top level) the bilinear-form adjoint when
+# called: importing the package rebinds the parent attribute, so make the
+# module itself callable.
+import sys as _sys
+import types as _types
+
+
+class _CallableModule(_types.ModuleType):
+    def __call__(self, form, *args, **kwargs):
+        from ..language.calculus import adjoint as _form_adjoint
+        return _form_adjoint(form, *args, **kwargs)
+
+
+_sys.modules[__name__].__class__ = _CallableModule

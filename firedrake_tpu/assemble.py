@@ -91,12 +91,29 @@ class FormAssembler:
             return {c.count: jnp.asarray(c.space.cell_dof_map[cells])
                     for c in ci.coefficients}
 
+        def coeff_signs(cells):
+            out = {}
+            for c in ci.coefficients:
+                if getattr(c.space, "has_dof_signs", False):
+                    out[c.count] = jnp.asarray(
+                        c.space.cell_dof_signs[cells])
+            return out
+
+        def arg_signs(arg, cells):
+            if arg is not None and getattr(arg.space, "has_dof_signs",
+                                           False):
+                return jnp.asarray(arg.space.cell_dof_signs[cells])
+            return None
+
         if ci.integral_type == "cell":
             if ci.subdomain_id not in ("everywhere", None):
                 raise NotImplementedError("cell subdomain ids")
             cells = np.arange(topo.num_cells)
             st["coords_map"] = jnp.asarray(cmap3)
             st["coeff_maps"] = dofmaps(cells)
+            st["coeff_signs"] = coeff_signs(cells)
+            st["sign_rows"] = arg_signs(self.test, cells)
+            st["sign_cols"] = arg_signs(self.trial, cells)
             if self.test is not None:
                 st["rows"] = jnp.asarray(self.test.space.cell_dof_map)
             if self.trial is not None:
@@ -110,6 +127,9 @@ class FormAssembler:
             st["coords_map"] = jnp.asarray(cmap3[cells])
             st["lf"] = jnp.asarray(topo.facet_local_id[facets, 0])
             st["coeff_maps"] = dofmaps(cells)
+            st["coeff_signs"] = coeff_signs(cells)
+            st["sign_rows"] = arg_signs(self.test, cells)
+            st["sign_cols"] = arg_signs(self.trial, cells)
             if self.test is not None:
                 st["rows"] = jnp.asarray(
                     self.test.space.cell_dof_map[cells])
@@ -146,6 +166,16 @@ class FormAssembler:
             st["o_rel"] = jnp.asarray(o_rel)
             st["coeff_maps_p"] = dofmaps(cp)
             st["coeff_maps_m"] = dofmaps(cm)
+            st["coeff_signs_p"] = coeff_signs(cp)
+            st["coeff_signs_m"] = coeff_signs(cm)
+            def _cat_signs(arg):
+                if arg is not None and getattr(arg.space, "has_dof_signs",
+                                               False):
+                    sg = arg.space.cell_dof_signs
+                    return jnp.asarray(np.hstack([sg[cp], sg[cm]]))
+                return None
+            st["sign_rows"] = _cat_signs(self.test)
+            st["sign_cols"] = _cat_signs(self.trial)
             if self.test is not None:
                 m = self.test.space.cell_dof_map
                 st["rows"] = jnp.asarray(np.hstack([m[cp], m[cm]]))
@@ -168,17 +198,23 @@ class FormAssembler:
             consts = tuple(const_vals[c.count] for c in ci.constants)
             kern = ci.kernel()
             nco = len(ci.coefficients)
+            def _signed(c, gathered, signs):
+                sg = signs.get(c.count)
+                return gathered if sg is None else gathered * sg
+
             if ci.integral_type == "cell":
                 ce = coords_dat[st["coords_map"]]      # (ne, ndofc, g)
                 coeffs = tuple(
-                    coeff_dats[c.count][st["coeff_maps"][c.count]]
+                    _signed(c, coeff_dats[c.count][
+                        st["coeff_maps"][c.count]], st["coeff_signs"])
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda c, *w: kern(c, w, consts))(ce, *coeffs)
             elif ci.integral_type == "exterior_facet":
                 ce = coords_dat[st["coords_map"]]
                 coeffs = tuple(
-                    coeff_dats[c.count][st["coeff_maps"][c.count]]
+                    _signed(c, coeff_dats[c.count][
+                        st["coeff_maps"][c.count]], st["coeff_signs"])
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda c, l, *w: kern(c, l, w, consts)
@@ -187,16 +223,25 @@ class FormAssembler:
                 cpn = coords_dat[st["coords_map_p"]]
                 cmn = coords_dat[st["coords_map_m"]]
                 coeffs_p = tuple(
-                    coeff_dats[c.count][st["coeff_maps_p"][c.count]]
+                    _signed(c, coeff_dats[c.count][
+                        st["coeff_maps_p"][c.count]],
+                        st["coeff_signs_p"])
                     for c in ci.coefficients)
                 coeffs_m = tuple(
-                    coeff_dats[c.count][st["coeff_maps_m"][c.count]]
+                    _signed(c, coeff_dats[c.count][
+                        st["coeff_maps_m"][c.count]],
+                        st["coeff_signs_m"])
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda a, b, lp, lm, o, *w: kern(
                         a, b, lp, lm, o, w[:nco], w[nco:], consts)
                 )(cpn, cmn, st["lf_p"], st["lf_m"], st["o_rel"],
                   *coeffs_p, *coeffs_m)
+            # H(div)/H(curl) facet-dof sign flips on argument slots
+            if st.get("sign_rows") is not None:
+                loc = loc * st["sign_rows"][:, :, None]
+            if st.get("sign_cols") is not None:
+                loc = loc * st["sign_cols"][:, None, :]
             if rank == 0:
                 total = total + jnp.sum(loc)
             elif rank == 1:

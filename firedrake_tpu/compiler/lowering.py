@@ -617,8 +617,9 @@ class Lowerer:
             # second derivative of affine map is zero
             return jnp.zeros((1, 1, ctx.num_q()) + out_shape)
         if isinstance(base, Argument):
+            elem = base.space.element
             T = self.arg_table(base, d, side)          # (nq, nslot, vs, t^d)
-            P = self._to_phys(T, d, side)
+            P = self._pullback(T, elem, d, side)
             P = jnp.moveaxis(P, 1, 0)                  # (nslot, nq, ...)
             if base.number == 0:
                 return P[:, None]                      # (ni, 1, nq, ...)
@@ -631,9 +632,38 @@ class Lowerer:
             dat = self.coeff_dats[base.count]
             if isinstance(dat, dict):
                 dat = dat[side or "+"]
-            T = ctx.ref_table(base.space.element, d, side or "+")
-            P = self._to_phys(T, d, side)
+            elem = base.space.element
+            T = ctx.ref_table(elem, d, side or "+")
+            P = self._pullback(T, elem, d, side)
             v = jnp.einsum("j,qj...->q...", dat, P)
             return v[None, None]
         raise NotImplementedError(
             f"grad of {type(base).__name__} terminal")
+
+    def _pullback(self, T, elem, d, side):
+        """Apply the element's reference->physical mapping.
+
+        identity: contract derivative axes with Jinv (Lagrange pullback).
+        contravariant (H(div)): v = J v_ref / detJ; affine grad adds a
+        trailing Jinv contraction.  covariant (H(curl)): v = J^{-T} v_ref.
+        (Cells are positively oriented at mesh build, so |detJ| == detJ.)
+        """
+        mapping = getattr(elem, "mapping", "identity")
+        if mapping == "identity":
+            return self._to_phys(T, d, side)
+        g = self.ctx.geom(side or "+")
+        J, Jinv, detJ = g["J"], g["Jinv"], g["detJ"]
+        if mapping == "contravariant":
+            if d == 0:
+                return jnp.einsum("qik,qjk->qji", J, T) / detJ[:, None,
+                                                               None]
+            if d == 1:
+                P = jnp.einsum("qik,qjks,qsg->qjig", J, T, Jinv)
+                return P / detJ[:, None, None, None]
+        if mapping == "covariant":
+            if d == 0:
+                return jnp.einsum("qki,qjk->qji", Jinv, T)
+            if d == 1:
+                return jnp.einsum("qki,qjks,qsg->qjig", Jinv, T, Jinv)
+        raise NotImplementedError(
+            f"{mapping} pullback with derivative order {d}")

@@ -279,9 +279,21 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
         "Q": "Lagrange",
         "DG": "DG", "DP": "DG", "Discontinuous Lagrange": "DG",
         "DQ": "DG",
+        "RT": "RT", "Raviart-Thomas": "RT", "RTF": "RT",
+        "BDM": "BDM", "Brezzi-Douglas-Marini": "BDM",
+        "N1curl": "N1curl", "Nedelec 1st kind H(curl)": "N1curl",
     }.get(family, family)
     if family == "Lagrange":
         return Lagrange(cell_name, degree)
     if family == "DG":
         return DiscontinuousLagrange(cell_name, degree)
+    if family == "RT":
+        from .hdiv import RaviartThomas
+        return RaviartThomas(cell_name, degree)
+    if family == "BDM":
+        from .hdiv import BrezziDouglasMarini
+        return BrezziDouglasMarini(cell_name, degree)
+    if family == "N1curl":
+        from .hdiv import NedelecFirstKind2D
+        return NedelecFirstKind2D(cell_name, degree)
     raise NotImplementedError(f"element family {family!r}")

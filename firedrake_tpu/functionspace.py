@@ -79,6 +79,53 @@ class FunctionSpaceData:
                 cmap[:, slots] = vals.astype(_IDX)
         self.cell_node_map = cmap
 
+    @property
+    def cell_dof_signs(self):
+        """(ncell, ndof) ±1 signs for facet-flux dofs (H(div)/H(curl)):
+        a cell whose view of the facet has odd orientation parity sees the
+        canonical facet normal/tangent flipped (FIAT orientation-sign
+        analogue)."""
+        if getattr(self, "_signs", None) is not None:
+            return self._signs
+        import math, itertools
+        topo = self.mesh.topology
+        elem = self.element
+        signs = np.ones((topo.num_cells, elem.ndof))
+        if getattr(elem, "facet_dof_sign_flip", False):
+            fd = topo.dim - 1
+            nvpf = topo.cell.topology[fd].shape[1]
+            perms = list(itertools.permutations(range(nvpf)))
+
+            def parity(p):
+                p = list(p)
+                sgn = 1
+                for i in range(len(p)):
+                    for j in range(i + 1, len(p)):
+                        if p[i] > p[j]:
+                            sgn = -sgn
+                return sgn
+
+            npe = self.npe[fd]
+            if hasattr(elem, "facet_dof_signs"):
+                table = np.stack([elem.facet_dof_signs(o)
+                                  for o in range(len(perms))])
+            else:
+                table = np.stack([parity(p) * np.ones(npe)
+                                  for p in perms])
+            co = topo.cell_entity_orientations(fd)
+            for e, slots in elem.entity_dofs[fd].items():
+                if not slots:
+                    continue
+                local = elem.local_facet_sign(e) \
+                    if hasattr(elem, "local_facet_sign") else 1.0
+                signs[:, slots] = local * table[co[:, e]]
+        self._signs = signs
+        return signs
+
+    @property
+    def has_dof_signs(self):
+        return getattr(self.element, "facet_dof_sign_flip", False)
+
     # ---------------------------------------------------------- boundaries
     @lru_cache(maxsize=None)
     def _facet_closure_template(self, local_facet: int):
@@ -200,6 +247,18 @@ class FunctionSpace:
     def boundary_nodes(self, subdomain) -> np.ndarray:
         facets = self.mesh_obj.boundary_facets(subdomain)
         return self.sdata.boundary_nodes(facets)
+
+    @property
+    def has_dof_signs(self):
+        return self.sdata.has_dof_signs
+
+    @cached_property
+    def cell_dof_signs(self) -> np.ndarray:
+        """(ncell, ndof*bs) ±1 (expanded over components)."""
+        signs = self.sdata.cell_dof_signs
+        if self.block_size == 1:
+            return signs
+        return np.repeat(signs, self.block_size, axis=1)
 
     # UFL-compat helpers
     def ufl_element(self):

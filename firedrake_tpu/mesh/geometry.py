@@ -20,6 +20,7 @@ class Mesh:
                  facet_markers: np.ndarray | None = None, name: str = "mesh"):
         self.topology = topology
         self._vertex_coords = np.asarray(vertex_coords, dtype=np.float64)
+        self._fix_simplex_orientation()
         self.name = name
         self.geometric_dimension = self._vertex_coords.shape[1]
         nf = len(topology.facet_cells)
@@ -27,6 +28,34 @@ class Mesh:
             facet_markers = np.zeros(nf, dtype=_IDX)
         self.facet_markers = np.asarray(facet_markers, dtype=_IDX)
         self.comm = None   # single-process host; device mesh handled in parallel/
+
+    def _fix_simplex_orientation(self):
+        """Reorder simplex cell vertices so every cell is positively
+        oriented (detJ > 0) — required for consistent Piola signs and
+        outward facet normals (the reference gets this from plex
+        orientations; dmcommon.pyx:2612 renumbering)."""
+        topo = self.topology
+        if topo.cell.name not in ("interval", "triangle", "tetrahedron"):
+            return
+        d = topo.dim
+        if self._vertex_coords.shape[1] != d:
+            return   # manifold meshes keep their given orientation
+        cv = topo.cell_vertices
+        pts = self._vertex_coords[cv]                  # (nc, d+1, d)
+        E = pts[:, 1:, :] - pts[:, :1, :]              # (nc, d, d)
+        det = np.linalg.det(E)
+        neg = det < 0
+        if neg.any():
+            cv = cv.copy()
+            # swap the last two vertices of negative cells
+            cv[neg, -1], cv[neg, -2] = (cv[neg, -2].copy(),
+                                        cv[neg, -1].copy())
+            topo.cell_vertices = cv
+            # invalidate any cached connectivity
+            for attr in ("_entity_data", "_facet_data", "facet_cells",
+                         "facet_local_id", "exterior_facets",
+                         "interior_facets", "facet_vertices"):
+                topo.__dict__.pop(attr, None)
 
     # ------------------------------------------------------- delegation
     @property

@@ -1,0 +1,72 @@
+"""H(div) elements and mixed Poisson (reference: demos/poisson_mixed +
+tests/firedrake/regression/test_mixed_poisson*.py)."""
+import math
+
+import numpy as np
+import pytest
+
+import firedrake_tpu as fd
+from firedrake_tpu import (FunctionSpace, MixedFunctionSpace, Function,
+                           TestFunctions, TrialFunctions, SpatialCoordinate,
+                           UnitSquareMesh, UnitTriangleMesh, inner, dot,
+                           div, dx, solve, errornorm, as_vector, project,
+                           sin, cos)
+
+
+@pytest.mark.parametrize("family", ["RT", "BDM"])
+def test_project_representable_fields(family):
+    mesh = UnitSquareMesh(3, 3)
+    S = FunctionSpace(mesh, family, 1)
+    X = SpatialCoordinate(mesh)
+    const = as_vector([1.0 + 0 * X[0], 2.0 + 0 * X[1]])
+    g = project(const, S, solver_parameters={"ksp_type": "preonly",
+                                             "pc_type": "lu"})
+    assert errornorm(const, g) < 1e-12
+    # RT1 contains x*P0; BDM1 contains all of (P1)^2
+    lin = as_vector([X[0], X[1]])
+    g2 = project(lin, S, solver_parameters={"ksp_type": "preonly",
+                                            "pc_type": "lu"})
+    assert errornorm(lin, g2) < 1e-12
+
+
+def test_hdiv_normal_continuity():
+    """div of a projected smooth field must not blow up — normal
+    components match across facets (sign bugs break this badly)."""
+    mesh = UnitSquareMesh(4, 4)
+    S = FunctionSpace(mesh, "RT", 1)
+    X = SpatialCoordinate(mesh)
+    field = as_vector([sin(X[1]), cos(X[0])])
+    g = project(field, S, solver_parameters={"ksp_type": "preonly",
+                                             "pc_type": "lu"})
+    divnorm = fd.assemble(div(g) * div(g) * dx)
+    assert divnorm < 10.0
+
+
+@pytest.mark.parametrize("family,order", [("RT", 0.9), ("BDM", 0.9)])
+def test_mixed_poisson_convergence(family, order):
+    errs_u, errs_s = [], []
+    for n in [4, 8, 16]:
+        mesh = UnitSquareMesh(n, n)
+        S = FunctionSpace(mesh, family, 1)
+        V = FunctionSpace(mesh, "DG", 0)
+        W = MixedFunctionSpace([S, V])
+        sigma, u = TrialFunctions(W)
+        tau, v = TestFunctions(W)
+        X = SpatialCoordinate(mesh)
+        f = Function(V).interpolate(
+            2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+        a = (dot(sigma, tau) + div(tau) * u + div(sigma) * v) * dx
+        L = -inner(f, v) * dx
+        w = Function(W)
+        solve(a == L, w, solver_parameters={"ksp_type": "preonly",
+                                            "pc_type": "lu"})
+        sh, uh = w.subfunctions
+        ex = sin(math.pi * X[0]) * sin(math.pi * X[1])
+        errs_u.append(errornorm(ex, uh))
+        errs_s.append(errornorm(as_vector(
+            [math.pi * cos(math.pi * X[0]) * sin(math.pi * X[1]),
+             math.pi * sin(math.pi * X[0]) * cos(math.pi * X[1])]), sh))
+    ou = np.log2(np.array(errs_u[:-1]) / np.array(errs_u[1:]))
+    os_ = np.log2(np.array(errs_s[:-1]) / np.array(errs_s[1:]))
+    assert (ou > order).all(), (errs_u, ou)
+    assert (os_ > order).all(), (errs_s, os_)
