@@ -40,6 +40,8 @@ from .nullspace import VectorSpaceBasis, MixedVectorSpaceBasis
 from .io import (VTKFile, File, CheckpointFile, DumbCheckpoint,
                  FILE_CREATE, FILE_READ, FILE_UPDATE)
 from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
+from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace)
+from .pointeval import PointNotInDomainError
 from .slope_limiter import VertexBasedLimiter
 from .eigensolver import LinearEigenproblem, LinearEigensolver
 from .randomfunctiongen import Generator as RandomGenerator, PCG64
@@ -78,6 +80,8 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",
     "par_loop", "READ", "WRITE", "RW", "INC", "MIN", "MAX",
+    "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
+    "PointNotInDomainError",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",

@@ -89,6 +89,19 @@ class Function(Coefficient):
         from .projection import project
         return project(expr, self, **kwargs)
 
+    def at(self, *args, **kwargs):
+        """Evaluate at physical points (reference: function.py:569)."""
+        from .pointeval import at as _at
+        if len(args) == 1:
+            return _at(self, args[0], **kwargs)
+        return _at(self, np.asarray(args, dtype=float), **kwargs)
+
+    def __call__(self, arg):
+        # Coefficient('+'/'-') restriction, else point evaluation
+        if arg in ("+", "-"):
+            return super().__call__(arg)
+        return self.at(arg)
+
     def riesz_representation(self, riesz_map="L2"):
         from .assemble import assemble
         from .language import TestFunction, TrialFunction, inner, dx
