@@ -42,6 +42,7 @@ from .io import (VTKFile, File, CheckpointFile, DumbCheckpoint,
 from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
 from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace)
 from .pointeval import PointNotInDomainError
+from .slate import (Tensor, AssembledVector, assemble_slate)
 from .slope_limiter import VertexBasedLimiter
 from .eigensolver import LinearEigenproblem, LinearEigensolver
 from .randomfunctiongen import Generator as RandomGenerator, PCG64
@@ -81,7 +82,8 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",
     "par_loop", "READ", "WRITE", "RW", "INC", "MIN", "MAX",
     "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
-    "PointNotInDomainError",
+    "PointNotInDomainError", "Tensor", "AssembledVector",
+    "assemble_slate",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",
