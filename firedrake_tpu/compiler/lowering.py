@@ -105,7 +105,8 @@ class BaseContext:
         self.tdim = mesh.topological_dimension
         self.gdim = mesh.geometric_dimension
         from ..elements import make_scalar_element
-        self.coord_elem = make_scalar_element(self.cell.name, "Lagrange", 1)
+        self.coord_elem = make_scalar_element(
+            self.cell.name, getattr(mesh, "_coord_family", "Lagrange"), 1)
         self._cache = {}
 
     # -- overridden: returns ref tables (possibly lf-gathered jnp arrays)

@@ -78,16 +78,31 @@ class Mesh:
         return self.cell
 
     # ------------------------------------------------------- coordinates
+    #: family of the coordinate element ("Lagrange", or "DG" for periodic
+    #: meshes whose coordinates must be discontinuous across the seam —
+    #: same trick as the reference's periodic DG coordinates)
+    _coord_family = "Lagrange"
+
     @cached_property
     def coordinates(self):
-        """Vector P1/Q1 Function holding vertex coordinates."""
+        """Vector P1/Q1 (or DG1) Function holding coordinates."""
         from ..functionspace import VectorFunctionSpace
         from ..function import Function
-        V = VectorFunctionSpace(self, "Lagrange", 1,
+        V = VectorFunctionSpace(self, self._coord_family, 1,
                                 dim=self.geometric_dimension)
         f = Function(V, name=f"{self.name}_coordinates")
-        # P1 numbering: dof g = vertex id (vertices are entity-dim 0, offset 0)
-        f.dat = np.asarray(self._vertex_coords).reshape(-1)
+        if self._coord_family == "Lagrange":
+            # P1 numbering: dof g = vertex id
+            f.dat = np.asarray(self._vertex_coords).reshape(-1)
+        else:
+            # DG1: per-cell vertex coords, possibly unwrapped (periodic)
+            cellcoords = getattr(self, "_cell_coords", None)
+            if cellcoords is None:
+                cellcoords = self._vertex_coords[
+                    self.topology.cell_vertices]
+            dat = np.zeros(V.dim)
+            dat[V.cell_dof_map.reshape(-1)] = cellcoords.reshape(-1)
+            f.dat = dat
         return f
 
     @cached_property

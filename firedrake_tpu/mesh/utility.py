@@ -212,3 +212,196 @@ def UnitTetrahedronMesh(name="mesh"):
     cells = np.array([[0, 1, 2, 3]])
     topo = MeshTopology(cells, 4, "tetrahedron", name)
     return Mesh(topo, verts, name=name)
+
+
+# ------------------------------------------------------ periodic/manifold
+def PeriodicRectangleMesh(nx, ny, Lx=1.0, Ly=1.0, direction="both",
+                          quadrilateral=False, name="mesh"):
+    """Torus/cylinder topology with DG1 coordinates unwrapped per cell
+    (the reference's periodic-mesh trick: discontinuous coordinates,
+    utility_meshes.py PeriodicRectangleMesh)."""
+    px = direction in ("both", "x")
+    py = direction in ("both", "y")
+    nvx = nx if px else nx + 1
+    nvy = ny if py else ny + 1
+    xs = np.arange(nvx) * (Lx / nx)
+    ys = np.arange(nvy) * (Ly / ny)
+
+    def vid(i, j):
+        return (i % nvx if px else i) + ((j % nvy if py else j)) * nvx
+
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    v00 = vid(I, J).ravel()
+    v10 = vid(I + 1, J).ravel()
+    v01 = vid(I, J + 1).ravel()
+    v11 = vid(I + 1, J + 1).ravel()
+    # physical (unwrapped) corner coordinates per grid cell
+    cx0 = (I * Lx / nx).ravel()
+    cy0 = (J * Ly / ny).ravel()
+    hx, hy = Lx / nx, Ly / ny
+    c00 = np.stack([cx0, cy0], 1)
+    c10 = np.stack([cx0 + hx, cy0], 1)
+    c01 = np.stack([cx0, cy0 + hy], 1)
+    c11 = np.stack([cx0 + hx, cy0 + hy], 1)
+    if quadrilateral:
+        cells = np.stack([v00, v10, v01, v11], axis=1)
+        ccoords = np.stack([c00, c10, c01, c11], axis=1)
+        ct = "quadrilateral"
+    else:
+        cells = np.concatenate([np.stack([v00, v10, v01], 1),
+                                np.stack([v10, v11, v01], 1)])
+        ccoords = np.concatenate([np.stack([c00, c10, c01], 1),
+                                  np.stack([c10, c11, c01], 1)])
+        ct = "triangle"
+    nverts = nvx * nvy
+    # vertex coordinates (wrapped representatives; only used for plotting)
+    X, Y = np.meshgrid(xs, ys, indexing="xy")
+    verts = np.stack([X.ravel(), Y.ravel()], axis=1)
+    topo = MeshTopology(cells.astype(_IDX), nverts, ct, name)
+    m = Mesh(topo, verts, name=name)
+    # NB orientation fixing may have swapped vertices; rebuild cell coords
+    # from the (possibly reordered) topology by matching vertex ids
+    m._coord_family = "DG"
+    cc = np.zeros_like(ccoords)
+    for c in range(len(cells)):
+        old = list(cells[c])
+        for k, v in enumerate(topo.cell_vertices[c]):
+            cc[c, k] = ccoords[c, old.index(v)]
+    m._cell_coords = cc
+    m._periodic = direction
+    return m
+
+
+def PeriodicSquareMesh(nx, ny, L, direction="both", quadrilateral=False,
+                       name="mesh"):
+    return PeriodicRectangleMesh(nx, ny, L, L, direction=direction,
+                                 quadrilateral=quadrilateral, name=name)
+
+
+def PeriodicUnitSquareMesh(nx, ny, direction="both", quadrilateral=False,
+                           name="mesh"):
+    return PeriodicSquareMesh(nx, ny, 1.0, direction=direction,
+                              quadrilateral=quadrilateral, name=name)
+
+
+def CircleManifoldMesh(ncells, radius=1.0, name="mesh"):
+    """1D interval cells embedded on a circle in 2D (reference:
+    utility_meshes.py CircleManifoldMesh)."""
+    theta = 2 * np.pi * np.arange(ncells) / ncells
+    verts = radius * np.stack([np.cos(theta), np.sin(theta)], axis=1)
+    cells = np.stack([np.arange(ncells),
+                      (np.arange(ncells) + 1) % ncells], axis=1)
+    topo = MeshTopology(cells.astype(_IDX), ncells, "interval", name)
+    return Mesh(topo, verts, name=name)
+
+
+def IcosahedralSphereMesh(radius=1.0, refinement_level=0, name="mesh"):
+    """Triangulated sphere by refined icosahedron (reference:
+    utility_meshes.py:icosahedral sphere)."""
+    phi = (1 + np.sqrt(5)) / 2
+    verts = np.array([
+        [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
+        [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
+        [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
+    ], dtype=float)
+    faces = np.array([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ])
+    for _ in range(refinement_level):
+        edge_mid = {}
+        new_faces = []
+        verts = list(verts)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                edge_mid[key] = len(verts)
+                verts.append((np.asarray(verts[a])
+                              + np.asarray(verts[b])) / 2)
+            return edge_mid[key]
+
+        for (a, b, c) in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.array(new_faces)
+        verts = np.array(verts)
+    verts = np.asarray(verts, dtype=float)
+    verts = radius * verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    topo = MeshTopology(faces.astype(_IDX), len(verts), "triangle", name)
+    return Mesh(topo, verts, name=name)
+
+
+def UnitIcosahedralSphereMesh(refinement_level=0, name="mesh"):
+    return IcosahedralSphereMesh(1.0, refinement_level, name=name)
+
+
+def AnnulusMesh(R, r, nr=4, nt=32, name="mesh"):
+    """Triangulated annulus with inner marker 3, outer marker 4 — wait:
+    reference uses (1=inner?) — we use 1=inner, 2=outer."""
+    rs = np.linspace(r, R, nr + 1)
+    ts = 2 * np.pi * np.arange(nt) / nt
+
+    def vid(i, j):
+        return (j % nt) + i * nt
+
+    verts = np.zeros(((nr + 1) * nt, 2))
+    for i, rr in enumerate(rs):
+        verts[i * nt:(i + 1) * nt, 0] = rr * np.cos(ts)
+        verts[i * nt:(i + 1) * nt, 1] = rr * np.sin(ts)
+    tris = []
+    for i in range(nr):
+        for j in range(nt):
+            v00, v10 = vid(i, j), vid(i, j + 1)
+            v01, v11 = vid(i + 1, j), vid(i + 1, j + 1)
+            tris += [[v00, v10, v01], [v10, v11, v01]]
+    cells = np.array(tris)
+    topo = MeshTopology(cells.astype(_IDX), len(verts), "triangle", name)
+    m = Mesh(topo, verts, name=name)
+    # markers by radius
+    fv = m.topology.facet_vertices
+    rad = np.linalg.norm(verts[fv], axis=2)
+    markers = np.zeros(len(fv), dtype=_IDX)
+    ext = m.topology.exterior_facets
+    inner = np.all(np.abs(rad - r) < 1e-10 * max(R, 1), axis=1)
+    outer = np.all(np.abs(rad - R) < 1e-10 * max(R, 1), axis=1)
+    markers[inner] = 1
+    markers[outer] = 2
+    m.facet_markers = markers
+    return m
+
+
+def TorusMesh(nR, nr, R, r, name="mesh"):
+    """Quadrilateral surface mesh of a torus in 3D (reference:
+    utility_meshes.py TorusMesh)."""
+    us = 2 * np.pi * np.arange(nR) / nR
+    vs = 2 * np.pi * np.arange(nr) / nr
+    verts = np.zeros((nR * nr, 3))
+    for i, u in enumerate(us):
+        for j, v in enumerate(vs):
+            k = i * nr + j
+            verts[k] = [(R + r * np.cos(v)) * np.cos(u),
+                        (R + r * np.cos(v)) * np.sin(u),
+                        r * np.sin(v)]
+
+    def vid(i, j):
+        return (i % nR) * nr + (j % nr)
+
+    quads = []
+    for i in range(nR):
+        for j in range(nr):
+            quads.append([vid(i, j), vid(i + 1, j), vid(i, j + 1),
+                          vid(i + 1, j + 1)])
+    cells = np.array(quads)
+    topo = MeshTopology(cells.astype(_IDX), len(verts), "quadrilateral",
+                        name)
+    return Mesh(topo, verts, name=name)
+
+
+__all__ += ["PeriodicRectangleMesh", "PeriodicSquareMesh",
+            "PeriodicUnitSquareMesh", "CircleManifoldMesh",
+            "IcosahedralSphereMesh", "UnitIcosahedralSphereMesh",
+            "AnnulusMesh", "TorusMesh"]
