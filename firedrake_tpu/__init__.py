@@ -43,6 +43,7 @@ from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
 from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace)
 from .pointeval import PointNotInDomainError
 from .slate import (Tensor, AssembledVector, assemble_slate)
+from . import fml
 from .slope_limiter import VertexBasedLimiter
 from .eigensolver import LinearEigenproblem, LinearEigensolver
 from .randomfunctiongen import Generator as RandomGenerator, PCG64
