@@ -41,7 +41,7 @@ class CompiledIntegral:
         deg = md.get("quadrature_degree")
         if deg is None or deg == "auto":
             deg = estimate_degree(integrand, cd)
-            if mesh.cell.name in ("quadrilateral", "hexahedron"):
+            if mesh.cell.name in ("quadrilateral", "hexahedron", "prism"):
                 deg += cd   # non-affine Jacobian factors
         self.degree = max(int(deg), 1)
 

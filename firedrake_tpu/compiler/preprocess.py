@@ -38,9 +38,11 @@ def estimate_degree(e: Expr, coord_degree: int = 1, memo=None) -> int:
 def _estimate(e, cd, memo):
     est = lambda x: estimate_degree(x, cd, memo)
     if isinstance(e, Argument):
-        return e.space.element.degree
+        el = e.space.element
+        return getattr(el, "embedded_superdegree", el.degree)
     if isinstance(e, Coefficient):
-        return e.space.element.degree
+        el = e.space.element
+        return getattr(el, "embedded_superdegree", el.degree)
     if isinstance(e, SpatialCoordinate):
         return cd
     if isinstance(e, (FacetNormal, CellDiameter, CellVolume, FacetArea)):

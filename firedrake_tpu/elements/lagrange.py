@@ -94,6 +94,15 @@ class Lagrange(FiniteElement):
 
     continuous = True
 
+    @property
+    def embedded_superdegree(self):
+        """Max TOTAL polynomial degree of the span (tensor-product cells
+        exceed their per-axis degree: Q_k spans x^k y^k).  Drives
+        quadrature estimation (ufl's degree estimation analogue)."""
+        n_factors = {"quadrilateral": 2, "hexahedron": 3,
+                     "prism": 2}.get(self.cell.name, 1)
+        return self.degree * n_factors
+
     def __init__(self, cell, degree: int):
         if isinstance(cell, str):
             cell = by_name(cell)
@@ -130,6 +139,26 @@ class Lagrange(FiniteElement):
                     key = tuple(mi[v] for v in everts)
                     nodes.append(pt)
                     assoc.append((edim, eid, key))
+        elif cell.name == "prism":
+            if k == 0:
+                nodes.append(cell.vertices.mean(axis=0))
+                assoc.append((d, 0, ()))
+            elif self.continuous and k > 1:
+                raise NotImplementedError(
+                    "CG degree >= 2 on prisms needs mixed-arity face "
+                    "numbering (round-2 milestone); DG works at any degree")
+            else:
+                # tensor lattice: tri barycentric x interval
+                for mi in _simplex_multiindices(2, k):
+                    for mz in range(k + 1):
+                        pt = np.array([mi[1] / k, mi[2] / k, mz / k])
+                        tri_support = _entity_of_simplex_mi(mi)
+                        zpos = (0 if mz == 0 else
+                                (1 if mz == k else None))
+                        edim, eid, key = self._prism_entity(
+                            tri_support, zpos, mi, mz, k)
+                        nodes.append(pt)
+                        assoc.append((edim, eid, key))
         elif cell.name in ("quadrilateral", "hexahedron"):
             if k == 0:
                 nodes.append(cell.vertices.mean(axis=0))
@@ -149,6 +178,42 @@ class Lagrange(FiniteElement):
         else:
             raise NotImplementedError(cell.name)
         return np.array(nodes).reshape(len(nodes), d), assoc
+
+    def _prism_entity(self, tri_support, zpos, mi, mz, k):
+        """Classify a prism lattice point.  tri_support: vertex ids of the
+        triangle sub-entity; zpos: 0 bottom, 1 top, None interior."""
+        cell = self.cell
+        ts = tuple(sorted(tri_support))
+        if len(ts) == 1 and zpos is not None:
+            v = ts[0] + 3 * zpos
+            return 0, v, ()
+        if len(ts) == 2 and zpos is not None:
+            # horizontal edge: find prism edge with vertex set
+            want = {ts[0] + 3 * zpos, ts[1] + 3 * zpos}
+            for eid, evs in enumerate(cell.topology[1]):
+                if set(int(x) for x in evs) == want:
+                    # key: lattice position along the edge in listed order
+                    a, b = int(evs[0]) % 3, int(evs[1]) % 3
+                    key = (mi[1:][a] if a < 2 else mi[0],)
+                    # use barycentric wrt listed order (a first)
+                    bary = {0: mi[0], 1: mi[1], 2: mi[2]}
+                    key = (bary[a], bary[b])
+                    return 1, eid, key
+            raise RuntimeError("edge not found")
+        if len(ts) == 1 and zpos is None:
+            # vertical edge above tri vertex ts[0]: edges 6,7,8
+            return 1, 6 + ts[0], (k - mz, mz)
+        if len(ts) == 3 and zpos is not None:
+            return 2, zpos, (mi[1], mi[2])
+        if len(ts) == 2 and zpos is None:
+            # quad side face above tri edge
+            want = {ts[0], ts[1], ts[0] + 3, ts[1] + 3}
+            for fid, fvs in enumerate(cell.topology[2]):
+                if set(int(x) for x in fvs if x >= 0) == want:
+                    return 2, fid, (mi[1 + ts[0]] if ts[0] < 2 else mi[0],
+                                    mz)
+            raise RuntimeError("face not found")
+        return 3, 0, (mi[1], mi[2], mz)
 
     def _find_entity(self, support):
         cell = self.cell
@@ -203,7 +268,14 @@ class Lagrange(FiniteElement):
                 keys.setdefault((edim, eid), []).append(key)
             self._entity_internal_keys = keys
         # polynomial set
-        if cell.name in ("interval", "triangle", "tetrahedron"):
+        if cell.name == "prism":
+            if k == 0:
+                expo = np.zeros((1, 3), dtype=int)
+            else:
+                expo = np.array([[mi[1], mi[2], mz]
+                                 for mi in _simplex_multiindices(2, k)
+                                 for mz in range(k + 1)])
+        elif cell.name in ("interval", "triangle", "tetrahedron"):
             if k == 0:
                 expo = np.zeros((1, cell.dim), dtype=int)
             else:

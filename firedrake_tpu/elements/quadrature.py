@@ -78,6 +78,15 @@ def make_quadrature(cell_name: str, degree: int) -> QuadratureRule:
         pts = np.stack([(U * (1 - V)).ravel(), V.ravel()], axis=1)
         W = np.outer(wu, wv).ravel()
         return QuadratureRule(cell_name, degree, pts, W)
+    if cell.name == "prism":
+        tq = make_quadrature("triangle", degree)
+        zq = make_quadrature("interval", degree)
+        pts = np.concatenate([
+            np.repeat(tq.points, len(zq.points), axis=0),
+            np.tile(zq.points, (len(tq.points), 1)),
+        ], axis=1)
+        W = np.outer(tq.weights, zq.weights).ravel()
+        return QuadratureRule(cell_name, degree, pts, W)
     if cell.name == "tetrahedron":
         # conical product: x = u(1-v)(1-w), y = v(1-w), z = w
         u, wu = _gauss_legendre_01(n)

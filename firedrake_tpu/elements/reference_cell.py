@@ -51,6 +51,8 @@ class ReferenceCell:
             return 0.5
         if self.name == "tetrahedron":
             return 1.0 / 6.0
+        if self.name == "prism":
+            return 0.5
         raise NotImplementedError(self.name)
 
     @cached_property
@@ -118,6 +120,11 @@ class ReferenceCell:
         pts = np.asarray(pts)
         if self.name in ("interval", "quadrilateral", "hexahedron"):
             return np.all((pts >= -tol) & (pts <= 1 + tol), axis=-1)
+        if self.name == "prism":
+            horiz = (np.all(pts[..., :2] >= -tol, axis=-1)
+                     & (pts[..., 0] + pts[..., 1] <= 1 + tol))
+            vert = (pts[..., 2] >= -tol) & (pts[..., 2] <= 1 + tol)
+            return horiz & vert
         return np.all(pts >= -tol, axis=-1) & (pts.sum(axis=-1) <= 1 + tol)
 
 
@@ -187,7 +194,35 @@ _point = ReferenceCell("point", 0, np.zeros((1, 0)),
                        topology={0: np.zeros((1, 1), dtype=int)},
                        facet_cell_name=None)
 
-_CELLS = {c.name: c for c in [_point, _interval, _triangle, _tet, _quad, _hex]}
+# prism (wedge) = triangle x interval; facets are MIXED (2 tris + 3 quads)
+_prism_verts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0],
+                         [0.0, 0, 1], [1, 0, 1], [0, 1, 1]])
+_prism_topo = {
+    0: np.arange(6)[:, None],
+    1: np.array([
+        [0, 1], [0, 2], [1, 2],        # bottom edges
+        [3, 4], [3, 5], [4, 5],        # top edges
+        [0, 3], [1, 4], [2, 5],        # vertical edges
+    ]),
+    # ragged: triangles padded with -1; quads in lexicographic order
+    2: np.array([
+        [0, 1, 2, -1],                  # bottom
+        [3, 4, 5, -1],                  # top
+        [0, 1, 3, 4],                   # quad y=0 side
+        [0, 2, 3, 5],                   # quad x=0 side
+        [1, 2, 4, 5],                   # diagonal quad side
+    ]),
+    3: np.arange(6)[None, :],
+}
+_prism = ReferenceCell("prism", 3, _prism_verts, topology=_prism_topo,
+                       facet_cell_name=None)
+# frozen dataclass: stash mixed facet types via object.__setattr__
+object.__setattr__(_prism, "facet_cell_names",
+                   ["triangle", "triangle", "quadrilateral",
+                    "quadrilateral", "quadrilateral"])
+
+_CELLS = {c.name: c for c in [_point, _interval, _triangle, _tet, _quad,
+                              _hex, _prism]}
 # common aliases
 _CELLS["tet"] = _tet
 _CELLS["quad"] = _quad

@@ -51,11 +51,16 @@ class MeshTopology:
         out = {}
         cell = self.cell
         cv = self.cell_vertices
+        SENT = np.iinfo(np.int64).max // 2
         for d in range(1, self.dim + 1):
             local = cell.topology[d]                  # (n_local, nvpe)
             n_local, nvpe = local.shape
-            # cell-local view of each entity: global vertex ids in local order
-            views = cv[:, local]                      # (ncell, n_local, nvpe)
+            # cell-local view; ragged rows are padded with -1 (prisms):
+            # replace padded slots with a sorting sentinel
+            safe = np.where(local < 0, 0, local)
+            views = cv[:, safe].astype(np.int64)      # (ncell, n_local, nvpe)
+            pad = (local < 0)[None, :, :]
+            views = np.where(pad, SENT, views)
             canon = np.sort(views, axis=-1)
             flat = canon.reshape(-1, nvpe)
             uniq, inv = np.unique(flat, axis=0, return_inverse=True)
@@ -72,7 +77,9 @@ class MeshTopology:
                 match = np.all(v[:, p] == c, axis=1)
                 ori[match & (ori < 0)] = pi
             assert np.all(ori >= 0)
-            out[d] = dict(entities=uniq.astype(_IDX),
+            ent = uniq
+            ent = np.where(ent >= SENT, -1, ent)
+            out[d] = dict(entities=ent.astype(np.int64),
                           cell_entities=cell_entities,
                           cell_orientations=ori.reshape(self.num_cells,
                                                         n_local))

@@ -405,3 +405,66 @@ __all__ += ["PeriodicRectangleMesh", "PeriodicSquareMesh",
             "PeriodicUnitSquareMesh", "CircleManifoldMesh",
             "IcosahedralSphereMesh", "UnitIcosahedralSphereMesh",
             "AnnulusMesh", "TorusMesh"]
+
+
+# --------------------------------------------------------------- extruded
+def ExtrudedMesh(base_mesh, layers, layer_height=None,
+                 extrusion_type="uniform", name=None):
+    """Extrude a base mesh in a structured vertical direction (reference:
+    firedrake/mesh.py:3466 ExtrudedMesh; ExtrudedMeshTopology :1782).
+
+    v1 materializes the column cells (interval->quad, quad->hex,
+    triangle->prism) with the layer axis contiguous in the vertex
+    numbering — the dense-axis layout the TPU build exploits.  Column-
+    compressed (O(base) metadata) storage is the follow-up optimization
+    (reference keeps layer extents only, extrusion_numbering.pyx:222).
+    """
+    base = base_mesh
+    nlay = int(layers)
+    h = layer_height if layer_height is not None else 1.0 / nlay
+    nbv = base.num_vertices
+    bcoords = base._vertex_coords
+    gdim = base.geometric_dimension + 1
+    # vertices: layer-major would scatter columns; use vertex-major with
+    # contiguous columns: id = b * (nlay+1) + l
+    verts = np.zeros((nbv * (nlay + 1), gdim))
+    zs = np.arange(nlay + 1) * h
+    verts[:, :-1] = np.repeat(bcoords, nlay + 1, axis=0)
+    verts[:, -1] = np.tile(zs, nbv)
+
+    def vid(b, l):
+        return b * (nlay + 1) + l
+
+    bcells = base.topology.cell_vertices
+    ncell_b, nvc = bcells.shape
+    cname = base.cell.name
+    if cname == "interval":
+        ct = "quadrilateral"
+        lo = [0, 1]
+    elif cname == "quadrilateral":
+        ct = "hexahedron"
+        lo = [0, 1, 2, 3]
+    elif cname == "triangle":
+        ct = "prism"
+        lo = [0, 1, 2]
+    else:
+        raise NotImplementedError(f"extrusion of {cname}")
+    cells = []
+    L = np.arange(nlay)
+    # cell id = base_cell * nlay + layer (column-contiguous)
+    bot = (bcells[:, lo, None] * (nlay + 1) + L[None, None, :])
+    top = bot + 1
+    # shape (ncell_b, nvc, nlay) -> (ncell_b, nlay, 2*nvc)
+    bot = np.moveaxis(bot, 2, 1)
+    top = np.moveaxis(top, 2, 1)
+    cells = np.concatenate([bot, top], axis=2).reshape(-1, 2 * nvc)
+    topo = MeshTopology(cells.astype(_IDX), len(verts), ct,
+                        name or f"{base.name}_extruded")
+    m = Mesh(topo, verts, name=name or f"{base.name}_extruded")
+    m._base_mesh = base
+    m._layers = nlay
+    m._extruded = True
+    return m
+
+
+__all__ += ["ExtrudedMesh"]
