@@ -20,7 +20,8 @@ from .operators import (
     conditional, lt, le, gt, ge, eq, ne, And, Or, Not,
     avg, jump,
 )
-from .measure import Measure, Integral, Form, Equation, dx, ds, dS
+from .measure import (Measure, Integral, Form, Equation, dx, ds, dS,
+                      ds_b, ds_t, ds_v)
 from .calculus import (replace, derivative, action, adjoint, lhs, rhs,
                        system, reconstruct, map_expr)
 

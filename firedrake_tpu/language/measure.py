@@ -52,6 +52,10 @@ class Measure:
 dx = Measure("cell")
 ds = Measure("exterior_facet")
 dS = Measure("interior_facet")
+# extruded-mesh boundary measures (reference: firedrake ds_b/ds_t/ds_v)
+ds_b = Measure("exterior_facet", subdomain_id="bottom")
+ds_t = Measure("exterior_facet", subdomain_id="top")
+ds_v = Measure("exterior_facet", subdomain_id="sides")
 
 
 class Integral:

@@ -111,11 +111,29 @@ class Mesh:
 
     # ------------------------------------------------------------ facets
     def boundary_facets(self, subdomain) -> np.ndarray:
-        """Exterior facet ids for a marker spec: int id, tuple of ids, or
-        'on_boundary' / 'everywhere'."""
+        """Exterior facet ids for a marker spec: int id, tuple of ids,
+        'on_boundary'/'everywhere', or 'bottom'/'top'/'sides' on extruded
+        meshes (reference: extruded iteration regions ON_BOTTOM/ON_TOP,
+        pyop2/global_kernel.py:267-276)."""
         ext = self.topology.exterior_facets
         if subdomain in ("on_boundary", "everywhere", None):
             return ext
+        if subdomain in ("bottom", "top", "sides"):
+            assert getattr(self, "_extruded", False), \
+                f"{subdomain!r} needs an extruded mesh"
+            z = self._vertex_coords[:, -1]
+            zmin, zmax = z.min(), z.max()
+            fv = self.topology.facet_vertices[ext]
+            mask_ok = fv >= 0
+            fz = np.where(mask_ok, z[np.where(fv < 0, 0, fv)], np.nan)
+            tol = 1e-12 * max(abs(zmax), 1.0)
+            on_bot = np.nanmax(np.abs(fz - zmin), axis=1) < tol
+            on_top = np.nanmax(np.abs(fz - zmax), axis=1) < tol
+            if subdomain == "bottom":
+                return ext[on_bot]
+            if subdomain == "top":
+                return ext[on_top]
+            return ext[~(on_bot | on_top)]
         if isinstance(subdomain, (int, np.integer)):
             subdomain = (int(subdomain),)
         mask = np.isin(self.facet_markers[ext], np.asarray(subdomain))
