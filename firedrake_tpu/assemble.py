@@ -106,19 +106,21 @@ class FormAssembler:
             return None
 
         if ci.integral_type == "cell":
-            if ci.subdomain_id not in ("everywhere", None):
-                raise NotImplementedError("cell subdomain ids")
-            cells = np.arange(topo.num_cells)
-            st["coords_map"] = jnp.asarray(cmap3)
+            cells = mesh.cell_subset(ci.subdomain_id)
+            if len(cells) == 0:
+                return None
+            st["coords_map"] = jnp.asarray(cmap3[cells])
             st["coeff_maps"] = dofmaps(cells)
             st["coeff_signs"] = coeff_signs(cells)
             st["sign_rows"] = arg_signs(self.test, cells)
             st["sign_cols"] = arg_signs(self.trial, cells)
             if self.test is not None:
-                st["rows"] = jnp.asarray(self.test.space.cell_dof_map)
+                st["rows"] = jnp.asarray(
+                    self.test.space.cell_dof_map[cells])
             if self.trial is not None:
-                st["cols"] = jnp.asarray(self.trial.space.cell_dof_map)
-            st["n"] = topo.num_cells
+                st["cols"] = jnp.asarray(
+                    self.trial.space.cell_dof_map[cells])
+            st["n"] = len(cells)
         elif ci.integral_type == "exterior_facet":
             facets = mesh.boundary_facets(ci.subdomain_id)
             if len(facets) == 0:

@@ -27,6 +27,8 @@ class Mesh:
         if facet_markers is None:
             facet_markers = np.zeros(nf, dtype=_IDX)
         self.facet_markers = np.asarray(facet_markers, dtype=_IDX)
+        #: per-cell subdomain ids (0 = unmarked); drives dx(id) integrals
+        self.cell_markers = np.zeros(topology.num_cells, dtype=_IDX)
         self.comm = None   # single-process host; device mesh handled in parallel/
 
     def _fix_simplex_orientation(self):
@@ -141,6 +143,28 @@ class Mesh:
 
     def marked_exterior_subset(self, subdomain_id):
         return self.boundary_facets(subdomain_id)
+
+    def cell_subset(self, subdomain) -> np.ndarray:
+        """Cell ids for a dx subdomain id spec."""
+        if subdomain in ("everywhere", None):
+            return np.arange(self.num_cells)
+        if isinstance(subdomain, (int, np.integer)):
+            subdomain = (int(subdomain),)
+        return np.nonzero(np.isin(self.cell_markers,
+                                  np.asarray(subdomain)))[0]
+
+    def mark_cells(self, marker_fn_or_array):
+        """Set cell subdomain ids from an array or a centroid predicate
+        fn(centroid)->id (host-side utility; reference reads these from
+        gmsh physical groups)."""
+        if callable(marker_fn_or_array):
+            cents = self._vertex_coords[
+                self.topology.cell_vertices].mean(axis=1)
+            self.cell_markers = np.array(
+                [int(marker_fn_or_array(c)) for c in cents], dtype=_IDX)
+        else:
+            self.cell_markers = np.asarray(marker_fn_or_array, dtype=_IDX)
+        return self
 
     @cached_property
     def cell_volumes(self) -> np.ndarray:
