@@ -76,6 +76,17 @@ class FormAssembler:
             for st, pos in zip(self._statics,
                                self.sparsity.block_positions):
                 st["pos"] = jnp.asarray(pos)
+        # index maps are passed as ARGUMENTS to the jitted program (not
+        # closure constants): multi-MB embedded literals blow up
+        # compile time, especially through remote-compile tunnels
+        def _is_arrayish(v):
+            return isinstance(v, jnp.ndarray) or (
+                isinstance(v, dict)
+                and all(isinstance(x, jnp.ndarray) for x in v.values()))
+
+        self._arg_statics = [
+            {k: v for k, v in st.items() if _is_arrayish(v)}
+            for st in self._statics]
         self._jitted = jax.jit(self._run)
 
     # ----------------------------------------------------- host-side prep
@@ -188,15 +199,17 @@ class FormAssembler:
         return st
 
     # ------------------------------------------------------ device program
-    def _run(self, coords_dat, coeff_dats, const_vals):
+    def _run(self, coords_dat, coeff_dats, const_vals, arg_statics=None):
         rank = self.rank
+        statics = arg_statics if arg_statics is not None \
+            else self._arg_statics
         if rank == 0:
             total = jnp.zeros(())
         elif rank == 1:
             total = jnp.zeros(self.test.space.dim)
         else:
             total = jnp.zeros(self.sparsity.nnz)
-        for ci, st in zip(self._compiled, self._statics):
+        for ci, st in zip(self._compiled, statics):
             consts = tuple(const_vals[c.count] for c in ci.constants)
             kern = ci.kernel()
             nco = len(ci.coefficients)
@@ -261,7 +274,8 @@ class FormAssembler:
                       for c in self.coefficients}
         const_vals = {c.count: jnp.asarray(c.values())
                       for c in self.constants}
-        out = self._jitted(coords_dat, coeff_dats, const_vals)
+        out = self._jitted(coords_dat, coeff_dats, const_vals,
+                           self._arg_statics)
         return self._postprocess(out, tensor)
 
     def _postprocess(self, out, tensor):
