@@ -125,7 +125,9 @@ def RectangleMesh(nx: int, ny: int, Lx=1.0, Ly=1.0, quadrilateral=False,
             return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly))
         else:
             raise ValueError(f"unknown diagonal {diagonal!r}")
-        cells = np.concatenate([t1, t2])
+        # interleave the two triangles of each grid quad: consecutive
+        # cells are spatial neighbors (gather locality + strip partitions)
+        cells = np.stack([t1, t2], axis=1).reshape(-1, 3)
         ct = "triangle"
     topo = MeshTopology(cells, len(verts), ct, name)
     return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly))
@@ -186,7 +188,8 @@ def BoxMesh(nx, ny, nz, Lx=1.0, Ly=1.0, Lz=1.0, hexahedral=False,
                 cur[ax] += 1
                 steps.append(tuple(cur))
             tets.append(np.stack([corner[s] for s in steps], axis=1))
-        cells = np.concatenate(tets)
+        # interleave the 6 tets of each cube (spatial locality)
+        cells = np.stack(tets, axis=1).reshape(-1, 4)
         ct = "tetrahedron"
     topo = MeshTopology(cells, len(verts), ct, name)
     return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly, Lz))
