@@ -76,6 +76,11 @@ class FormAssembler:
             for st, pos in zip(self._statics,
                                self.sparsity.block_positions):
                 st["pos"] = jnp.asarray(pos)
+                if st.get("batched"):
+                    # slot-major positions matching (ni*nj, C) value order
+                    n = st["n"]
+                    st["pos_T"] = jnp.asarray(np.ascontiguousarray(
+                        np.asarray(pos).reshape(n, -1).T))
         # index maps are passed as ARGUMENTS to the jitted program (not
         # closure constants): multi-MB embedded literals blow up
         # compile time, especially through remote-compile tunnels
@@ -132,6 +137,39 @@ class FormAssembler:
                 st["cols"] = jnp.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
+            # ---- cell-last (batched) fast path, if the lowering supports
+            # this form (see compiler/batched.py); validated by tracing
+            try:
+                kb = ci.cell_kernel_batched()
+                C = len(cells)
+                g = mesh.geometric_dimension
+                cshape = (cmap3.shape[1], g, C)
+                cfshapes = tuple(
+                    jax.ShapeDtypeStruct(
+                        (c.space.cell_dof_map.shape[1], C), jnp.float64)
+                    for c in ci.coefficients)
+                cvals = tuple(jax.ShapeDtypeStruct(np.asarray(
+                    c.values()).shape, jnp.float64) for c in ci.constants)
+                jax.eval_shape(kb, jax.ShapeDtypeStruct(cshape,
+                                                        jnp.float64),
+                               cfshapes, cvals)
+                st["batched"] = True
+                # transposed index maps: gathers produce cell-minor output
+                st["coords_map_T"] = jnp.asarray(
+                    np.ascontiguousarray(cmap3[cells].transpose(1, 2, 0)))
+                st["coeff_maps_T"] = {
+                    c.count: jnp.asarray(np.ascontiguousarray(
+                        c.space.cell_dof_map[cells].T))
+                    for c in ci.coefficients}
+                st["coeff_signs_T"] = {
+                    k: jnp.asarray(np.ascontiguousarray(np.asarray(v).T))
+                    for k, v in st["coeff_signs"].items()}
+                for key in ("sign_rows", "sign_cols"):
+                    if st[key] is not None:
+                        st[key + "_T"] = jnp.asarray(
+                            np.ascontiguousarray(np.asarray(st[key]).T))
+            except NotImplementedError:
+                st["batched"] = False
         elif ci.integral_type == "exterior_facet":
             facets = mesh.boundary_facets(ci.subdomain_id)
             if len(facets) == 0:
@@ -211,6 +249,31 @@ class FormAssembler:
             total = jnp.zeros(self.sparsity.nnz)
         for ci, st in zip(self._compiled, statics):
             consts = tuple(const_vals[c.count] for c in ci.constants)
+            if "coords_map_T" in st:
+                # ---------------- cell-last fast path (compiler/batched)
+                kb = ci.cell_kernel_batched()
+                ce = coords_dat[st["coords_map_T"]]   # (ndofc, g, C)
+                ws = []
+                for c in ci.coefficients:
+                    w = coeff_dats[c.count][st["coeff_maps_T"][c.count]]
+                    sg = st.get("coeff_signs_T", {}).get(c.count)
+                    ws.append(w if sg is None else w * sg)
+                loc = kb(ce, tuple(ws), consts)       # (ni, nj, C)
+                if st.get("sign_rows_T") is not None:
+                    loc = loc * st["sign_rows_T"][:, None, :]
+                if st.get("sign_cols_T") is not None:
+                    loc = loc * st["sign_cols_T"][None, :, :]
+                if rank == 0:
+                    total = total + jnp.sum(loc)
+                elif rank == 1:
+                    vals = loc[:, 0, :]               # (ni, C)
+                    rows_T = st["rows"].T             # (ni, C) index view
+                    total = total.at[rows_T.reshape(-1)].add(
+                        vals.reshape(-1))
+                else:
+                    total = total.at[st["pos_T"].reshape(-1)].add(
+                        loc.reshape(-1))
+                continue
             kern = ci.kernel()
             nco = len(ci.coefficients)
             def _signed(c, gathered, signs):

@@ -97,6 +97,26 @@ class CompiledIntegral:
 
         return fn
 
+    def cell_kernel_batched(self):
+        """Cell-last kernel: coords (ndofc, g, C), coeffs (nslot, C) ->
+        local tensors (ni, nj, C).  See compiler/batched.py."""
+        from .batched import BatchedCellContext, BatchedLowerer
+        mesh, deg = self.mesh, self.degree
+
+        def fn(coords_T, coeffs_T, consts):
+            ctx = BatchedCellContext(mesh, deg, coords_T)
+            low = BatchedLowerer(
+                ctx, self.test, self.trial,
+                {c.count: w for c, w in zip(self.coefficients, coeffs_T)},
+                {c.count: v for c, v in zip(self.constants, consts)})
+            v = low.run(self.integrand)                # (ni', nj', nq, C)
+            out = jnp.einsum("ijqc,qc->ijc", v, ctx.scale())
+            ni, nj = self.local_shape()
+            C = max(coords_T.shape[-1], out.shape[-1])
+            return jnp.broadcast_to(out, (ni, nj, C))
+
+        return fn
+
     def kernel(self):
         return {
             "cell": self.cell_kernel,
