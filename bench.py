@@ -15,6 +15,15 @@ BASELINE_DOFS_PER_SEC = 1.0e7
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: remote compiles through the axon tunnel
+    # take minutes; cache hits make repeat runs fast
+    import os
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import firedrake_tpu as fd
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
