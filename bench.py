@@ -13,11 +13,15 @@ BASELINE_DOFS_PER_SEC = 1.0e7
 
 
 def main():
+    import os
+    # The cell-last path compiles very slowly through the axon remote
+    # compiler and does not beat cell-major on this chip yet
+    # (PERF_NOTES.md); bench the proven path.
+    os.environ.setdefault("FDTPU_NO_BATCHED", "1")
     import jax
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache: remote compiles through the axon tunnel
     # take minutes; cache hits make repeat runs fast
-    import os
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")

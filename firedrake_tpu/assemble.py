@@ -139,6 +139,10 @@ class FormAssembler:
             st["n"] = len(cells)
             # ---- cell-last (batched) fast path, if the lowering supports
             # this form (see compiler/batched.py); validated by tracing
+            import os
+            if os.environ.get("FDTPU_NO_BATCHED") == "1":
+                st["batched"] = False
+                return st
             try:
                 kb = ci.cell_kernel_batched()
                 C = len(cells)
