@@ -31,7 +31,7 @@ from .functionspace import (FunctionSpace, VectorFunctionSpace,
                             TensorFunctionSpace)
 from .mixed import MixedFunctionSpace
 from .function import Function, Cofunction, Constant, MixedFunction
-from .bcs import DirichletBC, homogenize
+from .bcs import DirichletBC, EquationBC, homogenize
 from .assemble import assemble, get_assembler
 from .interpolation import interpolate, Interpolator
 from .projection import project, Projector
@@ -76,7 +76,8 @@ __version__ = "0.1.0"
 __all__ = (list(_lang_all) + list(_mesh_all) + [
     "FunctionSpace", "VectorFunctionSpace", "TensorFunctionSpace",
     "MixedFunctionSpace", "MixedFunction",
-    "Function", "Cofunction", "Constant", "DirichletBC", "homogenize",
+    "Function", "Cofunction", "Constant", "DirichletBC", "EquationBC",
+    "homogenize",
     "assemble", "interpolate", "Interpolator", "project", "Projector",
     "norm", "errornorm", "solve", "VectorSpaceBasis",
     "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",

@@ -111,3 +111,46 @@ class DirichletBC:
 def homogenize(bc: DirichletBC) -> DirichletBC:
     return DirichletBC(bc.function_space_obj, 0.0, bc.sub_domain,
                        bc.sub_component)
+
+
+class EquationBC:
+    """Boundary condition given by an equation on the boundary subdomain:
+    the residual/Jacobian ROWS of the boundary dofs are replaced by those
+    of the boundary form (reference: firedrake/bcs.py:470 EquationBC,
+    :570 EquationBCSplit).  Supported by the nonlinear solve path."""
+
+    def __init__(self, eq, u, sub_domain, bcs=None, J=None, V=None):
+        from .language.measure import Equation, Form
+        if isinstance(eq, Equation):
+            F = eq.lhs
+            if isinstance(eq.rhs, Form) and not eq.rhs.empty():
+                F = F - eq.rhs
+        else:
+            F = eq
+        self.F = F
+        self.u = u
+        self.sub_domain = sub_domain
+        self.function_space_obj = V if V is not None \
+            else u.function_space()
+        from .language.calculus import derivative
+        self.J = J if J is not None else derivative(F, u)
+        self._nodes = None
+
+    def function_space(self):
+        return self.function_space_obj
+
+    @property
+    def dof_indices(self):
+        V = self.function_space_obj
+        facets = V.mesh_obj.boundary_facets(self.sub_domain) \
+            if not hasattr(V, "parent") else \
+            V._V.mesh_obj.boundary_facets(self.sub_domain)
+        nodes = (V.sdata.boundary_nodes(facets)
+                 if not hasattr(V, "parent")
+                 else V._V.sdata.boundary_nodes(facets))
+        bs = V.block_size
+        idx = nodes.astype(np.int64)
+        if bs > 1:
+            idx = (idx[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
+        off = int(getattr(V, "offset", 0))
+        return (idx + off).astype(np.int32)

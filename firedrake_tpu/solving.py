@@ -16,7 +16,7 @@ from .language.measure import Form, Equation
 from .language.calculus import lhs, rhs, derivative, action, replace
 from .language.core import Argument, Zero
 from .function import Function
-from .bcs import DirichletBC
+from .bcs import DirichletBC, EquationBC
 from .assemble import assemble, get_assembler
 from .solvers.krylov import KSP_METHODS
 from .solvers.preconditioners import make_pc, direct_solve, identity_pc
@@ -51,8 +51,15 @@ def _merged_params(solver_parameters, nonlinear=False):
     return p
 
 
+def _split_bcs(bcs):
+    dirichlet = tuple(b for b in (bcs or ()) if isinstance(b, DirichletBC))
+    equation = tuple(b for b in (bcs or ()) if isinstance(b, EquationBC))
+    return dirichlet, equation
+
+
 def _bc_data(bcs, n):
-    """(bc_idx int array, g full vector)."""
+    """(bc_idx int array, g full vector) — Dirichlet bcs only."""
+    bcs = _split_bcs(bcs)[0]
     if not bcs:
         return np.zeros(0, dtype=np.int32), np.zeros(n)
     idx = np.unique(np.concatenate([bc.dof_indices for bc in bcs]))
@@ -254,6 +261,10 @@ class NonlinearVariationalSolver:
         p.u.dat = uvec
         r = jnp.asarray(assemble(p.F).dat)
         V = p.u.function_space()
+        for ebc in _split_bcs(p.bcs)[1]:
+            rb = jnp.asarray(assemble(ebc.F).dat)
+            eidx = jnp.asarray(ebc.dof_indices)
+            r = r.at[eidx].set(rb[eidx])
         bc_idx, g = _bc_data(p.bcs, V.dim)
         if len(bc_idx):
             idx = jnp.asarray(bc_idx)
@@ -347,6 +358,23 @@ class NonlinearVariationalSolver:
             return res.x
         J = assemble(p.J)
         rhs_v = -r
+        ebcs = _split_bcs(p.bcs)[1]
+        if ebcs:
+            # replace boundary rows with the boundary-equation Jacobian
+            import scipy.sparse as sp
+            Js = J.to_scipy().tolil()
+            for ebc in ebcs:
+                Jb = assemble(ebc.J).to_scipy().tolil()
+                eidx = np.asarray(ebc.dof_indices)
+                Js[eidx] = Jb[eidx]
+            Js = Js.tocsr()
+            if len(bc_idx):
+                Js = Js.tolil()
+                Js[bc_idx] = 0.0
+                Js[bc_idx, bc_idx] = 1.0
+                Js = Js.tocsr()
+            from scipy.sparse.linalg import spsolve
+            return jnp.asarray(spsolve(Js.tocsc(), np.asarray(rhs_v)))
         if len(bc_idx):
             J = J.with_dirichlet(jnp.asarray(bc_idx))
         if params.get("ksp_type") == "preonly":
