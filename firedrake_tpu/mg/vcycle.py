@@ -24,8 +24,12 @@ from .transfer import get_transfer
 
 def coarsen_form(form: Form, fine_mesh, coarse_mesh, space_map):
     """Re-discretize a form on a coarser level (reference:
-    firedrake/mg/ufl_utils.py coarsen).  Coefficients other than Constants
-    are not yet transferable (inject support is next)."""
+    firedrake/mg/ufl_utils.py coarsen).  Function coefficients are
+    transferred by injection (mg/ufl_utils.py coarsen of Functions)."""
+    from ..functionspace import FunctionSpace as _FS
+    from ..function import Function as _Fn
+    from .transfer import get_transfer
+    import jax.numpy as _jnp
     mapping = {}
     for it in form.integrals():
         for t in it.integrand.traverse():
@@ -34,10 +38,16 @@ def coarsen_form(form: Form, fine_mesh, coarse_mesh, space_map):
                 mapping[t] = Argument(Vc, t.number, t.part)
             elif isinstance(t, GeometricQuantity) and t.mesh is fine_mesh:
                 mapping[t] = type(t)(coarse_mesh)
-            elif isinstance(t, Coefficient):
-                raise NotImplementedError(
-                    "GMG with non-constant coefficients needs coefficient "
-                    "injection (upcoming)")
+            elif isinstance(t, Coefficient) and t not in mapping:
+                if not isinstance(t, _Fn):
+                    raise NotImplementedError(
+                        "cannot coarsen this coefficient type")
+                Vf = t.function_space()
+                Vc = _FS(coarse_mesh, Vf.element)
+                tr = get_transfer(Vc, Vf)
+                fc = _Fn(Vc, name=f"{t.name}_coarse")
+                fc.dat = tr.inject_fn(_jnp.asarray(t.dat))
+                mapping[t] = fc
     out = []
     for it in form.integrals():
         integrand = map_expr(it.integrand, mapping)
