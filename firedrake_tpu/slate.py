@@ -196,7 +196,8 @@ def _eval_local_impl(expr, cache):
     if isinstance(expr, Negative):
         return -_eval_local(expr.a, cache)
     if isinstance(expr, Inverse):
-        return jnp.linalg.inv(_eval_local(expr.a, cache))
+        from .ops.batched_inverse import batched_inv
+        return batched_inv(_eval_local(expr.a, cache))
     if isinstance(expr, Add):
         return _eval_local(expr.a, cache) + _eval_local(expr.b, cache)
     if isinstance(expr, Mul):
@@ -210,11 +211,10 @@ def _eval_local_impl(expr, cache):
             return jnp.einsum("ci,cij->cj", a, b)
         raise NotImplementedError
     if isinstance(expr, Solve):
+        from .ops.batched_inverse import batched_solve
         A = _eval_local(expr.A, cache)
         b = _eval_local(expr.b, cache)
-        if expr.b.rank == 1:
-            return jnp.linalg.solve(A, b[..., None])[..., 0]
-        return jnp.linalg.solve(A, b)
+        return batched_solve(A, b)
     if isinstance(expr, Block):
         v = _eval_local(expr.a, cache)
         sl = (slice(None),) + tuple(expr.indices)
