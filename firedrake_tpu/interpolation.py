@@ -67,7 +67,63 @@ def _build(expr: Expr, V):
     return jit_run, coeffs, consts
 
 
+def _expr_meshes(expr):
+    from .language.core import Coefficient, GeometricQuantity, Argument
+    out = set()
+    for t in expr.traverse():
+        if isinstance(t, (Coefficient, Argument)):
+            out.add(id(t.space.mesh_obj))
+        elif isinstance(t, GeometricQuantity):
+            out.add(id(t.mesh))
+    return out
+
+
+def _node_coordinates(V):
+    """Physical coordinates of every global node of a Lagrange space."""
+    mesh = V.mesh_obj
+    elem = V.scalar_element
+    ref = elem.nodes
+    coords = mesh._vertex_coords[mesh.topology.cell_vertices]
+    import numpy as _np
+    v0 = coords[:, 0]
+    d = mesh.cell.dim
+    J = _np.stack([coords[:, i + 1] - coords[:, 0] for i in range(d)],
+                  axis=-1)
+    phys = v0[:, None, :] + _np.einsum("cgt,nt->cng", J, ref)
+    out = _np.zeros((V.num_nodes, mesh.geometric_dimension))
+    out[V.cell_node_map.reshape(-1)] = phys.reshape(-1,
+                                                    phys.shape[-1])
+    return out
+
+
+def _cross_mesh_interpolate(f_src, f_dst):
+    """Interpolate a Function from another mesh by point evaluation
+    (reference: interpolation.py:411 CrossMeshInterpolator via
+    VertexOnlyMesh point location — here via pointeval's KD-tree)."""
+    V = f_dst.space
+    if V.scalar_element.family not in ("Lagrange",
+                                       "Discontinuous Lagrange"):
+        raise NotImplementedError("cross-mesh interpolation needs a nodal "
+                                  "target space")
+    pts = _node_coordinates(V)
+    from .pointeval import at as _at
+    vals = _at(f_src, pts, dont_raise=True)
+    vals = np.nan_to_num(np.asarray(vals))
+    bs = V.block_size
+    f_dst.dat = vals.reshape(V.num_nodes, -1).reshape(-1) if bs > 1 \
+        else vals.reshape(-1)
+    return f_dst
+
+
 def interpolate_onto(expr, f: Function):
+    from .language.core import as_expr as _ae
+    e0 = _ae(expr)
+    meshes = _expr_meshes(e0)
+    if meshes and id(f.space.mesh_obj) not in meshes:
+        if isinstance(expr, Function):
+            return _cross_mesh_interpolate(expr, f)
+        raise NotImplementedError("cross-mesh interpolation of general "
+                                  "expressions: wrap in a Function first")
     expr = _as_expr_checked(expr, f.space)
     V = f.space
     key = (expr.signature(), id(V.mesh_obj), hash(V.element),

@@ -70,3 +70,26 @@ def test_mixed_poisson_convergence(family, order):
     os_ = np.log2(np.array(errs_s[:-1]) / np.array(errs_s[1:]))
     assert (ou > order).all(), (errs_u, ou)
     assert (os_ > order).all(), (errs_s, os_)
+
+
+def test_rt_tetrahedra():
+    """RT1 on tets: the facet-sign machinery generalizes to 3D."""
+    from firedrake_tpu import UnitCubeMesh, solve
+    mesh = UnitCubeMesh(2, 2, 2)
+    S = FunctionSpace(mesh, "RT", 1)
+    X = SpatialCoordinate(mesh)
+    cfield = as_vector([1.0 + 0 * X[0], 2.0 + 0 * X[1], -1.0 + 0 * X[2]])
+    g = project(cfield, S, solver_parameters={"ksp_type": "preonly",
+                                              "pc_type": "lu"})
+    assert errornorm(cfield, g) < 1e-10
+    V = FunctionSpace(mesh, "DG", 0)
+    W = MixedFunctionSpace([S, V])
+    sigma, u = TrialFunctions(W)
+    tau, v = TestFunctions(W)
+    ex = sin(math.pi * X[0]) * sin(math.pi * X[1]) * sin(math.pi * X[2])
+    f = Function(V).interpolate(3 * math.pi ** 2 * ex)
+    a = (dot(sigma, tau) + div(tau) * u + div(sigma) * v) * dx
+    w = Function(W)
+    solve(a == -inner(f, v) * dx, w,
+          solver_parameters={"ksp_type": "preonly", "pc_type": "lu"})
+    assert errornorm(ex, w.subfunctions[1]) < 0.35

@@ -59,3 +59,21 @@ def test_ensemble_collectives():
     assert np.allclose(np.asarray(out.dat), 4.0)
     ens.bcast(ef, root=2)
     assert all(np.allclose(np.asarray(m.dat), 3.0) for m in ef.members)
+
+
+def test_cross_mesh_interpolation():
+    """Function from a fine triangle mesh interpolated onto a coarse quad
+    mesh (reference: CrossMeshInterpolator, interpolation.py:411).
+    Error is the TARGET space's interpolation error (~h^2/8)."""
+    from firedrake_tpu import errornorm
+    mA = UnitSquareMesh(16, 16)
+    VA = FunctionSpace(mA, "CG", 2)
+    XA = SpatialCoordinate(mA)
+    fA = Function(VA).interpolate(XA[0] ** 2 + XA[1])
+    mB = UnitSquareMesh(5, 7, quadrilateral=True)
+    VB = FunctionSpace(mB, "CG", 1)
+    fB = Function(VB).interpolate(fA)
+    XB = SpatialCoordinate(mB)
+    assert errornorm(XB[0] ** 2 + XB[1], fB) < 0.02
+    # nodal values are exact where the source is smooth
+    assert abs(fB.at([0.2, 0.3]) - 0.34) < 1e-10
