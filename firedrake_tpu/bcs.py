@@ -14,6 +14,10 @@ from .language.core import Expr, ConstantBase
 
 class DirichletBC:
     def __init__(self, V: FunctionSpace, g, sub_domain, sub=None):
+        from .functionspace import ComponentFunctionSpace
+        if isinstance(V, ComponentFunctionSpace):
+            sub = V.component if sub is None else sub
+            V = V.parent_space
         self.function_space_obj = V
         self.g = g
         self.sub_domain = sub_domain

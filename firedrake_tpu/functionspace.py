@@ -276,6 +276,16 @@ class FunctionSpace:
     def split(self):
         return (self,)
 
+    def sub(self, i: int):
+        """Component subspace of a Vector/TensorFunctionSpace — used for
+        component-wise DirichletBCs (reference: functionspaceimpl.py
+        WithGeometry.sub / ComponentFunctionSpace)."""
+        if self.block_size == 1:
+            assert i == 0
+            return self
+        assert 0 <= i < self.block_size
+        return ComponentFunctionSpace(self, i)
+
     @property
     def num_sub_spaces(self):
         return 1
@@ -291,6 +301,21 @@ class FunctionSpace:
     def __repr__(self):
         return (f"FunctionSpace({self.mesh_obj.name}, "
                 f"{self.element!r}, dim={self.dim})")
+
+
+class ComponentFunctionSpace:
+    """V.sub(i) for vector/tensor spaces: delegates to V but records the
+    component for DirichletBC expansion."""
+
+    def __init__(self, parent: FunctionSpace, component: int):
+        self.parent_space = parent
+        self.component = component
+
+    def __getattr__(self, name):
+        return getattr(self.parent_space, name)
+
+    def __repr__(self):
+        return f"{self.parent_space!r}.sub({self.component})"
 
 
 def VectorFunctionSpace(mesh, family, degree=None, dim=None, name=None,

@@ -71,3 +71,22 @@ def test_nonhomogeneous_bc_function():
           solver_parameters={"ksp_type": "cg", "pc_type": "jacobi",
                              "ksp_rtol": 1e-13})
     assert errornorm(1 + X[0] + 2 * X[1], uh) < 1e-9
+
+
+def test_component_bcs():
+    """DirichletBC on V.sub(i) constrains one component (reference:
+    ComponentFunctionSpace bcs)."""
+    from firedrake_tpu import VectorFunctionSpace, as_vector
+    mesh = UnitSquareMesh(6, 6)
+    V = VectorFunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    u, v = TrialFunction(V), TestFunction(V)
+    bcs = [DirichletBC(V.sub(0), 0.0, 3), DirichletBC(V.sub(1), 0.0, 3),
+           DirichletBC(V, Constant([1.0, 0.0]), 4)]
+    uh = Function(V)
+    solve(inner(grad(u), grad(v)) * dx
+          == inner(Constant([0.0, 0.0]), v) * dx,
+          uh, bcs=bcs,
+          solver_parameters={"ksp_type": "cg", "pc_type": "jacobi",
+                             "ksp_rtol": 1e-12})
+    assert errornorm(as_vector([X[1], 0.0 * X[0]]), uh) < 1e-9
