@@ -43,3 +43,36 @@ def test_helmholtz_quads():
     errs = [helmholtz_error(n, 1, quadrilateral=True) for n in (16, 32)]
     order = np.log2(errs[0] / errs[1])
     assert order > 1.9, (errs, order)
+
+
+def test_hex_poisson():
+    """CG1 on a hexahedral BoxMesh (trilinear geometry path)."""
+    import firedrake_tpu as fd
+    from firedrake_tpu import (UnitCubeMesh, DirichletBC, Constant,
+                               errornorm)
+    mesh = fd.BoxMesh(4, 4, 4, hexahedral=True)
+    V = FunctionSpace(mesh, "CG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    X = SpatialCoordinate(mesh)
+    g = Function(V).interpolate(1 + X[0] + 2 * X[1] - X[2])
+    uh = Function(V)
+    solve(inner(grad(u), grad(v)) * dx == inner(Constant(0.0), v) * dx,
+          uh, bcs=[DirichletBC(V, g, "on_boundary")],
+          solver_parameters={"ksp_type": "cg", "pc_type": "jacobi",
+                             "ksp_rtol": 1e-12})
+    assert errornorm(1 + X[0] + 2 * X[1] - X[2], uh) < 1e-9
+
+
+def test_quadrature_degree_override():
+    """dx(degree=...) metadata reaches the kernel (reference: integral
+    metadata tsfc/driver.py:177)."""
+    mesh = UnitSquareMesh(4, 4)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    from firedrake_tpu import assemble
+    # x^4 y^4: exact with degree-8 rule, inexact with degree 1
+    exact = 1.0 / 25.0
+    hi = assemble(X[0] ** 4 * X[1] ** 4 * dx(degree=8))
+    lo = assemble(X[0] ** 4 * X[1] ** 4 * dx(degree=1))
+    assert abs(hi - exact) < 1e-6
+    assert abs(lo - exact) > abs(hi - exact)
