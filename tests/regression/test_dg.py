@@ -132,3 +132,47 @@ def test_dg_advection_conservation():
     assert abs(mass1 - mass0) < 1e-10, (mass0, mass1)
     assert np.asarray(q.dat).max() < 1.3
     assert np.asarray(q.dat).min() > -0.3
+
+
+def test_interior_facets_3d():
+    """dS orientation machinery in 3D: tet (triangle facets, 6
+    orientations) and hex (quad facets, dihedral orientations)."""
+    import firedrake_tpu as fd
+    from firedrake_tpu import UnitCubeMesh, dot
+    for mesh in [UnitCubeMesh(2, 2, 2),
+                 fd.BoxMesh(3, 3, 3, hexahedral=True)]:
+        V = FunctionSpace(mesh, "CG", 1)
+        X = SpatialCoordinate(mesh)
+        f = Function(V).interpolate(X[0] * X[1] + X[2])
+        assert abs(assemble(jump(f) * jump(f) * dS)) < 1e-12
+        n = FacetNormal(mesh)
+        assert abs(assemble(dot(X, n) * ds) - 3.0) < 1e-12
+
+
+def test_sipg_poisson_3d_tets():
+    """SIPG DG1 Poisson on tets solves a linear exact solution."""
+    import firedrake_tpu as fd
+    from firedrake_tpu import UnitCubeMesh, CellDiameter
+    mesh = UnitCubeMesh(3, 3, 3)
+    V = FunctionSpace(mesh, "DG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    X = SpatialCoordinate(mesh)
+    n = FacetNormal(mesh)
+    h = CellDiameter(mesh)
+    alpha = Constant(20.0)
+    gex = 1 + X[0] + 2 * X[1] - X[2]
+    a = inner(grad(u), grad(v)) * dx \
+        - inner(avg(grad(u)), jump(v, n)) * dS \
+        - inner(jump(u, n), avg(grad(v))) * dS \
+        + alpha / avg(h) * inner(jump(u, n), jump(v, n)) * dS \
+        - inner(grad(u), v * n) * ds \
+        - inner(u * n, grad(v)) * ds \
+        + alpha / h * inner(u, v) * ds
+    L = (- inner(gex * n, grad(v)) * ds
+         + alpha / h * inner(gex, v) * ds)
+    uh = Function(V)
+    solve(a == L, uh, solver_parameters={
+        "ksp_type": "gmres", "pc_type": "jacobi", "ksp_rtol": 1e-12,
+        "ksp_max_it": 20000, "ksp_gmres_restart": 100})
+    err = errornorm(gex, uh)
+    assert err < 1e-7, err
