@@ -61,14 +61,17 @@ from .solving import (solve, LinearVariationalProblem,
                       NonlinearVariationalSolver, LinearSolver)
 
 
-def Mesh(arg, **kwargs):
-    """Mesh factory (reference: firedrake/mesh.py:3275). Accepts a
-    MeshTopology+coords pair via our internal class, or (later) mesh file
-    paths (.msh/.exo readers land with the IO milestone)."""
+def Mesh(arg, name=None, **kwargs):
+    """Mesh factory (reference: firedrake/mesh.py:3275): pass a mesh
+    object, or a gmsh .msh file path (ASCII v2.2/v4.1)."""
     if isinstance(arg, _MeshClass):
         return arg
-    raise NotImplementedError("file-based meshes land with the IO layer; "
-                              "use the utility mesh constructors")
+    if isinstance(arg, str):
+        if arg.endswith(".msh"):
+            from .mesh.io_msh import read_msh
+            return read_msh(arg, name=name)
+        raise NotImplementedError(f"mesh format of {arg!r} (only .msh)")
+    raise TypeError(type(arg))
 
 
 __version__ = "0.1.0"
