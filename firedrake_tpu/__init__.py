@@ -53,6 +53,7 @@ from .utils.logging import (set_log_level, info, warning, error, debug,
                             DEBUG, INFO, WARNING, ERROR, CRITICAL)
 from .utils.profiling import (timed_region, timed_function,
                               print_event_summary, write_flamegraph)
+from .utils.ux import ProgressBar, Citations
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject
 from .solving import (solve, LinearVariationalProblem,
@@ -93,7 +94,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",
     "timed_region", "timed_function", "print_event_summary",
-    "write_flamegraph",
+    "write_flamegraph", "ProgressBar", "Citations",
     "MixedVectorSpaceBasis",
     "LinearVariationalProblem", "LinearVariationalSolver",
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
