@@ -1,0 +1,131 @@
+"""p-multigrid: coarsen by polynomial degree on one mesh.
+
+Reference: firedrake/preconditioners/pmg.py (PMGPC/PMGSNES, 1484 LoC —
+element-degree coarsening driven through PETSc options).  TPU version:
+degree levels k -> max(k//2, 1) -> ... -> 1; transfers are PER-CELL nodal
+tables (coarse basis at fine element nodes — no mesh maps needed), and
+the V-cycle is the same traceable Chebyshev-smoothed cycle as the
+geometric one (mg/vcycle.py).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..functionspace import FunctionSpace
+from ..language.core import Argument
+from ..language.calculus import map_expr
+from ..language.measure import Form
+from .vcycle import _estimate_lmax
+
+
+class PLevelTransfer:
+    """Transfers between P_kc and P_kf on the SAME mesh (kc < kf)."""
+
+    def __init__(self, Vc: FunctionSpace, Vf: FunctionSpace):
+        assert Vc.mesh_obj is Vf.mesh_obj
+        ec, ef = Vc.scalar_element, Vf.scalar_element
+        # coarse basis evaluated at fine nodes: (ndof_f, ndof_c)
+        T = ec.tabulate(ef.nodes, 0)[0]
+        bs = Vc.block_size
+        assert bs == Vf.block_size
+        self.T = jnp.asarray(T)
+        self.cmap = jnp.asarray(Vc.cell_dof_map)
+        self.fmap = jnp.asarray(Vf.cell_dof_map)
+        self.bs = bs
+        self.nVc, self.nVf = Vc.dim, Vf.dim
+        mult = np.zeros(Vf.dim)
+        np.add.at(mult, np.asarray(Vf.cell_dof_map).reshape(-1), 1.0)
+        self.fine_mult = jnp.asarray(np.where(mult > 0, mult, 1.0))
+        ndc, ndf = ec.ndof, ef.ndof
+
+        def _blk(x, nd):
+            return x.reshape(x.shape[0], nd, bs)
+
+        @jax.jit
+        def prolong(cdat):
+            cd = _blk(cdat[self.cmap], ndc)           # (nc, ndc, bs)
+            vals = jnp.einsum("fj,njb->nfb", self.T, cd)
+            out = jnp.zeros(self.nVf, dtype=cdat.dtype)
+            return out.at[self.fmap.reshape(-1)].set(vals.reshape(-1))
+
+        @jax.jit
+        def restrict_(fdual):
+            fw = fdual / self.fine_mult
+            fd = _blk(fw[self.fmap], ndf)
+            vals = jnp.einsum("fj,nfb->njb", self.T, fd)
+            out = jnp.zeros(self.nVc, dtype=fdual.dtype)
+            return out.at[self.cmap.reshape(-1)].add(vals.reshape(-1))
+
+        self.prolong_fn = prolong
+        self.restrict_fn = restrict_
+
+
+def _coarsen_degree_form(form: Form, space_map):
+    """Swap argument spaces for the lower-degree ones (same mesh, so
+    coefficients/geometry stay untouched)."""
+    mapping = {}
+    for it in form.integrals():
+        for t in it.integrand.traverse():
+            if isinstance(t, Argument):
+                mapping[t] = Argument(space_map(t.space), t.number, t.part)
+    out = []
+    for it in form.integrals():
+        out.append(it.reconstruct(map_expr(it.integrand, mapping)))
+    return Form(tuple(out))
+
+
+class PMGPC:
+    """V-cycle over degree levels (reference: PMGPC coarsening strategy
+    `coarsen_element`: degree k -> max(k//2, 1))."""
+
+    def __init__(self, a_fine: Form, bcs, fine_space: FunctionSpace,
+                 smooth_its=3, coarsen=lambda k: max(k // 2, 1)):
+        from ..assemble import assemble
+        from ..bcs import DirichletBC
+        V = fine_space
+        k = V.scalar_element.degree
+        degrees = [k]
+        while degrees[-1] > 1:
+            degrees.append(coarsen(degrees[-1]))
+        degrees = degrees[::-1]             # coarse -> fine
+        mesh = V.mesh_obj
+        fam = "CG"
+        mk = (lambda d: FunctionSpace(
+            mesh, fam, d, vector_dim=V.block_size)
+            if V.block_size > 1 else FunctionSpace(mesh, fam, d))
+        spaces = [mk(d) for d in degrees[:-1]] + [V]
+
+        self.levels = []
+        for Vl in spaces:
+            f = a_fine if Vl is V else _coarsen_degree_form(
+                a_fine, lambda _s, Vl=Vl: Vl)
+            lb = [DirichletBC(Vl, 0.0, bc.sub_domain, bc.sub_component)
+                  for bc in (bcs or ())]
+            A = assemble(f, bcs=lb)
+            diag = A.diagonal()
+            dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
+            bc_idx = (np.unique(np.concatenate(
+                [b.dof_indices for b in lb]))
+                if lb else np.zeros(0, dtype=np.int32))
+            mask = np.ones(Vl.dim)
+            mask[bc_idx] = 0.0
+            lam = _estimate_lmax(A.matvec, dinv, Vl.dim)
+            self.levels.append(dict(V=Vl, A=A, dinv=dinv,
+                                    mask=jnp.asarray(mask),
+                                    emin=0.25 * lam, emax=1.05 * lam))
+        self.coarse_inv = jnp.asarray(
+            np.linalg.inv(self.levels[0]["A"].to_dense()))
+        self.transfers = [PLevelTransfer(spaces[i], spaces[i + 1])
+                          for i in range(len(spaces) - 1)]
+        self.smooth_its = smooth_its
+        self.nlevels = len(spaces)
+
+    # smoothing/cycle identical in shape to the h-multigrid
+    from .vcycle import GMGPreconditioner as _G
+    _smooth = _G._smooth
+    _cycle = _G._cycle
+
+    def __call__(self, r):
+        return self._cycle(self.nlevels - 1, r)

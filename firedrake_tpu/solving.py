@@ -166,6 +166,11 @@ class LinearVariationalSolver:
                 if not hasattr(self, "_gmg"):
                     self._gmg = GMGPreconditioner(p.a, p.bcs, V)
                 pc = self._gmg
+            elif pcname == "pmg":
+                from .mg.pmg import PMGPC
+                if not hasattr(self, "_pmg"):
+                    self._pmg = PMGPC(p.a, p.bcs, V)
+                pc = self._pmg
             elif pcname == "fieldsplit":
                 from .solvers.fieldsplit import FieldsplitPC
                 pc = FieldsplitPC(A, V, params)
