@@ -143,10 +143,10 @@ class Lagrange(FiniteElement):
             if k == 0:
                 nodes.append(cell.vertices.mean(axis=0))
                 assoc.append((d, 0, ()))
-            elif self.continuous and k > 1:
+            elif self.continuous and k > 2:
                 raise NotImplementedError(
-                    "CG degree >= 2 on prisms needs mixed-arity face "
-                    "numbering (round-2 milestone); DG works at any degree")
+                    "CG degree >= 3 on prisms needs quad-face orientation "
+                    "permutations; CG1/CG2 and any-degree DG are supported")
             else:
                 # tensor lattice: tri barycentric x interval
                 for mi in _simplex_multiindices(2, k):

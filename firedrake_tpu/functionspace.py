@@ -36,43 +36,74 @@ class FunctionSpaceData:
         topo = mesh.topology
         ed = element.entity_dofs
         dims = sorted(ed.keys())
-        self.npe = {d: (len(ed[d][0]) if ed[d] else 0) for d in dims}
-        # entity offsets
-        off = 0
-        self.offsets = {}
+        cell = topo.cell
+
+        def _local_arity(d, e):
+            if d == 0:
+                return 1
+            row = cell.topology[d][e]
+            return int((np.asarray(row) >= 0).sum())
+
+        # dofs-per-entity may differ per ARITY CLASS (prisms mix triangle
+        # and quadrilateral faces); uniform meshes degenerate to one class
+        self.npe_class = {}            # (d, arity) -> ndofs
         for d in dims:
-            self.offsets[d] = off
-            off += topo.num_entities(d) * self.npe[d]
+            for e, dofs in ed[d].items():
+                a = _local_arity(d, e)
+                prev = self.npe_class.get((d, a))
+                if prev is None:
+                    self.npe_class[(d, a)] = len(dofs)
+                else:
+                    assert prev == len(dofs), \
+                        "inconsistent dofs within an arity class"
+        # legacy uniform view (None when classes differ)
+        self.npe = {}
+        for d in dims:
+            vals = {v for (dd, a), v in self.npe_class.items() if dd == d}
+            self.npe[d] = vals.pop() if len(vals) == 1 else None
+        off = 0
+        self.offsets = {}              # (d, arity) -> start offset
+        for d in dims:
+            for a, cnt in sorted(topo.entity_class_counts(d).items()):
+                npe = self.npe_class.get((d, a), 0)
+                self.offsets[(d, a)] = off
+                off += cnt * npe
         self.num_nodes = off
         self._build_cell_node_map()
 
     def _build_cell_node_map(self):
         topo = self.mesh.topology
         elem = self.element
+        cell = topo.cell
         ncell = topo.num_cells
         cmap = np.zeros((ncell, elem.ndof), dtype=_IDX)
         for d, ents in elem.entity_dofs.items():
-            npe = self.npe[d]
-            if npe == 0:
-                continue
             ce = topo.cell_entities(d)                   # (ncell, n_local)
             co = topo.cell_entity_orientations(d)        # (ncell, n_local)
-            if d == 0 or d == topo.dim or npe == 1:
-                perm_needed = False
-            else:
-                perm_needed = True
-                import math
-                nvpe = topo.cell.topology[d].shape[1]
-                n_ori = math.factorial(nvpe)
-                perm_table = np.stack(
-                    [elem.entity_permutation(d, o) for o in range(n_ori)])
+            cidx = topo.entity_class_index(d)
             for e, slots in ents.items():
                 if not slots:
                     continue
-                g = ce[:, e]                             # (ncell,)
-                base = self.offsets[d] + g.astype(np.int64) * npe
+                if d == 0:
+                    a = 1
+                else:
+                    row = cell.topology[d][e] if d < topo.dim else \
+                        np.arange(cell.num_vertices)
+                    a = int((np.asarray(row) >= 0).sum())
+                npe = self.npe_class[(d, a)]
+                perm_needed = not (d == 0 or d == topo.dim or npe == 1)
                 if perm_needed:
-                    p = perm_table[co[:, e]]             # (ncell, npe)
+                    import math
+                    nvpe = a
+                    n_ori = math.factorial(nvpe)
+                    perm_table = np.stack(
+                        [np.asarray(elem.entity_permutation(d, o))
+                         for o in range(n_ori)])
+                g = ce[:, e].astype(np.int64)
+                gc = cidx[g]                             # within-class idx
+                base = self.offsets[(d, a)] + gc * npe
+                if perm_needed:
+                    p = perm_table[co[:, e]]
                     vals = base[:, None] + p
                 else:
                     vals = base[:, None] + np.arange(npe)
@@ -106,6 +137,7 @@ class FunctionSpaceData:
                 return sgn
 
             npe = self.npe[fd]
+            assert npe is not None, "signed dofs need uniform facet classes"
             if hasattr(elem, "facet_dof_signs"):
                 table = np.stack([elem.facet_dof_signs(o)
                                   for o in range(len(perms))])
@@ -145,6 +177,7 @@ class FunctionSpaceData:
         """Global node ids on the closure of the given facets (reference:
         dmcommon.pyx:1689 facet_closure_nodes; bcs.py:129 DirichletBC.nodes)."""
         topo = self.mesh.topology
+        cell = topo.cell
         fc = topo.facet_cells[facet_ids, 0]
         fl = topo.facet_local_id[facet_ids, 0]
         nodes = []
@@ -152,11 +185,17 @@ class FunctionSpaceData:
             sel = fl == lf
             cells = fc[sel]
             for ed, eid in self._facet_closure_template(int(lf)):
-                npe = self.npe.get(ed, 0)
+                if ed == 0:
+                    a = 1
+                else:
+                    row = cell.topology[ed][eid]
+                    a = int((np.asarray(row) >= 0).sum())
+                npe = self.npe_class.get((ed, a), 0)
                 if npe == 0:
                     continue
                 g = topo.cell_entities(ed)[cells, eid].astype(np.int64)
-                base = self.offsets[ed] + g * npe
+                gc = topo.entity_class_index(ed)[g]
+                base = self.offsets[(ed, a)] + gc * npe
                 nodes.append((base[:, None] + np.arange(npe)).ravel())
         if not nodes:
             return np.zeros(0, dtype=_IDX)

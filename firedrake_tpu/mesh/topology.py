@@ -79,10 +79,24 @@ class MeshTopology:
             assert np.all(ori >= 0)
             ent = uniq
             ent = np.where(ent >= SENT, -1, ent)
+            # arity classes (prisms mix triangle and quad faces): each
+            # entity gets a within-class index so numbering can use
+            # different dofs-per-entity per class
+            arity = (ent >= 0).sum(axis=1)
+            classes = np.unique(arity)
+            class_index = np.zeros(len(ent), dtype=np.int64)
+            class_counts = {}
+            for a in classes:
+                sel = arity == a
+                class_index[sel] = np.arange(sel.sum())
+                class_counts[int(a)] = int(sel.sum())
             out[d] = dict(entities=ent.astype(np.int64),
                           cell_entities=cell_entities,
                           cell_orientations=ori.reshape(self.num_cells,
-                                                        n_local))
+                                                        n_local),
+                          arity=arity.astype(np.int64),
+                          class_index=class_index,
+                          class_counts=class_counts)
         return out
 
     def num_entities(self, d: int) -> int:
@@ -98,6 +112,29 @@ class MeshTopology:
         if d == self.dim:
             return np.arange(self.num_cells, dtype=_IDX)[:, None]
         return self._entity_data[d]["cell_entities"]
+
+    def entity_class_counts(self, d: int) -> dict:
+        """{arity: count} for dim-d entities (uniform cells: one class)."""
+        if d == 0:
+            return {1: self.num_vertices}
+        if d == self.dim:
+            return {self.cell.num_vertices: self.num_cells}
+        return self._entity_data[d]["class_counts"]
+
+    def entity_class_index(self, d: int) -> np.ndarray:
+        if d == 0:
+            return np.arange(self.num_vertices, dtype=np.int64)
+        if d == self.dim:
+            return np.arange(self.num_cells, dtype=np.int64)
+        return self._entity_data[d]["class_index"]
+
+    def entity_arity(self, d: int) -> np.ndarray:
+        if d == 0:
+            return np.ones(self.num_vertices, dtype=np.int64)
+        if d == self.dim:
+            return np.full(self.num_cells, self.cell.num_vertices,
+                           dtype=np.int64)
+        return self._entity_data[d]["arity"]
 
     def cell_entity_orientations(self, d: int) -> np.ndarray:
         if d == 0 or d == self.dim:

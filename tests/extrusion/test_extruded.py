@@ -76,3 +76,20 @@ def test_prism_dg_any_degree():
     f = Function(V).interpolate(X[0] ** 2 + X[2] ** 2)
     # DG2 on prisms represents quadratics exactly
     assert errornorm(X[0] ** 2 + X[2] ** 2, f) < 1e-11
+
+
+def test_prism_cg2_exact_quadratics():
+    """CG2 on prisms (mixed-arity face numbering): quadratics exact."""
+    m = ExtrudedMesh(UnitSquareMesh(3, 3), 3)
+    V = FunctionSpace(m, "CG", 2)
+    X = SpatialCoordinate(m)
+    f = Function(V).interpolate(X[0] ** 2 + X[1] * X[2] + X[2] ** 2)
+    assert errornorm(X[0] ** 2 + X[1] * X[2] + X[2] ** 2, f) < 1e-11
+    u, v = TrialFunction(V), TestFunction(V)
+    g = Function(V).interpolate(X[0] ** 2 + X[2] ** 2)
+    uh = Function(V)
+    solve(inner(grad(u), grad(v)) * dx == inner(Constant(-4.0), v) * dx,
+          uh, bcs=[DirichletBC(V, g, "on_boundary")],
+          solver_parameters={"ksp_type": "cg", "pc_type": "jacobi",
+                             "ksp_rtol": 1e-12})
+    assert errornorm(X[0] ** 2 + X[2] ** 2, uh) < 1e-9
