@@ -230,8 +230,12 @@ class ExteriorFacetContext(BaseContext):
         key = ("tab", hash(element), order)
         if key not in self._cache:
             tabs = {}
-            per_lf = [_tables_at(element, self.fpts[lf], order)
-                      for lf in range(len(self.fpts))]
+            if hasattr(element, "tabulate_facet"):
+                per_lf = [element.tabulate_facet(lf, self.fpts[lf], order)
+                          for lf in range(len(self.fpts))]
+            else:
+                per_lf = [_tables_at(element, self.fpts[lf], order)
+                          for lf in range(len(self.fpts))]
             for d in per_lf[0]:
                 stacked = jnp.asarray(np.stack([p[d] for p in per_lf]))
                 tabs[d] = stacked[self.lf]            # gather by local facet
@@ -293,15 +297,18 @@ class InteriorFacetContext(BaseContext):
         key = ("tab", hash(element), order, side)
         if key not in self._cache:
             tabs = {}
+            tab1 = (element.tabulate_facet
+                    if hasattr(element, "tabulate_facet") else
+                    lambda lf, pts, o: _tables_at(element, pts, o))
             if side == "+":
-                per = [_tables_at(element, self.fpts[lf], order)
+                per = [tab1(lf, self.fpts[lf], order)
                        for lf in range(len(self.fpts))]
                 for d in per[0]:
                     stacked = jnp.asarray(np.stack([p[d] for p in per]))
                     tabs[d] = stacked[self.lf["+"]]
             else:
                 nlf, nori = self.mpts.shape[:2]
-                per = [[_tables_at(element, self.mpts[lf, o], order)
+                per = [[tab1(lf, self.mpts[lf, o], order)
                         for o in range(nori)] for lf in range(nlf)]
                 for d in per[0][0]:
                     stacked = jnp.asarray(

@@ -368,4 +368,7 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
     if family == "N1curl":
         from .hdiv import NedelecFirstKind2D
         return NedelecFirstKind2D(cell_name, degree)
+    if family in ("HDiv Trace", "HDivT", "DGT", "TraceElement"):
+        from .trace import HDivTrace
+        return HDivTrace(cell_name, degree)
     raise NotImplementedError(f"element family {family!r}")

@@ -225,7 +225,14 @@ class Argument(Terminal):
         return self.space
 
     def _sig(self, rn):
-        return f"Arg{self.number}[{self.space.element!r}]"
+        # the signature must distinguish the SAME element appearing as
+        # different parts of different mixed spaces (assembler cache key)
+        parent = getattr(self.space, "parent", None)
+        ctx = ""
+        if parent is not None:
+            ctx = "|" + ",".join(repr(V.element)
+                                 for V in parent.subspaces)                 + f"@{self.part}"
+        return f"Arg{self.number}[{self.space.element!r}{ctx}]"
 
     def __repr__(self):
         return f"{'vu'[min(self.number,1)]}_{self.number}"

@@ -229,4 +229,19 @@ class BlockMatrix:
                     jnp.where(dpos >= 0, 1.0, data[jnp.clip(dpos, 0)]))
             from .assembly.matrix import Matrix
             new[(i, j)] = Matrix(s, data, B.row_space, B.col_space, B.bcs)
+        # bc rows living in a field WITHOUT a diagonal block (e.g. a trace
+        # multiplier with no self-coupling) need a synthesized identity
+        from .assembly.sparsity import Sparsity as _Sp
+        from .assembly.matrix import Matrix as _Mat
+        import jax.numpy as _jnp
+        for i, Vi in enumerate(self.W_test.subspaces):
+            if (i, i) in new:
+                continue
+            ro = self.row_offsets[i]
+            ri = bc_rows[(bc_rows >= ro) & (bc_rows < ro + Vi.dim)] - ro
+            if len(ri) == 0:
+                continue
+            sp = _Sp(Vi.dim, Vi.dim, [(ri[:, None], ri[:, None])])
+            data = _jnp.ones(sp.nnz)
+            new[(i, i)] = _Mat(sp, data, Vi, Vi)
         return BlockMatrix(self.W_test, self.W_trial, new)

@@ -1,0 +1,78 @@
+"""Hybridized mixed methods: broken H(div) + facet trace multipliers
+(reference: firedrake/slate/static_condensation/hybridization.py — here
+the hybrid system solves directly; trace-only condensation via Slate
+facet terms is the follow-up)."""
+import math
+
+import numpy as np
+import pytest
+
+import firedrake_tpu as fd
+from firedrake_tpu import (FunctionSpace, MixedFunctionSpace, Function,
+                           TestFunctions, TrialFunctions, TestFunction,
+                           TrialFunction, SpatialCoordinate, UnitSquareMesh,
+                           DirichletBC, FacetNormal, inner, dot, div, dx,
+                           ds, dS, jump, solve, sin, assemble, errornorm)
+from firedrake_tpu.elements import BrokenElement, HDivTrace, \
+    make_scalar_element
+
+
+def test_trace_space_facet_mass():
+    mesh = UnitSquareMesh(3, 3)
+    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    assert T.dim == len(mesh.topology.facet_cells)
+    lam, mu = TrialFunction(T), TestFunction(T)
+    M = assemble(inner(lam("+"), mu("+")) * dS + inner(lam, mu) * ds)
+    d = np.sort(np.asarray(M.to_scipy().diagonal()))
+    fv = mesh.topology.facet_vertices
+    L = np.sort(np.linalg.norm(
+        mesh._vertex_coords[fv[:, 1]] - mesh._vertex_coords[fv[:, 0]],
+        axis=1))
+    assert np.abs(d - L).max() < 1e-12
+
+
+def test_trace_cell_integral_raises():
+    mesh = UnitSquareMesh(2, 2)
+    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    lam, mu = TrialFunction(T), TestFunction(T)
+    with pytest.raises(ValueError):
+        assemble(inner(lam, mu) * dx)
+
+
+def test_hybridized_equals_classical_mixed():
+    """Broken-RT1 x DG0 x Trace0 hybrid system reproduces the conforming
+    mixed solution exactly."""
+    mesh = UnitSquareMesh(8, 8)
+    Sb = FunctionSpace(mesh, BrokenElement(
+        make_scalar_element("triangle", "RT", 1)))
+    V = FunctionSpace(mesh, "DG", 0)
+    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    W = MixedFunctionSpace([Sb, V, T])
+    sigma, u, lam = TrialFunctions(W)
+    tau, v, mu = TestFunctions(W)
+    X = SpatialCoordinate(mesh)
+    n = FacetNormal(mesh)
+    f = Function(V).interpolate(
+        2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+    a = ((dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+         + inner(lam("+"), jump(tau, n)) * dS
+         + inner(lam, dot(tau, n)) * ds
+         + inner(mu("+"), jump(sigma, n)) * dS
+         + inner(mu, dot(sigma, n)) * ds)
+    L = -inner(f, v) * dx
+    w = Function(W)
+    solve(a == L, w, bcs=[DirichletBC(W.sub(2), 0.0, "on_boundary")],
+          solver_parameters={"ksp_type": "preonly", "pc_type": "lu"})
+    uh = w.subfunctions[1]
+
+    S = FunctionSpace(mesh, "RT", 1)
+    W2 = MixedFunctionSpace([S, V])
+    s2, u2 = TrialFunctions(W2)
+    t2, v2 = TestFunctions(W2)
+    a2 = (dot(s2, t2) + div(t2) * u2 + div(s2) * v2) * dx
+    w2 = Function(W2)
+    solve(a2 == -inner(f, v2) * dx, w2,
+          solver_parameters={"ksp_type": "preonly", "pc_type": "lu"})
+    diff = np.abs(np.asarray(uh.dat)
+                  - np.asarray(w2.subfunctions[1].dat)).max()
+    assert diff < 1e-10, diff
