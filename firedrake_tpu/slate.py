@@ -11,9 +11,23 @@ inverse/solve are batched jnp.linalg calls; the final global assembly
 scatters through the outer arguments' dof maps.  Everything is one jitted
 program (the reference needs generated C + LAPACK for this).
 
-Round-1 scope: cell integrals (the static-condensation use case).  Facet
-terms inside Slate tensors (hybridization's trace coupling) follow with
-the cell-facet mask machinery.
+Facet integrals (hybridization's trace coupling) are localized ONE-SIDED:
+a dS integrand written in the restriction-symmetric hybridizable style
+(jump/avg of broken fluxes against single-valued trace functions) splits
+into per-cell contributions where '+' means "this cell".  Each interior
+facet is then visited from both adjacent cells and the transformed
+integrand is evaluated with the cell's own outward normal (the reference
+does this with cell-facet loops inside generated kernels,
+slate/slac/kernel_builder.py).  Genuinely two-sided DG couplings
+(jump*jump cross terms) cannot be localized per cell — detected and
+rejected.
+
+Mixed forms build BLOCKED local tensors: per-cell dof axes concatenate the
+fields ([flux | scalar | trace]); ``A.blocks[i, j]`` slices fields (the
+reference's Block :600), enabling static condensation:
+
+    S = A.blocks[2, 2] - A.blocks[2, :2] * A.blocks[:2, :2].inv \
+        * A.blocks[:2, 2]
 """
 from __future__ import annotations
 
@@ -21,8 +35,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .language.measure import Form
-from .language.core import Argument, Coefficient
+from .language.measure import Form, Integral
+from .language.core import (Argument, Coefficient, Restricted, Zero,
+                            FacetNormal, Grad, Product, Division,
+                            ScalarValue, Terminal)
+from .language.tensor_algebra import Inner, Dot, Outer, Cross
+from .language.calculus import reconstruct
 from .function import Function, Cofunction
 
 
@@ -52,7 +70,8 @@ class TensorBase:
     def solve(self, b):
         return Solve(self, b)
 
-    def blocks(self, *args, **kwargs):
+    @property
+    def blocks(self):
         return _BlockIndexer(self)
 
     # rank: number of argument axes (2 matrix, 1 vector)
@@ -60,12 +79,35 @@ class TensorBase:
 
 
 class Tensor(TensorBase):
-    """Element-local tensor of a bilinear/linear form."""
+    """Element-local tensor of a bilinear/linear form (possibly mixed).
 
-    def __init__(self, form: Form):
+    ``axes`` optionally pins each argument axis to a (possibly mixed)
+    function space: a form referencing only SOME fields of a mixed space
+    still produces the full blocked local tensor, with zero blocks for the
+    absent couplings (needed by hybridization's trace operator K, whose
+    trial argument touches only the flux field)."""
+
+    def __init__(self, form: Form, axes=None):
         self.form = form
         self.arguments = form.arguments()
-        self.rank = len(self.arguments)
+        numbers = sorted({a.number for a in self.arguments})
+        self.rank = len(numbers)
+        # per-axis field structure: list of part-arguments, sorted by part
+        self.axis_parts = []
+        for i, n in enumerate(numbers):
+            space = axes[i] if axes is not None else None
+            if space is not None:
+                from .mixed import MixedFunctionSpace
+                if isinstance(space, MixedFunctionSpace):
+                    parts = [Argument(space.sub(k), n, part=k)
+                             for k in range(space.num_sub_spaces)]
+                else:
+                    parts = [Argument(space, n)]
+            else:
+                parts = sorted(
+                    (a for a in self.arguments if a.number == n),
+                    key=lambda a: -1 if a.part is None else a.part)
+            self.axis_parts.append(parts)
 
     def __repr__(self):
         return f"Tensor(rank={self.rank})"
@@ -128,26 +170,198 @@ class _BlockIndexer:
     def __getitem__(self, idx):
         return Block(self.tensor, idx)
 
+    def __call__(self, *args, **kwargs):   # legacy .blocks() call form
+        return self
+
 
 class Block(TensorBase):
-    """Sub-block by local dof slices (for mixed/condensation splitting)."""
+    """Field sub-block of a mixed tensor (reference slate.py:600 Block).
+
+    Indices are FIELD indices (ints or slices), one per axis."""
 
     def __init__(self, a, indices):
         self.a = a
         self.indices = indices if isinstance(indices, tuple) else (indices,)
+        assert len(self.indices) == a.rank
         self.rank = a.rank
 
 
-# ------------------------------------------------------------- evaluation
-def _local_kernels_for(form: Form):
-    """vmapped local assembly (ncell, ni[, nj]) reusing CompiledIntegral."""
-    from .assemble import FormAssembler
-    asm = FormAssembler(form)
-    for ci in asm._compiled:
-        if ci.integral_type != "cell":
+# ------------------------------------------------- one-sided localization
+def _is_single_valued(t):
+    """Is this terminal single-valued on a facet (same seen from both
+    cells)?  Trace elements by construction; continuous Lagrange values."""
+    space = getattr(t, "space", None)
+    elem = getattr(space, "element", None)
+    if elem is None:
+        return False
+    from .elements.trace import HDivTrace
+    if isinstance(elem, HDivTrace):
+        return True
+    scalar = getattr(elem, "sub", elem)        # Vector/Tensor wrapper
+    fam = getattr(scalar, "family", "")
+    return fam in ("Lagrange", "Q") and getattr(scalar, "degree", 0) >= 1
+
+
+def _restriction_sides(e):
+    """Bottom-up set of restriction sides attached to cell-based (NOT
+    single-valued) quantities; raises if a multiplicative node couples
+    different sides (not localizable per cell)."""
+    if isinstance(e, Restricted):
+        base = e.operands[0]
+        cellbased = any(isinstance(t, (Argument, Coefficient))
+                        and not _is_single_valued(t)
+                        for t in base.traverse())
+        return frozenset([e.side]) if cellbased else frozenset()
+    subs = [_restriction_sides(o) for o in e.operands]
+    if isinstance(e, (Product, Dot, Inner, Outer, Cross, Division)):
+        nonempty = [s for s in subs if s]
+        for i in range(len(nonempty)):
+            for j in range(i + 1, len(nonempty)):
+                if nonempty[i] != nonempty[j] or len(nonempty[i]) > 1:
+                    raise NotImplementedError(
+                        "facet integrand couples '+' and '-' of cell-based "
+                        "functions — not localizable per cell (write the "
+                        "hybridizable one-sided form, or assemble globally)")
+    out = frozenset()
+    for s in subs:
+        out |= s
+    return out
+
+
+def _apply_side(e, side, under_grad=False):
+    """Evaluate a restricted subtree one-sided: '+' == this cell."""
+    if isinstance(e, FacetNormal):
+        return e if side == "+" else Product(ScalarValue(-1.0), e)
+    if isinstance(e, (Argument, Coefficient)):
+        if side == "+" or (_is_single_valued(e) and not under_grad):
+            return e
+        return Zero(e.shape)
+    if isinstance(e, Terminal):
+        return e
+    ug = under_grad or isinstance(e, Grad)
+    ops = [_apply_side(o, side, ug) for o in e.operands]
+    if all(a is b for a, b in zip(ops, e.operands)):
+        return e
+    return reconstruct(e, ops)
+
+
+def _one_sided(e):
+    """Strip restrictions for per-cell facet localization."""
+    if isinstance(e, Restricted):
+        return _apply_side(_one_sided_body(e.operands[0]), e.side)
+    return _one_sided_body(e)
+
+
+def _one_sided_body(e):
+    if isinstance(e, Terminal):
+        return e
+    ops = [_one_sided(o) for o in e.operands]
+    if all(a is b for a, b in zip(ops, e.operands)):
+        return e
+    return reconstruct(e, ops)
+
+
+# ------------------------------------------------------- local evaluation
+def _gather_coeffs(ci, cells):
+    """Per-entity coefficient arrays for the given owning cells."""
+    ws = []
+    for c in ci.coefficients:
+        w = jnp.asarray(c.dat)[jnp.asarray(c.space.cell_dof_map[cells])]
+        if getattr(c.space, "has_dof_signs", False):
+            w = w * jnp.asarray(c.space.cell_dof_signs[cells])
+        ws.append(w)
+    return tuple(ws)
+
+
+def _apply_arg_signs(loc, ci, cells, rank):
+    if ci.test is not None and getattr(ci.test.space, "has_dof_signs",
+                                       False):
+        s = jnp.asarray(ci.test.space.cell_dof_signs[cells])
+        loc = loc * (s[:, :, None] if rank == 2 else s)
+    if ci.trial is not None and getattr(ci.trial.space, "has_dof_signs",
+                                        False):
+        s = jnp.asarray(ci.trial.space.cell_dof_signs[cells])
+        loc = loc * s[:, None, :]
+    return loc
+
+
+def _local_form_tensor(form: Form):
+    """Per-cell dense tensor of a NON-mixed form over ALL cells:
+    (ncell, ni[, nj]).  Cell integrals vmap directly; facet integrals are
+    localized one-sided and scatter-added into the owning cells."""
+    from .compiler.kernels import CompiledIntegral
+    mesh = form.mesh()
+    topo = mesh.topology
+    args = form.arguments()
+    test = next((a for a in args if a.number == 0), None)
+    trial = next((a for a in args if a.number == 1), None)
+    rank = len(args)
+    ni = test.space.element.ndof if test is not None else 1
+    nj = trial.space.element.ndof if trial is not None else 1
+    coords = jnp.asarray(mesh.coordinates.dat)
+    cmap3 = mesh.coordinates.function_space().cell_dof_map.reshape(
+        topo.num_cells, -1, mesh.geometric_dimension)
+    out = jnp.zeros((topo.num_cells, ni, nj))
+
+    def run_facets(ci, facets, sides):
+        nonlocal out
+        kern = ci.exterior_facet_kernel()
+        consts = tuple(jnp.asarray(c.values()) for c in ci.constants)
+        for side in sides:
+            cells = topo.facet_cells[facets, side]
+            lf = jnp.asarray(topo.facet_local_id[facets, side])
+            ce = coords[jnp.asarray(cmap3[cells])]
+            ws = _gather_coeffs(ci, cells)
+            loc = jax.vmap(lambda c, l, *w: kern(c, l, w, consts))(
+                ce, lf, *ws)
+            loc = _apply_arg_signs(loc, ci, cells, 2)
+            out = out.at[jnp.asarray(cells)].add(loc)
+
+    for integral in form.integrals():
+        itype = integral.integral_type
+        if itype == "cell":
+            ci = CompiledIntegral(integral, test, trial, mesh)
+            kern = ci.cell_kernel()
+            consts = tuple(jnp.asarray(c.values()) for c in ci.constants)
+            cells = mesh.cell_subset(integral.subdomain_id)
+            if len(cells) == 0:
+                continue
+            ce = coords[jnp.asarray(cmap3[cells])]
+            ws = _gather_coeffs(ci, cells)
+            loc = jax.vmap(lambda c, *w: kern(c, w, consts))(ce, *ws)
+            loc = _apply_arg_signs(loc, ci, cells, 2)
+            out = out.at[jnp.asarray(cells)].add(loc)
+        elif itype == "exterior_facet":
+            facets = mesh.boundary_facets(integral.subdomain_id)
+            if len(facets) == 0:
+                continue
+            one = Integral(_one_sided(integral.integrand),
+                           "exterior_facet", integral.subdomain_id,
+                           integral.metadata, integral.domain)
+            ci = CompiledIntegral(one, test, trial, mesh)
+            run_facets(ci, facets, (0,))
+        elif itype == "interior_facet":
+            facets = topo.interior_facets
+            if len(facets) == 0:
+                continue
+            _restriction_sides(integral.integrand)   # localizability check
+            one = Integral(_one_sided(integral.integrand),
+                           "exterior_facet", "everywhere",
+                           integral.metadata, integral.domain)
+            ci = CompiledIntegral(one, test, trial, mesh)
+            run_facets(ci, facets, (0, 1))
+        else:
             raise NotImplementedError(
-                "Slate tensors with facet integrals: next milestone")
-    return asm
+                f"Slate local tensors over {itype!r} integrals")
+    if rank == 1:
+        out = out[:, :, 0]
+    elif rank == 0:
+        out = out[:, 0, 0]
+    return out
+
+
+def _axis_dims(parts):
+    return [p.space.element.ndof for p in parts]
 
 
 def _eval_local(expr, cache):
@@ -162,29 +376,44 @@ def _eval_local(expr, cache):
 
 def _eval_local_impl(expr, cache):
     if isinstance(expr, Tensor):
-        asm = _local_kernels_for(expr.form)
-        coords = jnp.asarray(asm.mesh.coordinates.dat)
-        cd = {c.count: jnp.asarray(c.dat) for c in asm.coefficients}
-        cv = {c.count: jnp.asarray(c.values()) for c in asm.constants}
-        # run per-integral kernels WITHOUT the global scatter
-        total = None
-        for ci, st in zip(asm._compiled, asm._statics):
-            kern = ci.kernel()
-            consts = tuple(cv[c.count] for c in ci.constants)
-            ce = coords[st["coords_map"]]
-            ws = tuple(cd[c.count][st["coeff_maps"][c.count]]
-                       for c in ci.coefficients)
-            loc = jax.vmap(lambda c, *w: kern(c, w, consts))(ce, *ws)
-            if st.get("sign_rows") is not None:
-                loc = loc * st["sign_rows"][:, :, None]
-            if st.get("sign_cols") is not None:
-                loc = loc * st["sign_cols"][:, None, :]
-            total = loc if total is None else total + loc
-        if expr.rank == 1:
-            total = total[:, :, 0]
-        return total
+        if all(len(parts) == 1 for parts in expr.axis_parts):
+            return _local_form_tensor(expr.form)
+        # mixed: pack per-field blocks into one dense local tensor
+        from .mixed import extract_block
+        dims = [_axis_dims(p) for p in expr.axis_parts]
+        offs = [np.concatenate([[0], np.cumsum(d)]) for d in dims]
+        mesh = expr.form.mesh()
+        nc = mesh.topology.num_cells
+        shape = (nc,) + tuple(int(o[-1]) for o in offs)
+        out = jnp.zeros(shape)
+        if expr.rank == 2:
+            for i, ti in enumerate(expr.axis_parts[0]):
+                for j, tj in enumerate(expr.axis_parts[1]):
+                    blk = extract_block(expr.form, ti.part, tj.part)
+                    if not blk.integrals():
+                        continue
+                    loc = _local_form_tensor(blk)
+                    out = out.at[:, offs[0][i]:offs[0][i + 1],
+                                 offs[1][j]:offs[1][j + 1]].set(loc)
+        else:
+            for i, ti in enumerate(expr.axis_parts[0]):
+                blk = extract_block(expr.form, ti.part, None)
+                if not blk.integrals():
+                    continue
+                loc = _local_form_tensor(blk)
+                out = out.at[:, offs[0][i]:offs[0][i + 1]].set(loc)
+        return out
     if isinstance(expr, AssembledVector):
         V = expr.space
+        from .mixed import MixedFunctionSpace
+        if isinstance(V, MixedFunctionSpace):
+            parts = []
+            for sub, Vi in zip(expr.f.subfunctions, V.subspaces):
+                g = jnp.asarray(sub.dat)[jnp.asarray(Vi.cell_dof_map)]
+                if getattr(Vi, "has_dof_signs", False):
+                    g = g * jnp.asarray(Vi.cell_dof_signs)
+                parts.append(g)
+            return jnp.concatenate(parts, axis=1)
         dat = jnp.asarray(expr.f.dat)
         g = dat[jnp.asarray(V.cell_dof_map)]
         if getattr(V, "has_dof_signs", False):
@@ -217,36 +446,68 @@ def _eval_local_impl(expr, cache):
         return batched_solve(A, b)
     if isinstance(expr, Block):
         v = _eval_local(expr.a, cache)
-        sl = (slice(None),) + tuple(expr.indices)
-        return v[sl]
+        sls = [slice(None)]
+        for axis, idx in enumerate(expr.indices):
+            parts = _axis_parts(expr.a)[axis]
+            offs = np.concatenate([[0], np.cumsum(_axis_dims(parts))])
+            if isinstance(idx, slice):
+                rng = range(len(parts))[idx]
+                sls.append(slice(int(offs[rng.start]),
+                                 int(offs[rng.stop - 1 + 1])))
+            else:
+                sls.append(slice(int(offs[idx]), int(offs[idx + 1])))
+        return v[tuple(sls)]
     raise NotImplementedError(type(expr).__name__)
 
 
-def _outer_arguments(expr):
-    """Arguments of the resulting global tensor (post contraction)."""
+# --------------------------------------------- axis (argument) bookkeeping
+class _SpaceAxis:
+    """Pseudo-argument carrying just a space (AssembledVector axes)."""
+    def __init__(self, space):
+        self.space = space
+
+
+def _axis_parts(expr):
+    """Per remaining axis: the list of per-field part arguments."""
     if isinstance(expr, Tensor):
-        return list(expr.form.arguments())
+        return expr.axis_parts
     if isinstance(expr, AssembledVector):
-        return []
-    if isinstance(expr, (Transpose,)):
-        args = _outer_arguments(expr.a)
-        return args[::-1]
-    if isinstance(expr, (Negative, Block)):
-        return _outer_arguments(expr.a)
-    if isinstance(expr, Inverse):
-        return _outer_arguments(expr.a)[::-1]
+        from .mixed import MixedFunctionSpace
+        V = expr.space
+        if isinstance(V, MixedFunctionSpace):
+            return [[_SpaceAxis(V.sub(i)) for i in
+                     range(V.num_sub_spaces)]]
+        return [[_SpaceAxis(V)]]
+    if isinstance(expr, (Transpose, Inverse)):
+        return _axis_parts(expr.a)[::-1]
+    if isinstance(expr, Negative):
+        return _axis_parts(expr.a)
     if isinstance(expr, Add):
-        return _outer_arguments(expr.a)
+        return _axis_parts(expr.a)
     if isinstance(expr, Mul):
-        a = _outer_arguments(expr.a)
-        b = _outer_arguments(expr.b)
-        # contract a's last with b's first
+        a = _axis_parts(expr.a)
+        b = _axis_parts(expr.b)
         return a[:-1] + b[1:]
     if isinstance(expr, Solve):
-        inv_args = _outer_arguments(expr.A)[::-1]   # [trial, test]
-        b_args = _outer_arguments(expr.b)           # [test(, trial)]
-        return inv_args[:-1] + b_args[1:]
-    raise NotImplementedError
+        A = _axis_parts(expr.A)[::-1]
+        b = _axis_parts(expr.b)
+        return A[:-1] + b[1:]
+    if isinstance(expr, Block):
+        out = []
+        for axis, idx in enumerate(expr.indices):
+            parts = _axis_parts(expr.a)[axis]
+            out.append([parts[idx]] if isinstance(idx, int)
+                       else list(np.asarray(parts, dtype=object)[idx]))
+        return out
+    raise NotImplementedError(type(expr).__name__)
+
+
+def _axis_space(parts, what):
+    if len(parts) != 1:
+        raise NotImplementedError(
+            f"global assembly of a Slate expression with a multi-field "
+            f"{what} axis — slice to single fields with .blocks[i, j]")
+    return parts[0].space
 
 
 def assemble_slate(expr, bcs=None):
@@ -255,21 +516,28 @@ def assemble_slate(expr, bcs=None):
     from .assembly.matrix import Matrix
     cache = {}
     local = _eval_local(expr, cache)
-    args = _outer_arguments(expr)
     if expr.rank == 0:
         return float(jnp.sum(local))
-    test = args[0]
-    V0 = test.space
+    axes = _axis_parts(expr)
+    V0 = _axis_space(axes[0], "row")
     rows = jnp.asarray(V0.cell_dof_map)
+    # NOTE: dof signs are already applied inside the local tensors
+    # (signed local basis == global basis restricted to the cell), so the
+    # scatter is a plain add.
     if expr.rank == 1:
         out = jnp.zeros(V0.dim).at[rows.reshape(-1)].add(local.reshape(-1))
         f = Cofunction(V0)
         f.dat = np.asarray(out)
         return f
-    trial = args[1]
-    V1 = trial.space
+    V1 = _axis_space(axes[1], "column")
     cols = np.asarray(V1.cell_dof_map)
     sp = Sparsity(V0.dim, V1.dim, [(np.asarray(V0.cell_dof_map), cols)])
     data = jnp.zeros(sp.nnz).at[jnp.asarray(sp.block_positions[0])].add(
         local.reshape(-1))
-    return Matrix(sp, data, V0, V1)
+    A = Matrix(sp, data, V0, V1)
+    if bcs:
+        from .bcs import DirichletBC
+        nodes = np.unique(np.concatenate(
+            [bc.nodes for bc in bcs]))
+        A = A.with_dirichlet(nodes)
+    return A

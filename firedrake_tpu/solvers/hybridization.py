@@ -1,0 +1,143 @@
+"""HybridizationPC: solve a conforming H(div) x DG mixed system by
+hybridization + static condensation onto facet trace multipliers.
+
+Reference: firedrake/slate/static_condensation/hybridization.py
+(HybridizationPC.initialize :62 builds the broken space, trace space and
+Schur complement via Slate; :310 back-substitutes the eliminated fields).
+
+TPU-native shape of the algorithm: every step is batched-per-cell dense
+algebra (Slate) driving one small global trace solve —
+  [[A, K^T], [K, 0]] [x, lam] = [F, 0]
+  S = K A^{-1} K^T,  E = K A^{-1} F       (per-cell condensation)
+  solve S lam = E                          (global, trace dofs only)
+  x = A^{-1} (F - K^T lam)                 (per-cell back-substitution)
+The per-cell inverses ride the batched Gauss-Jordan / solve kernels
+(ops/batched_inverse.py) — the reference needs generated C + LAPACK here.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..functionspace import FunctionSpace
+from ..mixed import MixedFunctionSpace
+from ..language.core import Argument, FacetNormal
+from ..language.operators import jump
+from ..language.tensor_algebra import dot, inner
+from ..language.measure import dS, ds
+from ..language.calculus import map_expr
+from ..function import Function
+from ..slate import Tensor, AssembledVector, assemble_slate
+from ..elements.trace import BrokenElement, HDivTrace
+
+
+def _broken_problem(a, L, W):
+    """Rebuild (a, L) with the flux argument/unknown living in the broken
+    space; returns (a_b, L_b, Wd, T)."""
+    mesh = W.mesh_obj
+    Sigma, U = W.subspaces
+    elem = Sigma.element
+    fam = getattr(elem, "family", "")
+    if fam not in ("Raviart-Thomas", "RT"):
+        raise NotImplementedError(
+            f"HybridizationPC: flux family {fam!r} (RT for now)")
+    if elem.degree != 1:
+        raise NotImplementedError(
+            "HybridizationPC: RT degree >= 2 needs HDivTrace degree >= 1")
+    Sb = FunctionSpace(mesh, BrokenElement(elem))
+    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    Wd = MixedFunctionSpace([Sb, U])
+
+    mapping = {}
+    for form in (a, L):
+        if form is None:
+            continue
+        for arg in form.arguments():
+            new = Argument(Wd.sub(arg.part), arg.number, part=arg.part)
+            mapping[arg] = new
+
+    def rebuild(form):
+        if form is None:
+            return None
+        out = []
+        for it in form.integrals():
+            out.append(it.reconstruct(map_expr(it.integrand, mapping)))
+        from ..language.measure import Form
+        return Form(tuple(out))
+
+    return rebuild(a), rebuild(L), Wd, T
+
+
+def solve_hybridization(problem, params):
+    """Solve problem.a == problem.L for problem.u on W = RT x DG."""
+    from ..solving import _run_ksp
+    from .preconditioners import make_pc, direct_solve
+    from ..bcs import DirichletBC
+
+    p = problem
+    W = p.u.function_space()
+    if not isinstance(W, MixedFunctionSpace) or W.num_sub_spaces != 2:
+        raise NotImplementedError(
+            "HybridizationPC expects a 2-field H(div) x DG problem")
+    if p.bcs:
+        raise NotImplementedError(
+            "HybridizationPC with strong bcs on the mixed problem "
+            "(flux bcs): round 2")
+    a_b, L_b, Wd, T = _broken_problem(p.a, p.L, W)
+    mesh = W.mesh_obj
+    Sigma, U = W.subspaces
+    Sb = Wd.subspaces[0]
+
+    # trace coupling K: <gammar, [[sigma . n]]>  (test = trace,
+    # trial = broken flux embedded in the full broken mixed axis)
+    gammar = Argument(T, 0)
+    sigma_t = Argument(Wd.sub(0), 1, part=0)
+    n = FacetNormal(mesh)
+    k_form = (inner(gammar("+"), jump(sigma_t, n)) * dS
+              + inner(gammar, dot(sigma_t, n)) * ds)
+
+    A = Tensor(a_b, axes=(Wd, Wd))
+    K = Tensor(k_form, axes=(T, Wd))
+    F = Tensor(L_b, axes=(Wd,))
+
+    Ainv = A.inv
+    S = K * Ainv * K.T
+    E = K * Ainv * F
+
+    bc = DirichletBC(T, 0.0, "on_boundary")
+    Smat = assemble_slate(S, bcs=[bc])
+    rhs = jnp.asarray(assemble_slate(E).dat)
+    rhs = rhs.at[jnp.asarray(bc.nodes)].set(0.0)
+
+    hp = dict(params.get("hybridization", {}))
+    ksp = hp.get("ksp_type", "preonly")
+    if ksp == "preonly":
+        lam_dat = direct_solve(Smat, rhs)
+        its = 1
+    else:
+        pc = make_pc(hp.get("pc_type", "jacobi"), Smat, hp)
+        res = _run_ksp(Smat.matvec, rhs, hp, pc=pc,
+                       x0=jnp.zeros(T.dim))
+        lam_dat, its = res.x, int(res.iterations)
+    lam = Function(T)
+    lam.dat = np.asarray(lam_dat)
+
+    # back-substitution: x = A^{-1} (F - K^T lam), per cell
+    x = A.solve(F - K.T * AssembledVector(lam))
+    sigma_b = assemble_slate(x.blocks[0])
+    u_co = assemble_slate(x.blocks[1])
+
+    # broken flux -> conforming RT: signed per-cell copy (normal
+    # continuity holds by construction; average to kill round-off)
+    rt_map = Sigma.cell_dof_map
+    sb_map = Sb.cell_dof_map
+    signs = (Sigma.cell_dof_signs
+             if getattr(Sigma, "has_dof_signs", False)
+             else np.ones_like(rt_map, dtype=float))
+    vals = np.zeros(Sigma.dim)
+    counts = np.zeros(Sigma.dim)
+    np.add.at(vals, rt_map, signs * np.asarray(sigma_b.dat)[sb_map])
+    np.add.at(counts, rt_map, 1.0)
+    p.u.subfunctions[0].dat = vals / np.maximum(counts, 1.0)
+    p.u.subfunctions[1].dat = np.asarray(u_co.dat)
+    return its

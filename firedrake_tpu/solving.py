@@ -117,6 +117,13 @@ class LinearVariationalSolver:
         bc_idx, g = _bc_data(p.bcs, n)
         gj = jnp.asarray(g)
 
+        if (params.get("pc_type") == "hybridization"
+                or params.get("pc_python_type", "").endswith(
+                    "HybridizationPC")):
+            from .solvers.hybridization import solve_hybridization
+            self.ksp_iterations = solve_hybridization(p, params)
+            return
+
         b = (jnp.asarray(assemble(p.L).dat) if p.L is not None
              else jnp.zeros(n))
 

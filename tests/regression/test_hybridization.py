@@ -76,3 +76,108 @@ def test_hybridized_equals_classical_mixed():
     diff = np.abs(np.asarray(uh.dat)
                   - np.asarray(w2.subfunctions[1].dat)).max()
     assert diff < 1e-10, diff
+
+
+def _mixed_poisson_setup(nx=8):
+    mesh = UnitSquareMesh(nx, nx)
+    Sb = FunctionSpace(mesh, BrokenElement(
+        make_scalar_element("triangle", "RT", 1)))
+    V = FunctionSpace(mesh, "DG", 0)
+    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    W = MixedFunctionSpace([Sb, V, T])
+    sigma, u, lam = TrialFunctions(W)
+    tau, v, mu = TestFunctions(W)
+    X = SpatialCoordinate(mesh)
+    n = FacetNormal(mesh)
+    f = Function(V).interpolate(
+        2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+    a = ((dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+         + inner(lam("+"), jump(tau, n)) * dS
+         + inner(lam, dot(tau, n)) * ds
+         + inner(mu("+"), jump(sigma, n)) * dS
+         + inner(mu, dot(sigma, n)) * ds)
+    L = -inner(f, v) * dx
+    return mesh, W, T, a, L, f
+
+
+def test_slate_static_condensation_matches_monolithic():
+    """Condensing the hybrid system onto the trace via Slate (facet-
+    localized per-cell tensors + batched Schur complement) reproduces the
+    monolithic hybrid solve (reference: the SCPC/HybridizationPC Schur
+    path, slate/static_condensation/hybridization.py:150)."""
+    from firedrake_tpu.slate import Tensor, assemble_slate
+    mesh, W, T, a, L, f = _mixed_poisson_setup(8)
+    A = Tensor(a)
+    F = Tensor(L)
+    S = A.blocks[2, 2] - A.blocks[2, :2] * A.blocks[:2, :2].inv \
+        * A.blocks[:2, 2]
+    E = -(A.blocks[2, :2] * A.blocks[:2, :2].inv * F.blocks[:2])
+    bc = DirichletBC(T, 0.0, "on_boundary")
+    Smat = assemble_slate(S, bcs=[bc])
+    rhs = np.asarray(assemble_slate(E).dat).copy()
+    rhs[bc.nodes] = 0.0
+    lam_sol = np.linalg.solve(Smat.to_scipy().toarray(), rhs)
+
+    w = Function(W)
+    solve(a == L, w, bcs=[DirichletBC(W.sub(2), 0.0, "on_boundary")],
+          solver_parameters={"ksp_type": "preonly", "pc_type": "lu"})
+    lam_ref = np.asarray(w.subfunctions[2].dat)
+    assert np.abs(lam_sol - lam_ref).max() < 1e-12
+
+
+def test_hybridization_pc():
+    """pc_type='hybridization' on the CONFORMING RT x DG mixed problem:
+    broken/trace construction, condensation, back-substitution and
+    conforming flux recovery are all automatic (reference:
+    HybridizationPC, slate/static_condensation/hybridization.py:62)."""
+    mesh = UnitSquareMesh(8, 8)
+    S = FunctionSpace(mesh, "RT", 1)
+    V = FunctionSpace(mesh, "DG", 0)
+    W = MixedFunctionSpace([S, V])
+    sigma, u = TrialFunctions(W)
+    tau, v = TestFunctions(W)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(
+        2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+    a = (dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+    L = -inner(f, v) * dx
+
+    w_h = Function(W)
+    solve(a == L, w_h, solver_parameters={
+        "ksp_type": "preonly", "pc_type": "hybridization",
+        "hybridization": {"ksp_type": "preonly"}})
+
+    w_ref = Function(W)
+    solve(a == L, w_ref, solver_parameters={
+        "ksp_type": "preonly", "pc_type": "lu"})
+
+    for i in (0, 1):
+        d = np.abs(np.asarray(w_h.subfunctions[i].dat)
+                   - np.asarray(w_ref.subfunctions[i].dat)).max()
+        r = np.abs(np.asarray(w_ref.subfunctions[i].dat)).max()
+        assert d < 1e-9 * max(r, 1.0), (i, d, r)
+
+
+def test_hybridization_pc_iterative_trace():
+    """Inner CG on the trace system converges and matches."""
+    mesh = UnitSquareMesh(6, 6)
+    S = FunctionSpace(mesh, "RT", 1)
+    V = FunctionSpace(mesh, "DG", 0)
+    W = MixedFunctionSpace([S, V])
+    sigma, u = TrialFunctions(W)
+    tau, v = TestFunctions(W)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(sin(math.pi * X[0]))
+    a = (dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+    L = -inner(f, v) * dx
+    w_h = Function(W)
+    solve(a == L, w_h, solver_parameters={
+        "ksp_type": "preonly", "pc_type": "hybridization",
+        "hybridization": {"ksp_type": "cg", "pc_type": "jacobi",
+                          "ksp_rtol": 1e-12}})
+    w_ref = Function(W)
+    solve(a == L, w_ref, solver_parameters={
+        "ksp_type": "preonly", "pc_type": "lu"})
+    d = np.abs(np.asarray(w_h.subfunctions[1].dat)
+               - np.asarray(w_ref.subfunctions[1].dat)).max()
+    assert d < 1e-8, d
