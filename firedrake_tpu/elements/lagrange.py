@@ -344,6 +344,60 @@ class DiscontinuousLagrange(Lagrange):
         self._build()
 
 
+class Real(FiniteElement):
+    """The global-constant element: ONE dof shared by every cell.
+
+    Reference: firedrake RealFunctionSpace (functionspaceimpl.py:1175,
+    ufl 'Real' family) — the global Lagrange-multiplier space used e.g.
+    to pin the mean of a pure-Neumann Poisson solve.  The numbering
+    layer maps every cell to the single global dof
+    (functionspace.py FunctionSpaceData special case)."""
+
+    family = "Real"
+    mapping = "identity"
+    continuous = True
+    ndof = 1
+    embedded_superdegree = 0
+
+    def __init__(self, cell, degree: int = 0):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        self.cell = cell
+        self.degree = 0
+        self.value_shape = ()
+        self.nodes = cell.vertices.mean(axis=0)[None, :]
+
+    @property
+    def entity_dofs(self):
+        ed = {d: {e: [] for e in range(len(self.cell.topology[d]))}
+              for d in self.cell.topology}
+        ed[self.cell.dim][0] = [0]
+        return ed
+
+    def tabulate(self, points, order=1):
+        nq = len(np.asarray(points))
+        d = self.cell.dim
+        tabs = {0: np.ones((nq, 1))}
+        if order >= 1:
+            tabs[1] = np.zeros((nq, 1, d))
+        if order >= 2:
+            tabs[2] = np.zeros((nq, 1, d, d))
+        return tabs
+
+    def entity_permutation(self, dim, orientation):
+        return np.arange(1, dtype=np.int32)
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.cell.name == other.cell.name)
+
+    def __hash__(self):
+        return hash(("Real", self.cell.name))
+
+    def __repr__(self):
+        return f"Real({self.cell.name!r})"
+
+
 @lru_cache(maxsize=None)
 def make_scalar_element(cell_name: str, family: str, degree: int):
     family = {
@@ -351,6 +405,7 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
         "Q": "Lagrange",
         "DG": "DG", "DP": "DG", "Discontinuous Lagrange": "DG",
         "DQ": "DG",
+        "R": "Real", "Real": "Real",
         "RT": "RT", "Raviart-Thomas": "RT", "RTF": "RT",
         "BDM": "BDM", "Brezzi-Douglas-Marini": "BDM",
         "N1curl": "N1curl", "Nedelec 1st kind H(curl)": "N1curl",
@@ -359,6 +414,8 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
         return Lagrange(cell_name, degree)
     if family == "DG":
         return DiscontinuousLagrange(cell_name, degree)
+    if family == "Real":
+        return Real(cell_name, degree)
     if family == "RT":
         from .hdiv import RaviartThomas
         return RaviartThomas(cell_name, degree)

@@ -34,6 +34,15 @@ class FunctionSpaceData:
         self.mesh = mesh
         self.element = element
         topo = mesh.topology
+        if getattr(element, "family", "") == "Real":
+            # one GLOBAL dof: every cell maps to it (reference:
+            # functionspaceimpl.py:1175 RealFunctionSpace)
+            self.npe_class = {}
+            self.npe = {}
+            self.offsets = {}
+            self.num_nodes = 1
+            self.cell_node_map = np.zeros((topo.num_cells, 1), dtype=_IDX)
+            return
         ed = element.entity_dofs
         dims = sorted(ed.keys())
         cell = topo.cell
