@@ -24,6 +24,7 @@ from .language import __all__ as _lang_all
 
 from .mesh.utility import *        # noqa: F401,F403
 from .mesh.utility import __all__ as _mesh_all
+from .vertexonly import VertexOnlyMesh
 from .mesh.geometry import Mesh as _MeshClass
 from .mesh.topology import MeshTopology
 
@@ -90,6 +91,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
     "PointNotInDomainError", "Tensor", "AssembledVector",
     "assemble_slate",
+    "VertexOnlyMesh",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",

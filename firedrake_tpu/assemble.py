@@ -397,6 +397,9 @@ def assemble(form, tensor=None, bcs=None, mat_type="aij",
         raise TypeError(f"cannot assemble {type(form)}")
     if form.empty():
         return 0.0
+    if getattr(form.mesh(), "is_vertex_only", False):
+        from .vertexonly import vom_assemble
+        return vom_assemble(form)
     assembler = get_assembler(form, bcs, mat_type, zero_bc_nodes)
     result = assembler.assemble(tensor=tensor)
     if isinstance(result, float):

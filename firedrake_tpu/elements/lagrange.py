@@ -77,8 +77,11 @@ class _PolySet:
         d = self.exponents.shape[1]
         tabs = {0: self._mono(pts) @ self.coeffs}
         if order >= 1:
-            g = np.stack([self._mono(pts, deriv=(ax,)) @ self.coeffs
-                          for ax in range(d)], axis=-1)
+            if d == 0:       # point cell (VertexOnlyMesh): no axes
+                g = np.zeros((len(pts), self.coeffs.shape[1], 0))
+            else:
+                g = np.stack([self._mono(pts, deriv=(ax,)) @ self.coeffs
+                              for ax in range(d)], axis=-1)
             tabs[1] = g                                  # (nq, ndof, dim)
         if order >= 2:
             h = np.zeros((len(pts), self.coeffs.shape[1], d, d))

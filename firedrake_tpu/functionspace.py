@@ -33,6 +33,18 @@ class FunctionSpaceData:
     def __init__(self, mesh: Mesh, element: FiniteElement):
         self.mesh = mesh
         self.element = element
+        if getattr(mesh, "is_vertex_only", False):
+            # vertices ARE cells: one P0 node per vertex (reference:
+            # mesh.py VertexOnlyMeshTopology — swarm points as cells)
+            if element.ndof != 1 or element.degree != 0:
+                raise ValueError("VertexOnlyMesh supports only P0DG")
+            self.npe_class = {}
+            self.npe = {}
+            self.offsets = {}
+            self.num_nodes = mesh.num_cells
+            self.cell_node_map = np.arange(mesh.num_cells,
+                                           dtype=_IDX)[:, None]
+            return
         topo = mesh.topology
         if getattr(element, "family", "") == "Real":
             # one GLOBAL dof: every cell maps to it (reference:

@@ -118,6 +118,9 @@ def _cross_mesh_interpolate(f_src, f_dst):
 def interpolate_onto(expr, f: Function):
     from .language.core import as_expr as _ae
     e0 = _ae(expr)
+    if getattr(f.space.mesh_obj, "is_vertex_only", False):
+        from .vertexonly import vom_interpolate
+        return vom_interpolate(e0, f)
     meshes = _expr_meshes(e0)
     if meshes and id(f.space.mesh_obj) not in meshes:
         if isinstance(expr, Function):

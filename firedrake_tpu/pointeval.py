@@ -89,10 +89,20 @@ def at(function, points, tolerance=1e-10, dont_raise=False):
     if missing.any() and not dont_raise:
         raise PointNotInDomainError(
             f"points not found in domain: {pts[missing]}")
+    out = eval_at_cells(function, cells, refs)
+    return out[0] if single else out
+
+
+def eval_at_cells(function, cells, refs):
+    """Evaluate a Function at pre-located points: (cell, refcoord) pairs.
+    cells < 0 yield NaN.  The VertexOnlyMesh interpolation fast path."""
+    V = function.function_space()
+    mesh = V.mesh_obj
     elem = V.element
     dat = np.asarray(function.dat)
     vs = V.value_shape
-    out = np.zeros((len(pts),) + tuple(vs)) if vs else np.zeros(len(pts))
+    out = np.zeros((len(cells),) + tuple(vs)) if vs \
+        else np.zeros(len(cells))
     cmap = V.cell_dof_map
     for i, (c, r) in enumerate(zip(cells, refs)):
         if c < 0:
@@ -126,4 +136,4 @@ def at(function, points, tolerance=1e-10, dont_raise=False):
             else:
                 val = np.linalg.inv(A).T @ ref_val
         out[i] = val
-    return out[0] if single else out
+    return out
