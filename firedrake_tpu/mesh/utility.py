@@ -471,3 +471,154 @@ def ExtrudedMesh(base_mesh, layers, layer_height=None,
 
 
 __all__ += ["ExtrudedMesh"]
+
+
+def CubedSphereMesh(radius=1.0, refinement_level=0, name="mesh"):
+    """Quadrilateral surface mesh of a sphere from a refined cube
+    (reference: utility_meshes.py CubedSphereMesh)."""
+    n = 2 ** refinement_level
+    # build the 6 faces of a cube with shared edge/corner vertices by
+    # keying vertices on their (rounded) cube coordinates
+    vid = {}
+    verts = []
+
+    def getv(p):
+        key = tuple(np.round(p, 12))
+        if key not in vid:
+            vid[key] = len(verts)
+            verts.append(np.asarray(p, dtype=float))
+        return vid[key]
+
+    quads = []
+    axes = [(0, 1, 2), (1, 2, 0), (2, 0, 1)]
+    for (a, b, c) in axes:
+        for sign in (-1.0, 1.0):
+            for i in range(n):
+                for j in range(n):
+                    corner = np.zeros((2, 2, 3))
+                    for di in (0, 1):
+                        for dj in (0, 1):
+                            p = np.zeros(3)
+                            p[a] = -1 + 2 * (i + di) / n
+                            p[b] = -1 + 2 * (j + dj) / n
+                            p[c] = sign
+                            corner[di, dj] = p
+                    quads.append([getv(corner[0, 0]), getv(corner[1, 0]),
+                                  getv(corner[0, 1]),
+                                  getv(corner[1, 1])])
+    verts = np.asarray(verts)
+    verts = radius * verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    topo = MeshTopology(np.asarray(quads, dtype=_IDX), len(verts),
+                        "quadrilateral", name)
+    return Mesh(topo, verts, name=name)
+
+
+def UnitCubedSphereMesh(refinement_level=0, name="mesh"):
+    return CubedSphereMesh(1.0, refinement_level, name=name)
+
+
+def OctahedralSphereMesh(radius=1.0, refinement_level=0, name="mesh"):
+    """Triangulated sphere from a refined octahedron (reference:
+    utility_meshes.py OctahedralSphereMesh)."""
+    verts = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                      [0, 0, 1], [0, 0, -1]], dtype=float)
+    faces = np.array([[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+                      [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]])
+    for _ in range(refinement_level):
+        edge_mid = {}
+        new_faces = []
+        verts = list(verts)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                edge_mid[key] = len(verts)
+                verts.append((np.asarray(verts[a])
+                              + np.asarray(verts[b])) / 2)
+            return edge_mid[key]
+
+        for (a, b, c) in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.array(new_faces)
+        verts = np.array(verts)
+    verts = np.asarray(verts, dtype=float)
+    verts = radius * verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    topo = MeshTopology(faces.astype(_IDX), len(verts), "triangle", name)
+    return Mesh(topo, verts, name=name)
+
+
+def UnitOctahedralSphereMesh(refinement_level=0, name="mesh"):
+    return OctahedralSphereMesh(1.0, refinement_level, name=name)
+
+
+def CylinderMesh(nr, nl, radius=1.0, depth=1.0, name="mesh"):
+    """Quadrilateral surface mesh of a (open) cylinder in 3D
+    (reference: utility_meshes.py CylinderMesh)."""
+    theta = 2 * np.pi * np.arange(nr) / nr
+    verts = np.zeros(((nl + 1) * nr, 3))
+    for l in range(nl + 1):
+        z = depth * l / nl
+        for j in range(nr):
+            verts[l * nr + j] = [radius * np.cos(theta[j]),
+                                 radius * np.sin(theta[j]), z]
+
+    def vid(l, j):
+        return l * nr + (j % nr)
+
+    quads = []
+    for l in range(nl):
+        for j in range(nr):
+            quads.append([vid(l, j), vid(l + 1, j), vid(l, j + 1),
+                          vid(l + 1, j + 1)])
+    topo = MeshTopology(np.asarray(quads, dtype=_IDX), len(verts),
+                        "quadrilateral", name)
+    return Mesh(topo, verts, name=name)
+
+
+def UnitDiskMesh(refinement_level=0, name="mesh"):
+    """Triangle mesh of the unit disk: refined hexagonal fan with
+    boundary vertices snapped to the circle (reference:
+    utility_meshes.py UnitDiskMesh)."""
+    verts = [np.zeros(2)] + [
+        np.array([np.cos(t), np.sin(t)])
+        for t in 2 * np.pi * np.arange(6) / 6]
+    faces = np.array([[0, 1 + i, 1 + (i + 1) % 6] for i in range(6)])
+    verts = np.asarray(verts)
+    on_bdy = np.array([False] + [True] * 6)
+    for _ in range(refinement_level):
+        edge_mid = {}
+        new_faces = []
+        verts = list(verts)
+        on_bdy = list(on_bdy)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                edge_mid[key] = len(verts)
+                verts.append((np.asarray(verts[a])
+                              + np.asarray(verts[b])) / 2)
+                on_bdy.append(bool(on_bdy[a] and on_bdy[b]))
+            return edge_mid[key]
+
+        for (a, b, c) in faces:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc],
+                          [ab, bc, ca]]
+        faces = np.array(new_faces)
+        verts = np.asarray(verts)
+        on_bdy = np.asarray(on_bdy)
+        # NB: a midpoint of two boundary vertices lies on the hull only
+        # for adjacent boundary points — interior chords stay interior;
+        # correct by snapping only points at (near) unit radius scale
+        r = np.linalg.norm(verts, axis=1)
+        snap = on_bdy & (r > 0)
+        verts[snap] = verts[snap] / r[snap, None]
+    topo = MeshTopology(faces.astype(_IDX), len(verts), "triangle", name)
+    return Mesh(topo, verts, name=name)
+
+
+__all__ += ["CubedSphereMesh", "UnitCubedSphereMesh",
+            "OctahedralSphereMesh", "UnitOctahedralSphereMesh",
+            "CylinderMesh", "UnitDiskMesh"]
