@@ -44,13 +44,16 @@ def main():
     coords = jnp.asarray(mesh.coordinates.dat)
     cd = {}
     cv = {}
+    # index maps + accumulation table passed as jit ARGUMENTS (constants
+    # blow up remote compile time)
+    args = (coords, cd, cv, asm._arg_statics, asm._acc_args)
     # warmup/compile
-    out = asm._jitted(coords, cd, cv)
+    out = asm._jitted(*args)
     out.block_until_ready()
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = asm._jitted(coords, cd, cv)
+        out = asm._jitted(*args)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     dofs_per_sec = V.dim / dt
