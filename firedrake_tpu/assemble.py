@@ -124,14 +124,34 @@ class FormAssembler:
         pos_all = np.concatenate(parts)
         counts = np.bincount(pos_all, minlength=nnz)
         K = int(counts.max()) if counts.size else 0
-        if K == 0 or K > 8 or nnz * K > 6e7:
+        if K == 0 or K > 12 or nnz * min(K, 4) > 6e7:
             return None
-        tbl = np.full((nnz, K), len(pos_all), dtype=np.int32)
         order = np.argsort(pos_all, kind="stable")
         spos = pos_all[order]
         col = np.arange(len(order)) - (np.cumsum(counts) - counts)[spos]
-        tbl[spos, col] = order.astype(np.int32)
-        return {"tbl": jnp.asarray(tbl)}
+        # split point NB minimizing gathered volume: a dense (nnz, NB)
+        # base table plus a short (rows>NB, K-NB) spill table (most
+        # nonzeros have few contributors; padding all rows to K wastes
+        # gather bandwidth)
+        NB = min(range(1, K + 1),
+                 key=lambda nb: nnz * nb
+                 + int((counts > nb).sum()) * (K - nb))
+        pad = np.int32(len(pos_all))
+        tbl = np.full((nnz, NB), pad, dtype=np.int32)
+        m = col < NB
+        tbl[spos[m], col[m]] = order[m].astype(np.int32)
+        out = {"tbl": jnp.asarray(tbl)}
+        rows_x = np.where(counts > NB)[0]
+        if len(rows_x):
+            ridx = np.full(nnz, -1, dtype=np.int64)
+            ridx[rows_x] = np.arange(len(rows_x))
+            tblx = np.full((len(rows_x), K - NB), pad, dtype=np.int32)
+            mx = ~m
+            tblx[ridx[spos[mx]], col[mx] - NB] = \
+                order[mx].astype(np.int32)
+            out["tblx"] = jnp.asarray(tblx)
+            out["rows_x"] = jnp.asarray(rows_x)
+        return out
 
     # ----------------------------------------------------- host-side prep
     def _prepare_integral(self, ci: CompiledIntegral):
@@ -382,6 +402,10 @@ class FormAssembler:
         if rank == 2 and acc is not None:
             flat = jnp.concatenate(flats + [jnp.zeros(1)])
             total = flat[acc["tbl"]].sum(axis=1)
+            if "tblx" in acc:
+                extra = flat[acc["tblx"]].sum(axis=1)
+                total = total.at[acc["rows_x"]].add(
+                    extra, unique_indices=True)
         return total
 
     # ------------------------------------------------------------- public
