@@ -135,46 +135,116 @@ def _facet_quad(cell, lf, deg):
     return pts, q.weights * scale, nref
 
 
+def _monomials2(k):
+    """Exponent pairs of the P_k monomial basis on the triangle."""
+    return [(i, t - i) for t in range(k + 1) for i in range(t + 1)]
+
+
+def _legendre01(j, s):
+    """Legendre P_j on [0,1] (edge-moment weights: parity (-1)^j under
+    s -> 1-s gives clean orientation sign tables)."""
+    c = np.zeros(j + 1)
+    c[j] = 1.0
+    return np.polynomial.legendre.legval(2 * np.asarray(s) - 1, c)
+
+
 class RaviartThomas(_MomentElement):
-    """RT_1 on triangle/tetrahedron: span (P0)^d + x*P0; one normal-flux
-    dof per facet."""
+    """RT_k: span (P_{k-1})^d + x * hom(P_{k-1}); normal-moment dofs
+    against Legendre P_{0..k-1} per facet + interior moments against
+    (P_{k-2})^d.  Any degree on triangles; degree 1 on tets (higher-order
+    tet FACE moments need matrix-valued entity transformations, not just
+    signed permutations — round 2)."""
 
     family = "Raviart-Thomas"
     continuity = "HDiv"
 
     def _span_terms(self):
         d = self.cell.dim
-        if self.degree != 1:
-            raise NotImplementedError("RT degree > 1: next milestone")
+        k = self.degree
+        if d == 3 and k != 1:
+            raise NotImplementedError("RT degree > 1 on tetrahedra")
         terms = []
-        for i in range(d):
-            e = np.zeros(d)
-            e[i] = 1.0
-            terms.append(lambda x, e=e: e)
-        terms.append(lambda x: np.asarray(x, dtype=float))
+        if d == 3:
+            for i in range(d):
+                e = np.zeros(d)
+                e[i] = 1.0
+                terms.append(lambda x, e=e: e)
+            terms.append(lambda x: np.asarray(x, dtype=float))
+            return terms
+        for (a, b) in _monomials2(k - 1):
+            for i in range(2):
+                e = np.zeros(2)
+                e[i] = 1.0
+                terms.append(lambda x, e=e, a=a, b=b:
+                             e * (x[0] ** a * x[1] ** b))
+        for a in range(k):             # hom degree k-1: x^a y^(k-1-a)
+            b = k - 1 - a
+            terms.append(lambda x, a=a, b=b: np.asarray(x, dtype=float)
+                         * (x[0] ** a * x[1] ** b))
         return terms
 
     def _dof_functionals(self):
         cell = self.cell
+        k = self.degree
         out = []
+        nmom = 1 if cell.dim == 3 else k
         for lf in range(len(cell.facets)):
-            pts, wts, nref = _facet_quad(cell, lf, 2 * self.degree + 1)
+            pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
+            if cell.dim == 2:
+                fverts = cell.vertices[list(cell.facets[lf])]
+                dvec = fverts[1] - fverts[0]
+                s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            else:
+                s = None
+            for j in range(nmom):
+                def ell(t, pts=pts, wts=wts, nref=nref, s=s, j=j):
+                    vals = np.array([t(p) for p in pts])
+                    w = wts if s is None else wts * _legendre01(j, s)
+                    return float(np.sum(w * (vals @ nref)))
+                out.append(ell)
+        if cell.dim == 2 and k >= 2:
+            q = make_quadrature(cell.name, 2 * k + 2)
+            for (a, b) in _monomials2(k - 2):
+                for i in range(2):
+                    e = np.zeros(2)
+                    e[i] = 1.0
 
-            def ell(t, pts=pts, wts=wts, nref=nref):
-                vals = np.array([t(p) for p in pts])
-                return float(np.sum(wts * (vals @ nref)))
-
-            out.append(ell)
+                    def ell(t, q=q, e=e, a=a, b=b):
+                        vals = np.array([t(p) for p in q.points])
+                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
+                        return float(np.sum(q.weights * m * (vals @ e)))
+                    out.append(ell)
         return out
 
     @property
     def entity_dofs(self):
         cell = self.cell
+        k = self.degree
+        npe = 1 if cell.dim == 3 else k
         ed = {d: {e: [] for e in range(len(cell.topology[d]))}
               for d in cell.topology}
         for lf in range(len(cell.facets)):
-            ed[cell.dim - 1][lf] = [lf]
+            ed[cell.dim - 1][lf] = list(range(npe * lf, npe * (lf + 1)))
+        nfacet = npe * len(cell.facets)
+        ed[cell.dim][0] = list(range(nfacet, self.ndof))
         return ed
+
+    def facet_dof_signs(self, orientation):
+        import itertools
+        nv = len(list(self.cell.facets[0]))
+        perms = list(itertools.permutations(range(nv)))
+        p = list(perms[orientation])
+        par = 1.0
+        for i in range(len(p)):
+            for j in range(i + 1, len(p)):
+                if p[i] > p[j]:
+                    par = -par
+        if self.cell.dim == 3:
+            return np.array([par])
+        if par > 0:
+            return np.ones(self.degree)
+        # reversed edge: normal flips (every moment) x Legendre parity
+        return np.array([-((-1.0) ** j) for j in range(self.degree)])
 
     @property
     def facet_dof_sign_flip(self):
@@ -190,42 +260,75 @@ class BrezziDouglasMarini(_MomentElement):
     continuity = "HDiv"
 
     def _span_terms(self):
-        if self.degree != 1 or self.cell.dim != 2:
-            raise NotImplementedError("BDM1 on triangles only (for now)")
+        if self.cell.dim != 2:
+            raise NotImplementedError("BDM on triangles only (for now)")
+        k = self.degree
         terms = []
-        for i in range(2):
-            e = np.zeros(2)
-            e[i] = 1.0
-            terms.append(lambda x, e=e: e)
-            terms.append(lambda x, e=e: e * x[0])
-            terms.append(lambda x, e=e: e * x[1])
+        for (a, b) in _monomials2(k):
+            for i in range(2):
+                e = np.zeros(2)
+                e[i] = 1.0
+                terms.append(lambda x, e=e, a=a, b=b:
+                             e * (x[0] ** a * x[1] ** b))
         return terms
 
     def _dof_functionals(self):
+        """Edge normal moments vs Legendre P_{0..k}; the (k^2 - 1)
+        interior functionals complete the dual basis by GREEDY RANK
+        COMPLETION over (P_{k-1})^2 moment candidates — any unisolvent
+        completion spans the same space (Galerkin solutions are
+        basis-independent)."""
         cell = self.cell
+        k = self.degree
         out = []
         for lf in range(len(cell.facets)):
-            pts, wts, nref = _facet_quad(cell, lf, 2 * self.degree + 2)
+            pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
             fverts = cell.vertices[list(cell.facets[lf])]
-            # canonical facet parameter: s in [0,1] from facet vertex 0->1
-            d = fverts[1] - fverts[0]
-            s = ((pts - fverts[0]) @ d) / (d @ d)
-            for mom in (lambda s: np.ones_like(s),
-                        lambda s: 2 * s - 1):    # odd moment
-                def ell(t, pts=pts, wts=wts, nref=nref, s=s, mom=mom):
-                    vals = np.array([tt(p) for tt, p in
-                                     zip([t] * len(pts), pts)])
-                    return float(np.sum(wts * mom(s) * (vals @ nref)))
+            dvec = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            for j in range(k + 1):
+                def ell(t, pts=pts, wts=wts, nref=nref, s=s, j=j):
+                    vals = np.array([t(p) for p in pts])
+                    return float(np.sum(wts * _legendre01(j, s)
+                                        * (vals @ nref)))
                 out.append(ell)
+        n_int = (k + 1) * (k + 2) - 3 * (k + 1)
+        if n_int:
+            q = make_quadrature(cell.name, 2 * k + 2)
+            cands = []
+            for (a, b) in _monomials2(k - 1):
+                for i in range(2):
+                    e = np.zeros(2)
+                    e[i] = 1.0
+
+                    def ell(t, q=q, e=e, a=a, b=b):
+                        vals = np.array([t(p) for p in q.points])
+                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
+                        return float(np.sum(q.weights * m * (vals @ e)))
+                    cands.append(ell)
+            terms = self._span_terms()
+            rows = [np.array([ell(t) for t in terms]) for ell in out]
+            for ell in cands:
+                if len(rows) == len(terms):
+                    break
+                r = np.array([ell(t) for t in terms])
+                trial = np.vstack(rows + [r])
+                if np.linalg.matrix_rank(trial, tol=1e-10) == len(trial):
+                    rows.append(r)
+                    out.append(ell)
+            assert len(out) == len(terms), "BDM completion failed"
         return out
 
     @property
     def entity_dofs(self):
         cell = self.cell
+        k = self.degree
+        npe = k + 1
         ed = {d: {e: [] for e in range(len(cell.topology[d]))}
               for d in cell.topology}
         for lf in range(len(cell.facets)):
-            ed[cell.dim - 1][lf] = [2 * lf, 2 * lf + 1]
+            ed[cell.dim - 1][lf] = list(range(npe * lf, npe * (lf + 1)))
+        ed[cell.dim][0] = list(range(3 * npe, self.ndof))
         return ed
 
     @property
@@ -233,18 +336,16 @@ class BrezziDouglasMarini(_MomentElement):
         return True
 
     def entity_permutation(self, dim, orientation):
-        # under edge reversal, s -> 1-s: even moment keeps sign (dof 0),
-        # odd moment flips; the FLIP is handled via per-dof signs, the
-        # ORDER of (even, odd) dofs is unchanged
-        return np.arange(2, dtype=np.int32)
+        # Legendre moments: edge reversal changes SIGNS, never the order
+        ed = self.entity_dofs.get(dim, {})
+        return np.arange(len(ed.get(0, [])), dtype=np.int32)
 
     def facet_dof_signs(self, orientation):
-        """Per-facet-dof sign under facet orientation (0: canonical)."""
+        """Per-facet-dof sign under facet orientation (0: canonical):
+        normal flip x Legendre parity (-1)^j."""
         if orientation == 0:
-            return np.array([1.0, 1.0])
-        # reversed edge: normal flips (both dofs) AND the odd moment flips
-        # again: net [-1, +1]
-        return np.array([-1.0, 1.0])
+            return np.ones(self.degree + 1)
+        return np.array([-((-1.0) ** j) for j in range(self.degree + 1)])
 
 
 class NedelecFirstKind2D(_MomentElement):

@@ -19,7 +19,12 @@ from .reference_cell import by_name
 
 
 class HDivTrace(FiniteElement):
-    """Piecewise-P_k on facets (k = 0 for now)."""
+    """Piecewise-P_k on facets: per-facet Legendre basis in the facet's
+    LOCAL parametrization; odd modes flip sign under edge reversal
+    (facet_dof_signs, composed by the numbering layer exactly as for
+    H(div) edge moments).  Degree >= 1 on 2D cells (triangle-facet
+    orientation groups need matrix transforms — round 2 with tet
+    hybridization)."""
 
     family = "HDiv Trace"
     mapping = "identity"
@@ -27,28 +32,36 @@ class HDivTrace(FiniteElement):
     def __init__(self, cell, degree: int = 0):
         if isinstance(cell, str):
             cell = by_name(cell)
-        if degree != 0:
-            raise NotImplementedError("HDivTrace degree >= 1: facet-local "
-                                      "moment bases next")
+        if degree != 0 and cell.dim != 2:
+            raise NotImplementedError(
+                "HDivTrace degree >= 1 on 3D cells (facet orientation "
+                "matrices)")
         self.cell = cell
         self.degree = int(degree)
         self.value_shape = ()
         nlf = len(cell.facets)
-        self.nodes = np.stack([cell.vertices[list(f[f >= 0])].mean(axis=0)
-                               if hasattr(f, "__len__") else None
-                               for f in (np.asarray(cell.facets))])
+        self.nodes = np.repeat(np.stack(
+            [cell.vertices[list(f[f >= 0])].mean(axis=0)
+             if hasattr(f, "__len__") else None
+             for f in (np.asarray(cell.facets))]), self.degree + 1,
+            axis=0)
+
+    @property
+    def npe(self):
+        return self.degree + 1
 
     @property
     def ndof(self):
-        return len(self.cell.facets)
+        return len(self.cell.facets) * self.npe
 
     @property
     def entity_dofs(self):
         cell = self.cell
+        npe = self.npe
         ed = {d: {e: [] for e in range(len(cell.topology[d]))}
               for d in cell.topology}
         for lf in range(len(cell.facets)):
-            ed[cell.dim - 1][lf] = [lf]
+            ed[cell.dim - 1][lf] = list(range(npe * lf, npe * (lf + 1)))
         return ed
 
     def tabulate(self, points, order=1):
@@ -56,18 +69,41 @@ class HDivTrace(FiniteElement):
                          "functions appear only in facet integrals")
 
     def tabulate_facet(self, lf: int, points, order: int = 0):
-        """Basis at facet-embedded points: indicator of the owning facet
-        (P0)."""
-        nq = len(points)
+        """Basis at facet-embedded points (CELL reference coords):
+        Legendre P_j of the local facet parameter on the owning facet,
+        zero on all others."""
+        pts = np.asarray(points, dtype=float)
+        nq = len(pts)
         vals = np.zeros((nq, self.ndof))
-        vals[:, lf] = 1.0
+        if self.degree == 0:
+            vals[:, lf] = 1.0
+        else:
+            fverts = self.cell.vertices[list(self.cell.facets[lf])]
+            d = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ d) / (d @ d)
+            for j in range(self.npe):
+                c = np.zeros(j + 1)
+                c[j] = 1.0
+                vals[:, lf * self.npe + j] = \
+                    np.polynomial.legendre.legval(2 * s - 1, c)
         out = {0: vals}
         if order >= 1:
             out[1] = np.zeros((nq, self.ndof, self.cell.dim))
         return out
 
     def entity_permutation(self, dim, orientation):
-        return np.arange(1, dtype=np.int32)
+        return np.arange(self.npe, dtype=np.int32)
+
+    @property
+    def facet_dof_sign_flip(self):
+        return self.degree >= 1
+
+    def facet_dof_signs(self, orientation):
+        """Edge reversal: Legendre parity (-1)^j (no normal flip — trace
+        functions are scalars)."""
+        if orientation == 0:
+            return np.ones(self.npe)
+        return np.array([(-1.0) ** j for j in range(self.npe)])
 
     def __eq__(self, other):
         return (type(self) is type(other)

@@ -96,6 +96,15 @@ class Tensor(TensorBase):
         self.axis_parts = []
         for i, n in enumerate(numbers):
             space = axes[i] if axes is not None else None
+            if space is None:
+                # a form over a mixed space may touch only SOME fields;
+                # the local tensor must still carry the FULL block axis
+                # (zero blocks for absent couplings) — recover the parent
+                # mixed space from any part-argument
+                for a in self.arguments:
+                    if a.number == n and a.part is not None:
+                        space = a.space.parent
+                        break
             if space is not None:
                 from .mixed import MixedFunctionSpace
                 if isinstance(space, MixedFunctionSpace):
@@ -404,21 +413,19 @@ def _eval_local_impl(expr, cache):
                 out = out.at[:, offs[0][i]:offs[0][i + 1]].set(loc)
         return out
     if isinstance(expr, AssembledVector):
+        # NB: local tensors are CANONICAL-indexed (dof signs applied at
+        # kernel level), so coefficient gathers here must stay UNSIGNED —
+        # contractions then pair canonical coefficients with canonical
+        # rows (a signed gather would cancel the tensor's signs, s^2=1)
         V = expr.space
         from .mixed import MixedFunctionSpace
         if isinstance(V, MixedFunctionSpace):
-            parts = []
-            for sub, Vi in zip(expr.f.subfunctions, V.subspaces):
-                g = jnp.asarray(sub.dat)[jnp.asarray(Vi.cell_dof_map)]
-                if getattr(Vi, "has_dof_signs", False):
-                    g = g * jnp.asarray(Vi.cell_dof_signs)
-                parts.append(g)
+            parts = [jnp.asarray(sub.dat)[jnp.asarray(Vi.cell_dof_map)]
+                     for sub, Vi in zip(expr.f.subfunctions,
+                                        V.subspaces)]
             return jnp.concatenate(parts, axis=1)
         dat = jnp.asarray(expr.f.dat)
-        g = dat[jnp.asarray(V.cell_dof_map)]
-        if getattr(V, "has_dof_signs", False):
-            g = g * jnp.asarray(V.cell_dof_signs)
-        return g
+        return dat[jnp.asarray(V.cell_dof_map)]
     if isinstance(expr, Transpose):
         v = _eval_local(expr.a, cache)
         return jnp.swapaxes(v, 1, 2) if expr.rank == 2 else v
@@ -432,6 +439,10 @@ def _eval_local_impl(expr, cache):
     if isinstance(expr, Mul):
         a = _eval_local(expr.a, cache)
         b = _eval_local(expr.b, cache)
+        if a.shape[-1] != b.shape[1]:
+            raise ValueError(
+                f"Slate contraction mismatch: {a.shape} x {b.shape} — "
+                "check block slicing / Tensor axes")
         if expr.a.rank == 2 and expr.b.rank == 2:
             return jnp.einsum("cij,cjk->cik", a, b)
         if expr.a.rank == 2 and expr.b.rank == 1:
@@ -443,6 +454,9 @@ def _eval_local_impl(expr, cache):
         from .ops.batched_inverse import batched_solve
         A = _eval_local(expr.A, cache)
         b = _eval_local(expr.b, cache)
+        if A.shape[-1] != b.shape[1]:
+            raise ValueError(
+                f"Slate solve mismatch: {A.shape} x {b.shape}")
         return batched_solve(A, b)
     if isinstance(expr, Block):
         v = _eval_local(expr.a, cache)

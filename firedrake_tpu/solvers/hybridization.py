@@ -38,14 +38,15 @@ def _broken_problem(a, L, W):
     Sigma, U = W.subspaces
     elem = Sigma.element
     fam = getattr(elem, "family", "")
-    if fam not in ("Raviart-Thomas", "RT"):
+    if fam in ("Raviart-Thomas", "RT"):
+        tdeg = elem.degree - 1       # RT_k normal trace is P_{k-1}
+    elif fam in ("Brezzi-Douglas-Marini", "BDM"):
+        tdeg = elem.degree           # BDM_k normal trace is P_k
+    else:
         raise NotImplementedError(
-            f"HybridizationPC: flux family {fam!r} (RT for now)")
-    if elem.degree != 1:
-        raise NotImplementedError(
-            "HybridizationPC: RT degree >= 2 needs HDivTrace degree >= 1")
+            f"HybridizationPC: flux family {fam!r} (RT/BDM)")
     Sb = FunctionSpace(mesh, BrokenElement(elem))
-    T = FunctionSpace(mesh, "HDiv Trace", 0)
+    T = FunctionSpace(mesh, "HDiv Trace", tdeg)
     Wd = MixedFunctionSpace([Sb, U])
 
     mapping = {}

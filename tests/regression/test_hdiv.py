@@ -93,3 +93,51 @@ def test_rt_tetrahedra():
     solve(a == -inner(f, v) * dx, w,
           solver_parameters={"ksp_type": "preonly", "pc_type": "lu"})
     assert errornorm(ex, w.subfunctions[1]) < 0.35
+
+
+def test_higher_order_hdiv_projection_rates():
+    """RT_k (any k) and BDM_k on triangles: optimal projection rates and
+    exact inter-cell normal continuity (reference: FIAT raviart_thomas.py
+    / brezzi_douglas_marini.py moment dual bases)."""
+    import numpy as np
+    from firedrake_tpu import (project, jump, FacetNormal, dS, assemble,
+                               as_vector, sin, cos)
+    for fam, deg, rate_exp in [("RT", 2, 2), ("RT", 3, 3), ("BDM", 2, 3)]:
+        errs = []
+        for n in (4, 8):
+            mesh = fd.UnitSquareMesh(n, n)
+            V = fd.FunctionSpace(mesh, fam, deg)
+            X = fd.SpatialCoordinate(mesh)
+            expr = as_vector([sin(X[0]) * X[1] ** 2,
+                              X[0] ** 3 + cos(X[1])])
+            f = project(expr, V)
+            errs.append(fd.errornorm(expr, f))
+            nrm = FacetNormal(mesh)
+            assert assemble(jump(f, nrm) ** 2 * dS) < 1e-20
+        rate = np.log2(errs[0] / errs[1])
+        assert rate > rate_exp - 0.2, (fam, deg, rate)
+
+
+def test_mixed_poisson_rt2_dg1():
+    """RT2 x DG1 mixed Poisson converges at second order."""
+    import math
+    import numpy as np
+    errs = []
+    for n in (4, 8):
+        mesh = fd.UnitSquareMesh(n, n)
+        S = fd.FunctionSpace(mesh, "RT", 2)
+        V = fd.FunctionSpace(mesh, "DG", 1)
+        W = fd.MixedFunctionSpace([S, V])
+        sigma, u = fd.TrialFunctions(W)
+        tau, v = fd.TestFunctions(W)
+        X = fd.SpatialCoordinate(mesh)
+        f = 2 * math.pi ** 2 * fd.sin(math.pi * X[0]) \
+            * fd.sin(math.pi * X[1])
+        a = (fd.dot(sigma, tau) - u * fd.div(tau)
+             - fd.div(sigma) * v) * fd.dx
+        w = fd.Function(W)
+        fd.solve(a == -f * v * fd.dx, w, solver_parameters={
+            "ksp_type": "preonly", "pc_type": "lu"})
+        uex = fd.sin(math.pi * X[0]) * fd.sin(math.pi * X[1])
+        errs.append(fd.errornorm(uex, w.subfunctions[1]))
+    assert np.log2(errs[0] / errs[1]) > 1.8, errs

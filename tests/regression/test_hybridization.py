@@ -181,3 +181,48 @@ def test_hybridization_pc_iterative_trace():
     d = np.abs(np.asarray(w_h.subfunctions[1].dat)
                - np.asarray(w_ref.subfunctions[1].dat)).max()
     assert d < 1e-8, d
+
+
+def test_hybridization_pc_higher_order():
+    """RT2 x DG1, BDM1 x DG0, BDM2 x DG1 hybridizations (P_k trace
+    multipliers with Legendre facet bases) match the conforming LU
+    solve (reference: HybridizationPC supports any H(div) degree)."""
+    for fam, deg, vdeg in [("RT", 2, 1), ("BDM", 1, 0), ("BDM", 2, 1)]:
+        mesh = UnitSquareMesh(6, 6)
+        S = FunctionSpace(mesh, fam, deg)
+        V = FunctionSpace(mesh, "DG", vdeg)
+        W = MixedFunctionSpace([S, V])
+        sigma, u = TrialFunctions(W)
+        tau, v = TestFunctions(W)
+        X = SpatialCoordinate(mesh)
+        f = Function(V).interpolate(
+            2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1]))
+        a = (dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+        L = -inner(f, v) * dx
+        wh, wr = Function(W), Function(W)
+        solve(a == L, wh, solver_parameters={
+            "ksp_type": "preonly", "pc_type": "hybridization"})
+        solve(a == L, wr, solver_parameters={
+            "ksp_type": "preonly", "pc_type": "lu"})
+        for i in (0, 1):
+            d = np.abs(np.asarray(wh.subfunctions[i].dat)
+                       - np.asarray(wr.subfunctions[i].dat)).max()
+            assert d < 1e-10, (fam, deg, i, d)
+
+
+def test_trace_p1_facet_mass():
+    """Degree-1 trace: the facet mass matrix has the Legendre block
+    diag(|e|, |e|/3) per edge."""
+    mesh = UnitSquareMesh(2, 2)
+    T = FunctionSpace(mesh, "HDiv Trace", 1)
+    lam, mu = TrialFunction(T), TestFunction(T)
+    M = assemble(inner(lam("+"), mu("+")) * dS
+                 + inner(lam, mu) * ds).to_scipy().toarray()
+    fv = mesh.topology.facet_vertices
+    L = np.linalg.norm(mesh._vertex_coords[fv[:, 1]]
+                       - mesh._vertex_coords[fv[:, 0]], axis=1)
+    exact = np.zeros_like(M)
+    for f, l in enumerate(L):
+        exact[2 * f, 2 * f] = l
+        exact[2 * f + 1, 2 * f + 1] = l / 3
+    assert np.abs(M - exact).max() < 1e-12
