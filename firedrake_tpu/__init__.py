@@ -55,6 +55,7 @@ from .utils.logging import (set_log_level, info, warning, error, debug,
 from .utils.profiling import (timed_region, timed_function,
                               print_event_summary, write_flamegraph)
 from .utils.ux import ProgressBar, Citations
+from .adapt import refine_marked, adapt
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject
 from .solving import (solve, LinearVariationalProblem,
@@ -91,7 +92,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
     "PointNotInDomainError", "Tensor", "AssembledVector",
     "assemble_slate",
-    "VertexOnlyMesh",
+    "VertexOnlyMesh", "refine_marked", "adapt",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",

@@ -153,6 +153,12 @@ class Mesh:
         return np.nonzero(np.isin(self.cell_markers,
                                   np.asarray(subdomain)))[0]
 
+    def refine_marked_elements(self, markers):
+        """Conforming NVB refinement of the marked cells (reference:
+        netgen's Mesh.refine_marked_elements); see adapt.py."""
+        from ..adapt import refine_marked
+        return refine_marked(self, markers)
+
     def mark_cells(self, marker_fn_or_array):
         """Set cell subdomain ids from an array or a centroid predicate
         fn(centroid)->id (host-side utility; reference reads these from
