@@ -57,7 +57,7 @@ from .utils.profiling import (timed_region, timed_function,
 from .utils.ux import ProgressBar, Citations
 from .adapt import refine_marked, adapt
 from .mg.mesh import MeshHierarchy, HierarchyBase
-from .mg.transfer import prolong, restrict, inject
+from .mg.transfer import prolong, restrict, inject, TransferManager
 from .solving import (solve, LinearVariationalProblem,
                       LinearVariationalSolver,
                       NonlinearVariationalProblem,
@@ -103,4 +103,5 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
     "MeshHierarchy", "HierarchyBase", "prolong", "restrict", "inject",
+    "TransferManager",
 ])

@@ -48,13 +48,21 @@ def _build(expr: Expr, V):
         mesh.num_cells, -1, gdim))
     coeff_maps = {c.count: jnp.asarray(c.space.cell_dof_map)
                   for c in coeffs}
+    # H(div)/H(curl) coefficients: local basis = signed global basis
+    coeff_signs = {c.count: jnp.asarray(c.space.cell_dof_signs)
+                   for c in coeffs
+                   if getattr(c.space, "has_dof_signs", False)}
     target_map = jnp.asarray(V.cell_dof_map)     # (ncell, npts*bs)
     bs = V.block_size
 
     def run(coords_dat, coeff_dats, const_vals):
         ce = coords_dat[cmap3]
-        ws = tuple(coeff_dats[c.count][coeff_maps[c.count]]
-                   for c in coeffs)
+        ws = tuple(
+            coeff_dats[c.count][coeff_maps[c.count]]
+            * coeff_signs[c.count]
+            if c.count in coeff_signs
+            else coeff_dats[c.count][coeff_maps[c.count]]
+            for c in coeffs)
         cvs = tuple(const_vals[c.count] for c in consts)
         vals = jax.vmap(lambda c, *w: kern(c, w, cvs))(ce, *ws)
         # vals: (ncell, npts) + value_shape; flatten components node-major

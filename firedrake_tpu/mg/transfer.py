@@ -153,3 +153,50 @@ def inject(fine, coarse):
     t = get_transfer(Vc, Vf)
     coarse.dat = t.inject_fn(jnp.asarray(fine.dat))
     return coarse
+
+
+class TransferManager:
+    """Reference: firedrake/mg/embedded.py TransferManager — transfers
+    for spaces whose elements aren't nodal-Lagrange by EMBEDDING into an
+    equivalent (vector) DG space: interpolate -> transfer -> project
+    back.  Nodal spaces (CG/DG, vector/tensor) go straight through the
+    tabulated kernels."""
+
+    def _is_nodal(self, V):
+        fam = V.scalar_element.family
+        return fam in ("Lagrange", "Discontinuous Lagrange")
+
+    def _embedding_space(self, V):
+        from ..functionspace import VectorFunctionSpace
+        deg = V.scalar_element.degree
+        d = V.mesh_obj.geometric_dimension
+        return VectorFunctionSpace(V.mesh_obj, "DG", deg, dim=d)
+
+    def _via_embedding(self, op, src, dst):
+        from ..function import Function
+        from ..interpolation import interpolate_onto
+        from ..projection import project
+        Es = self._embedding_space(src.function_space())
+        Ed = self._embedding_space(dst.function_space())
+        gs = Function(Es)
+        interpolate_onto(src, gs)
+        gd = Function(Ed)
+        op(gs, gd)
+        project(gd, dst)
+        return dst
+
+    def prolong(self, coarse, fine):
+        if self._is_nodal(coarse.function_space()):
+            return prolong(coarse, fine)
+        return self._via_embedding(prolong, coarse, fine)
+
+    def inject(self, fine, coarse):
+        if self._is_nodal(fine.function_space()):
+            return inject(fine, coarse)
+        return self._via_embedding(inject, fine, coarse)
+
+    def restrict(self, fine_dual, coarse_dual):
+        if self._is_nodal(fine_dual.function_space()):
+            return restrict(fine_dual, coarse_dual)
+        raise NotImplementedError("embedded restriction of duals: use "
+                                  "nodal residual spaces")

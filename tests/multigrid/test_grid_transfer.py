@@ -102,3 +102,53 @@ def test_poisson_gmg_3d():
     s.solve()
     assert s.ksp_iterations <= 25
     assert errornorm(ex, uh) < 0.1
+
+
+def test_transfer_dg_and_vector():
+    """Tabulated transfers work for DG and vector spaces directly."""
+    import numpy as np
+    from firedrake_tpu import (MeshHierarchy, UnitSquareMesh,
+                               FunctionSpace, VectorFunctionSpace,
+                               Function, SpatialCoordinate, prolong,
+                               inject, as_vector, errornorm)
+    mh = MeshHierarchy(UnitSquareMesh(2, 2), 1)
+    for mk in (lambda m: FunctionSpace(m, "DG", 1),
+               lambda m: VectorFunctionSpace(m, "CG", 2, dim=2)):
+        Vc, Vf = mk(mh[0]), mk(mh[1])
+        Xc = SpatialCoordinate(mh[0])
+        Xf = SpatialCoordinate(mh[1])
+        if Vc.value_shape:
+            ec, ef = (as_vector([X[0] + 2 * X[1], X[0] * X[1]])
+                      for X in (Xc, Xf))
+        else:
+            ec, ef = ((X[0] + 2 * X[1]) for X in (Xc, Xf))
+        uc = Function(Vc).interpolate(ec)
+        uf = Function(Vf)
+        prolong(uc, uf)
+        if Vc.scalar_element.degree >= 2 or not Vc.value_shape:
+            # linear in the span: prolongation is exact
+            assert errornorm(ef, uf) < 1e-11
+        uc2 = Function(Vc)
+        inject(uf, uc2)
+        assert np.abs(np.asarray(uc2.dat) - np.asarray(uc.dat)).max() \
+            < 1e-11
+
+
+def test_transfer_manager_hdiv_embedding():
+    """TransferManager embeds RT1 through vector DG for prolongation
+    (reference: mg/embedded.py)."""
+    from firedrake_tpu import (MeshHierarchy, UnitSquareMesh,
+                               FunctionSpace, Function,
+                               SpatialCoordinate, as_vector, project,
+                               TransferManager, errornorm)
+    mh = MeshHierarchy(UnitSquareMesh(2, 2), 1)
+    Vc = FunctionSpace(mh[0], "RT", 1)
+    Vf = FunctionSpace(mh[1], "RT", 1)
+    Xc = SpatialCoordinate(mh[0])
+    Xf = SpatialCoordinate(mh[1])
+    # constant vector fields are in RT1 and survive the embedding chain
+    uc = project(as_vector([1.0 + 0 * Xc[0], 2.0 + 0 * Xc[1]]), Vc)
+    uf = Function(Vf)
+    TransferManager().prolong(uc, uf)
+    assert errornorm(as_vector([1.0 + 0 * Xf[0], 2.0 + 0 * Xf[1]]),
+                     uf) < 1e-9
