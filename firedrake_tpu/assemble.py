@@ -252,9 +252,15 @@ class FormAssembler:
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(facets)
         elif ci.integral_type == "interior_facet":
-            if ci.subdomain_id not in ("everywhere", None):
-                raise NotImplementedError("dS subdomain ids")
             facets = topo.interior_facets
+            if ci.subdomain_id not in ("everywhere", None):
+                # dS(id): marked interior facets (gmsh physical lines /
+                # Mesh.mark_facets), reference: measure subdomain_data
+                sd = ci.subdomain_id
+                if isinstance(sd, (int, np.integer)):
+                    sd = (int(sd),)
+                facets = facets[np.isin(
+                    mesh.facet_markers[facets], np.asarray(sd))]
             if len(facets) == 0:
                 return None
             cp = topo.facet_cells[facets, 0]

@@ -153,6 +153,20 @@ class Mesh:
         return np.nonzero(np.isin(self.cell_markers,
                                   np.asarray(subdomain)))[0]
 
+    def mark_facets(self, marker_fn_or_array):
+        """Set facet subdomain ids from an array over facets or a
+        midpoint predicate fn(midpoint)->id (for ds(id)/dS(id);
+        reference reads these from gmsh physical groups)."""
+        if callable(marker_fn_or_array):
+            fv = self.topology.facet_vertices
+            mids = self._vertex_coords[fv].mean(axis=1)
+            self.facet_markers = np.array(
+                [int(marker_fn_or_array(m)) for m in mids], dtype=_IDX)
+        else:
+            self.facet_markers = np.asarray(marker_fn_or_array,
+                                            dtype=_IDX)
+        return self
+
     def refine_marked_elements(self, markers):
         """Conforming NVB refinement of the marked cells (reference:
         netgen's Mesh.refine_marked_elements); see adapt.py."""

@@ -176,3 +176,21 @@ def test_sipg_poisson_3d_tets():
         "ksp_max_it": 20000, "ksp_gmres_restart": 100})
     err = errornorm(gex, uh)
     assert err < 1e-7, err
+
+
+def test_dS_subdomain_ids():
+    """dS(id) integrates over MARKED interior facets only (reference:
+    measures with subdomain data from gmsh physical lines)."""
+    import numpy as np
+    from firedrake_tpu import (UnitSquareMesh, FunctionSpace, Function,
+                               SpatialCoordinate, assemble, avg, dS)
+    mesh = UnitSquareMesh(4, 4)
+    # mark the internal line x == 0.5 as 7
+    mesh.mark_facets(lambda m: 7 if abs(m[0] - 0.5) < 1e-12 else 0)
+    X = SpatialCoordinate(mesh)
+    f = Function(FunctionSpace(mesh, "DG", 0)).interpolate(
+        0 * X[0] + 1.0)
+    # length of the marked line = 1
+    assert abs(assemble(avg(f) * dS(7)) - 1.0) < 1e-12
+    total = assemble(avg(f) * dS)
+    assert total > 1.0
