@@ -108,6 +108,7 @@ class StripPartition:
         self.send_idx = np.zeros((nshards, nh, self.halo_buf), dtype=_IDX)
         self.send_mask = np.zeros((nshards, nh, self.halo_buf))
         self.recv_idx = np.zeros((nshards, nh, self.halo_buf), dtype=_IDX)
+        self.recv_mask = np.zeros((nshards, nh, self.halo_buf))
         for (s, d), sel in send_plans.items():
             dn = self.hops.index(d)
             t = s + d
@@ -116,6 +117,12 @@ class StripPartition:
             self.send_mask[s, dn, :len(sel)] = 1.0
             g2l_t = self.global_to_local[t]
             self.recv_idx[t, dn, :len(sel)] = [g2l_t[int(g)] for g in sel]
+            self.recv_mask[t, dn, :len(sel)] = 1.0
+        # owned mask over the padded LOCAL layout (Krylov dot products
+        # must count every dof exactly once — owners only)
+        self.local_owned_mask = np.zeros((nshards, self.max_local))
+        for s in range(nshards):
+            self.local_owned_mask[s, :self.n_owned[s]] = 1.0
         # owned -> global gather (for collecting the result)
         self.owned_global = np.zeros((nshards, self.max_owned),
                                      dtype=np.int64)
