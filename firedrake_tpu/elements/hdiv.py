@@ -349,33 +349,62 @@ class BrezziDouglasMarini(_MomentElement):
 
 
 class NedelecFirstKind2D(_MomentElement):
-    """N1curl_1 on triangle = rotated RT1; tangential edge dofs."""
+    """N1curl_k on triangles = 90-degree rotation of RT_k: span
+    (P_{k-1})^2 + rot(x) hom(P_{k-1}); tangential Legendre moments per
+    edge + interior (P_{k-2})^2 moments."""
 
     family = "Nedelec 1st kind H(curl)"
     continuity = "HCurl"
     mapping = "covariant"
 
     def _span_terms(self):
-        if self.degree != 1 or self.cell.dim != 2:
-            raise NotImplementedError("N1curl_1 on triangles only")
-        terms = [lambda x: np.array([1.0, 0.0]),
-                 lambda x: np.array([0.0, 1.0]),
-                 lambda x: np.array([-x[1], x[0]])]
+        if self.cell.dim != 2:
+            raise NotImplementedError("N1curl on triangles only")
+        k = self.degree
+        terms = []
+        for (a, b) in _monomials2(k - 1):
+            for i in range(2):
+                e = np.zeros(2)
+                e[i] = 1.0
+                terms.append(lambda x, e=e, a=a, b=b:
+                             e * (x[0] ** a * x[1] ** b))
+        for a in range(k):             # rot(x) * hom degree k-1
+            b = k - 1 - a
+            terms.append(lambda x, a=a, b=b:
+                         np.array([-x[1], x[0]])
+                         * (x[0] ** a * x[1] ** b))
         return terms
 
     def _dof_functionals(self):
         cell = self.cell
+        k = self.degree
         out = []
         for lf in range(len(cell.facets)):
-            pts, wts, nref = _facet_quad(cell, lf, 3)
+            pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
             tang = np.array([-nref[1], nref[0]])
+            fverts = cell.vertices[list(cell.facets[lf])]
+            dvec = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            for j in range(k):
+                def ell(t, pts=pts, wts=wts, tang=tang, s=s, j=j):
+                    vals = np.array([t(p) for p in pts])
+                    return float(np.sum(wts * _legendre01(j, s)
+                                        * (vals @ tang)))
+                out.append(ell)
+        if k >= 2:
+            q = make_quadrature(cell.name, 2 * k + 2)
+            for (a, b) in _monomials2(k - 2):
+                for i in range(2):
+                    e = np.zeros(2)
+                    e[i] = 1.0
 
-            def ell(t, pts=pts, wts=wts, tang=tang):
-                vals = np.array([t(p) for p in pts])
-                return float(np.sum(wts * (vals @ tang)))
-
-            out.append(ell)
+                    def ell(t, q=q, e=e, a=a, b=b):
+                        vals = np.array([t(p) for p in q.points])
+                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
+                        return float(np.sum(q.weights * m * (vals @ e)))
+                    out.append(ell)
         return out
 
     entity_dofs = RaviartThomas.entity_dofs
+    facet_dof_signs = RaviartThomas.facet_dof_signs
     facet_dof_sign_flip = True

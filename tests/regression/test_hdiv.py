@@ -141,3 +141,29 @@ def test_mixed_poisson_rt2_dg1():
         uex = fd.sin(math.pi * X[0]) * fd.sin(math.pi * X[1])
         errs.append(fd.errornorm(uex, w.subfunctions[1]))
     assert np.log2(errs[0] / errs[1]) > 1.8, errs
+
+
+def test_nedelec_any_degree():
+    """N1curl_k (rotated RT_k): optimal projection rates and tangential
+    continuity (global Stokes: sum of cell curls == boundary
+    circulation)."""
+    import numpy as np
+    from firedrake_tpu import (project, FacetNormal, assemble, as_vector,
+                               sin, cos, curl, ds)
+    for deg in (2, 3):
+        errs = []
+        for n in (4, 8):
+            mesh = fd.UnitSquareMesh(n, n)
+            V = fd.FunctionSpace(mesh, "N1curl", deg)
+            X = fd.SpatialCoordinate(mesh)
+            expr = as_vector([sin(X[0]) * X[1] ** 2,
+                              X[0] ** 3 + cos(X[1])])
+            f = project(expr, V)
+            errs.append(fd.errornorm(expr, f))
+            nrm = FacetNormal(mesh)
+            t = as_vector([-nrm[1], nrm[0]])
+            gap = abs(assemble(curl(f) * fd.dx)
+                      - assemble(fd.dot(f, t) * ds))
+            assert gap < 1e-9, (deg, n, gap)
+        rate = np.log2(errs[0] / errs[1])
+        assert rate > deg - 0.2, (deg, rate)
