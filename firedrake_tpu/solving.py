@@ -123,6 +123,11 @@ class LinearVariationalSolver:
             from .solvers.hybridization import solve_hybridization
             self.ksp_iterations = solve_hybridization(p, params)
             return
+        if (params.get("pc_type") == "scpc"
+                or params.get("pc_python_type", "").endswith("SCPC")):
+            from .solvers.scpc import solve_scpc
+            self.ksp_iterations = solve_scpc(p, params)
+            return
 
         b = (jnp.asarray(assemble(p.L).dat) if p.L is not None
              else jnp.zeros(n))
