@@ -56,6 +56,7 @@ from .utils.profiling import (timed_region, timed_function,
                               print_event_summary, write_flamegraph)
 from .utils.ux import ProgressBar, Citations
 from .adapt import refine_marked, adapt
+from .language.external import point_expr, PointwiseOperator
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject, TransferManager
 from .solving import (solve, LinearVariationalProblem,
@@ -93,6 +94,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "PointNotInDomainError", "Tensor", "AssembledVector",
     "assemble_slate",
     "VertexOnlyMesh", "refine_marked", "adapt",
+    "point_expr", "PointwiseOperator",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",

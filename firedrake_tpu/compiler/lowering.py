@@ -515,6 +515,9 @@ class Lowerer:
             if e.fname == "erf":
                 return jax.scipy.special.erf(ev(e.operands[0], side))
             return _MATHFNS[e.fname](ev(e.operands[0], side))
+        from ..language.external import PointwiseOperator as _PWO
+        if t is _PWO:
+            return e.fn(*(ev(o, side) for o in e.operands))
         if t is Atan2:
             return jnp.arctan2(ev(e.operands[0], side),
                                ev(e.operands[1], side))

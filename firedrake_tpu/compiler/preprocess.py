@@ -69,6 +69,9 @@ def _estimate(e, cd, memo):
         return est(b) + 2
     if isinstance(e, (MathFunction, Abs, Atan2)):
         return max(est(e.operands[0]), 1) + 2
+    from ..language.external import PointwiseOperator as _PWO
+    if isinstance(e, _PWO):
+        return max((est(o) for o in e.operands), default=1) + 2
     if isinstance(e, (Indexed, Restricted, Transpose, Trace, ListTensor)):
         return max((est(o) for o in e.operands), default=0)
     if isinstance(e, (Determinant, Inverse)):
@@ -147,6 +150,16 @@ def _push_one_grad(e: Expr) -> Expr:
         from ..language.calculus import _CHAIN
         df = _CHAIN[e.fname](e.operands[0])
         return Product(df, _push_one_grad(e.operands[0]))
+    from ..language.external import PointwiseOperator, elementwise_partial
+    if isinstance(e, PointwiseOperator):
+        out = None
+        for i, op in enumerate(e.operands):
+            dN = PointwiseOperator(
+                elementwise_partial(e.fn, i, len(e.operands)),
+                e.operands, name=e.fname + f"'{i}")
+            term = Product(dN, _push_one_grad(op))
+            out = term if out is None else Sum(out, term)
+        return out
     if isinstance(e, Abs):
         return Product(MathFunction("sign", e.operands[0]),
                        _push_one_grad(e.operands[0]))

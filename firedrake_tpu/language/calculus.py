@@ -47,6 +47,9 @@ def reconstruct(node: Expr, ops):
         return Indexed(ops[0], node.indices)
     if t is MathFunction:
         return MathFunction(node.fname, ops[0])
+    from .external import PointwiseOperator as _PWO
+    if t is _PWO:
+        return _PWO(node.fn, ops, name=node.fname)
     if t is Restricted:
         return Restricted(ops[0], node.side)
     if t is Condition:
@@ -177,6 +180,18 @@ def _gateaux_impl(e, u, du, memo):
         if e.fname == "sign":
             return Zero(())
         return Product(_CHAIN[e.fname](a[0]), g(a[0]))
+    from .external import PointwiseOperator, elementwise_partial
+    if t is PointwiseOperator:
+        out = Zero(())
+        for i, op in enumerate(a):
+            dop = g(op)
+            if dop.is_zero():
+                continue
+            dN = PointwiseOperator(
+                elementwise_partial(e.fn, i, len(a)), a,
+                name=e.fname + f"'{i}")
+            out = Sum(out, Product(dN, dop))
+        return out
     if t is Atan2:
         y, x = a
         denom = Sum(Power(x, ScalarValue(2.0)), Power(y, ScalarValue(2.0)))
