@@ -174,12 +174,105 @@ def interpolate(expr, V, **kwargs):
 
 
 class Interpolator:
-    """Reusable interpolator (reference: interpolation.py Interpolator)."""
+    """Reusable interpolator (reference: interpolation.py Interpolator).
+
+    When ``expr`` is an Argument/Function of a source space, the
+    interpolation is a LINEAR OPERATOR: ``assemble()`` materializes the
+    sparse matrix I (target dim x source dim) and
+    ``interpolate(cof, adjoint=True)`` applies I^T — the
+    data-assimilation adjoint (reference: Interpolator._interpolate
+    transpose=True).  Identity-mapped (Lagrange-family) sources; targets
+    are same-mesh nodal spaces or a VertexOnlyMesh P0DG space."""
 
     def __init__(self, expr, V):
         self.expr = expr
         self.V = V
+        self._mat = None
 
-    def interpolate(self, output=None):
+    def _source_space(self):
+        from .language.core import Argument
+        if isinstance(self.expr, (Argument, Function)):
+            return self.expr.function_space()
+        raise NotImplementedError(
+            "interpolation matrices need a bare Function/Argument "
+            "expression")
+
+    def assemble(self):
+        """The interpolation operator as a Matrix."""
+        if self._mat is not None:
+            return self._mat
+        from .assembly.sparsity import Sparsity
+        from .assembly.matrix import Matrix
+        import jax.numpy as _jnp
+        Vs = self._source_space()
+        Vd = self.V
+        src = Vs.scalar_element
+        if getattr(src, "mapping", "identity") != "identity":
+            raise NotImplementedError("interpolation matrices of Piola-"
+                                      "mapped sources")
+        bs = Vs.block_size
+        mesh_d = Vd.mesh_obj
+        if getattr(mesh_d, "is_vertex_only", False):
+            # rows: one per (point, component); cols: parent cell dofs
+            assert mesh_d.parent is Vs.mesh_obj
+            loc = np.stack([src.tabulate(r[None], 0)[0][0]
+                            for r in mesh_d.refs])[:, None, :]
+            rows_sc = np.arange(len(mesh_d.cells))[:, None]
+            cols_sc = Vs.cell_node_map[mesh_d.cells]
+            n_rownodes = len(mesh_d.cells)
+        else:
+            assert Vd.mesh_obj is Vs.mesh_obj, \
+                "cross-mesh interpolation matrices: round 2"
+            tab = src.tabulate(Vd.scalar_element.nodes, 0)[0]
+            loc = np.broadcast_to(
+                tab, (Vs.mesh_obj.num_cells,) + tab.shape).copy()
+            rows_sc = Vd.cell_node_map
+            cols_sc = Vs.cell_node_map
+            # shared CG target nodes are written by several cells: scale
+            # by multiplicity so the add-scatter averages (values agree
+            # for continuous data; averaging otherwise, documented)
+            mult = np.zeros(Vd.num_nodes)
+            np.add.at(mult, rows_sc.reshape(-1), 1.0)
+            loc = loc / mult[rows_sc][:, :, None]
+            n_rownodes = Vd.num_nodes
+        nc, ndst, nsrc = loc.shape
+        comp = np.arange(bs)
+        # (nc, ndst, nsrc, bs): component c of node i maps from
+        # component c of node j (node-major interleave on both sides)
+        rows_e = (rows_sc[:, :, None, None] * bs
+                  + comp[None, None, None, :]) \
+            * np.ones((1, 1, nsrc, 1), dtype=np.int64)
+        cols_e = (cols_sc[:, None, :, None] * bs
+                  + comp[None, None, None, :]) \
+            * np.ones((1, ndst, 1, 1), dtype=np.int64)
+        vals_e = np.broadcast_to(loc[:, :, :, None],
+                                 (nc, ndst, nsrc, bs))
+        # Sparsity forms the OUTER product of row/col maps per entity;
+        # aligned (row, col, val) triples are 1x1 blocks per pseudo-entity
+        sp = Sparsity(n_rownodes * bs, Vs.dim,
+                      [(rows_e.reshape(-1, 1).astype(np.int64),
+                        cols_e.reshape(-1, 1).astype(np.int64))])
+        data = _jnp.zeros(sp.nnz).at[_jnp.asarray(
+            sp.block_positions[0])].add(
+            _jnp.asarray(vals_e).reshape(-1))
+        self._mat = Matrix(sp, data, None, None)
+        return self._mat
+
+    def interpolate(self, source=None, output=None, adjoint=False):
+        from .function import Cofunction
+        import jax.numpy as _jnp
+        if adjoint:
+            I = self.assemble()
+            Vs = self._source_space()
+            out = output or Cofunction(Vs)
+            vals = I.to_scipy().T @ np.asarray(source.dat)
+            out.dat = np.asarray(vals)
+            return out
+        if source is not None and not isinstance(self.expr, Function):
+            f = output or Function(self.V)
+            I = self.assemble()
+            f.dat = np.asarray(I.to_scipy() @ np.asarray(source.dat))
+            return f
         f = output or Function(self.V)
-        return interpolate_onto(self.expr, f)
+        return interpolate_onto(source if source is not None
+                                else self.expr, f)
