@@ -622,3 +622,45 @@ def UnitDiskMesh(refinement_level=0, name="mesh"):
 __all__ += ["CubedSphereMesh", "UnitCubedSphereMesh",
             "OctahedralSphereMesh", "UnitOctahedralSphereMesh",
             "CylinderMesh", "UnitDiskMesh"]
+
+
+def Submesh(mesh, subdomain_id=None, cells=None, name=None):
+    """Mesh of a cell subset (reference: firedrake/mesh.py Submesh /
+    RelabeledMesh workflows): pass a dx subdomain id (cell markers) or
+    an explicit cell index array.  Vertices are renumbered compactly;
+    the result carries ``parent_cells`` / ``parent_vertices`` provenance
+    and inherits facet markers on surviving facets."""
+    topo = mesh.topology
+    if cells is None:
+        cells = mesh.cell_subset(subdomain_id)
+    cells = np.asarray(cells, dtype=np.int64)
+    if len(cells) == 0:
+        raise ValueError("Submesh: empty cell subset")
+    cv = np.asarray(topo.cell_vertices)[cells]
+    verts = np.unique(cv.reshape(-1))
+    renum = np.full(topo.num_vertices, -1, dtype=np.int64)
+    renum[verts] = np.arange(len(verts))
+    new_cells = renum[cv]
+    nt = MeshTopology(new_cells.astype(_IDX), len(verts),
+                      topo.cell.name, name or mesh.name + "_sub")
+    out = Mesh(nt, mesh._vertex_coords[verts],
+               name=name or mesh.name + "_sub")
+    out.parent_cells = cells
+    out.parent_vertices = verts
+    out.cell_markers = np.asarray(mesh.cell_markers)[cells]
+    # transfer facet markers by matching sorted (renumbered) vertex sets
+    old_f = {}
+    for fv, m in zip(np.asarray(topo.facet_vertices),
+                     np.asarray(mesh.facet_markers)):
+        vv = renum[fv[fv >= 0]]
+        if np.all(vv >= 0):
+            old_f[tuple(sorted(int(v) for v in vv))] = int(m)
+    fm = np.zeros(len(nt.facet_cells), dtype=_IDX)
+    for i, fv in enumerate(np.asarray(nt.facet_vertices)):
+        key = tuple(sorted(int(v) for v in fv if v >= 0))
+        fm[i] = old_f.get(key, 0)
+    out.facet_markers = fm
+    return out
+
+
+__all__ += ["Submesh"]

@@ -15,3 +15,25 @@ def test_sphere_cylinder_disk_meshes():
             (UnitDiskMesh(3), np.pi, 0.005)]:
         a = assemble(Constant(1.0) * dx(domain=m))
         assert abs(a - area) / area < tol
+
+
+def test_submesh():
+    """Submesh of a marked cell subset: correct area, solvable, facet
+    markers inherited (reference: firedrake Submesh)."""
+    import numpy as np
+    from firedrake_tpu import (UnitSquareMesh, FunctionSpace, Function,
+                               TestFunction, TrialFunction, Constant,
+                               DirichletBC, assemble, inner, grad, dx,
+                               solve)
+    from firedrake_tpu.mesh.utility import Submesh
+    mesh = UnitSquareMesh(8, 8)
+    mesh.mark_cells(lambda c: 1 if c[0] < 0.5 else 2)
+    sub = Submesh(mesh, 1)
+    assert sub.num_cells == mesh.num_cells // 2
+    assert abs(assemble(Constant(1.0) * dx(domain=sub)) - 0.5) < 1e-12
+    V = FunctionSpace(sub, "CG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    uh = Function(V)
+    solve(inner(grad(u), grad(v)) * dx == v * dx, uh,
+          bcs=[DirichletBC(V, 0.0, "on_boundary")])
+    assert 0 < float(np.asarray(uh.dat).max()) < 1.0
