@@ -51,7 +51,19 @@ def _invert(mesh, c, p, newton_its=20):
     d = cell.dim
     g = mesh.geometric_dimension
     if g != d:
-        return None   # manifold point location: later
+        # manifold (immersed) cells: least-squares inversion onto the
+        # cell's tangent plane; reject if the point is too far off-plane
+        if cell.name not in ("interval", "triangle"):
+            return None
+        A = np.stack([coords[i + 1] - coords[0] for i in range(d)],
+                     axis=1)                       # (g, d)
+        rhs = p - coords[0]
+        ref, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+        resid = np.linalg.norm(A @ ref - rhs)
+        size = np.linalg.norm(A, axis=0).max()
+        if resid > 0.2 * size:
+            return None
+        return ref
     if cell.name in ("interval", "triangle", "tetrahedron"):
         A = np.stack([coords[i + 1] - coords[0] for i in range(d)], axis=1)
         try:

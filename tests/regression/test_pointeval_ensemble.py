@@ -77,3 +77,20 @@ def test_cross_mesh_interpolation():
     assert errornorm(XB[0] ** 2 + XB[1], fB) < 0.02
     # nodal values are exact where the source is smooth
     assert abs(fB.at([0.2, 0.3]) - 0.34) < 1e-10
+
+
+def test_at_on_manifold():
+    """Point evaluation on immersed meshes (least-squares tangent-plane
+    inversion; reference: Function.at on manifold meshes)."""
+    import numpy as np
+    from firedrake_tpu import (IcosahedralSphereMesh, FunctionSpace,
+                               Function, SpatialCoordinate)
+    mesh = IcosahedralSphereMesh(1.0, 3)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    f = Function(V).interpolate(X[2])
+    pts = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                    [0.577, 0.577, 0.577]])
+    pts = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    vals = np.asarray(f.at(pts, tolerance=0.05))
+    assert np.abs(vals - pts[:, 2]).max() < 0.05
