@@ -57,6 +57,7 @@ from .utils.profiling import (timed_region, timed_function,
 from .utils.ux import ProgressBar, Citations
 from .adapt import refine_marked, adapt
 from .language.external import point_expr, PointwiseOperator
+from .supermesh import assemble_mixed_mass_matrix
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject, TransferManager
 from .solving import (solve, LinearVariationalProblem,
@@ -94,7 +95,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "PointNotInDomainError", "Tensor", "AssembledVector",
     "assemble_slate",
     "VertexOnlyMesh", "refine_marked", "adapt",
-    "point_expr", "PointwiseOperator",
+    "point_expr", "PointwiseOperator", "assemble_mixed_mass_matrix",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",
     "RandomGenerator", "PCG64", "parameters", "Parameters",
     "set_log_level", "info", "warning", "error", "debug",
