@@ -46,8 +46,8 @@ def intersect_triangles(tri1, tri2):
 
 
 def _ccw(tri):
-    v = np.cross(tri[1] - tri[0], tri[2] - tri[0])
-    return tri if v > 0 else tri[[0, 2, 1]]
+    u, w = tri[1] - tri[0], tri[2] - tri[0]
+    return tri if u[0] * w[1] - u[1] * w[0] > 0 else tri[[0, 2, 1]]
 
 
 def assemble_mixed_mass_matrix(V_A, V_B):
