@@ -29,7 +29,8 @@ from .mesh.geometry import Mesh as _MeshClass
 from .mesh.topology import MeshTopology
 
 from .functionspace import (FunctionSpace, VectorFunctionSpace,
-                            TensorFunctionSpace)
+                            TensorFunctionSpace,
+                            RestrictedFunctionSpace)
 from .mixed import MixedFunctionSpace
 from .function import Function, Cofunction, Constant, MixedFunction
 from .bcs import DirichletBC, EquationBC, homogenize
@@ -83,6 +84,7 @@ __version__ = "0.1.0"
 
 __all__ = (list(_lang_all) + list(_mesh_all) + [
     "FunctionSpace", "VectorFunctionSpace", "TensorFunctionSpace",
+    "RestrictedFunctionSpace",
     "MixedFunctionSpace", "MixedFunction",
     "Function", "Cofunction", "Constant", "DirichletBC", "EquationBC",
     "homogenize",

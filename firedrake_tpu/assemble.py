@@ -122,12 +122,16 @@ class FormAssembler:
         if not parts:
             return None
         pos_all = np.concatenate(parts)
+        nvals = len(pos_all)       # flat value-array length (pad slot)
+        # RestrictedFunctionSpace sentinels (pos == nnz) never land
+        src = np.nonzero(pos_all < nnz)[0]
+        pos_all = pos_all[src]
         counts = np.bincount(pos_all, minlength=nnz)
         K = int(counts.max()) if counts.size else 0
         if K == 0 or K > 12 or nnz * min(K, 4) > 6e7:
             return None
-        order = np.argsort(pos_all, kind="stable")
-        spos = pos_all[order]
+        order = src[np.argsort(pos_all, kind="stable")]
+        spos = np.sort(pos_all, kind="stable")
         col = np.arange(len(order)) - (np.cumsum(counts) - counts)[spos]
         # split point NB minimizing gathered volume: a dense (nnz, NB)
         # base table plus a short (rows>NB, K-NB) spill table (most
@@ -136,7 +140,7 @@ class FormAssembler:
         NB = min(range(1, K + 1),
                  key=lambda nb: nnz * nb
                  + int((counts > nb).sum()) * (K - nb))
-        pad = np.int32(len(pos_all))
+        pad = np.int32(nvals)
         tbl = np.full((nnz, NB), pad, dtype=np.int32)
         m = col < NB
         tbl[spos[m], col[m]] = order[m].astype(np.int32)

@@ -36,10 +36,19 @@ class Sparsity:
             ne, nr = rm.shape
             nc = cm.shape[1]
             k = (rm[:, :, None] * self.ncols + cm[:, None, :]).ravel()
+            # out-of-range dofs (RestrictedFunctionSpace sentinels) get a
+            # sentinel position == nnz: jnp scatters DROP out-of-bounds
+            # targets, so their contributions vanish
+            bad = ((rm[:, :, None] >= self.nrows)
+                   | (cm[:, None, :] >= self.ncols)).ravel()
+            k[bad] = -1
             keys_per_block.append(k)
         all_keys = np.concatenate(keys_per_block) if keys_per_block else \
             np.zeros(0, dtype=np.int64)
-        uniq, inv = np.unique(all_keys, return_inverse=True)
+        vmask = all_keys >= 0
+        uniq = np.unique(all_keys[vmask])
+        inv = np.searchsorted(uniq, all_keys)
+        inv[~vmask] = len(uniq)
         self.nnz = len(uniq)
         self.coo_rows = (uniq // self.ncols).astype(_IDX)
         self.coo_cols = (uniq % self.ncols).astype(_IDX)

@@ -389,3 +389,55 @@ def TensorFunctionSpace(mesh, family, degree=None, shape=None, name=None,
     g = mesh.geometric_dimension
     shape = shape if shape is not None else (g, g)
     return FunctionSpace(mesh, family, degree, name=name, tensor_shape=shape)
+
+
+class RestrictedFunctionSpace(FunctionSpace):
+    """Function space with the dofs on ``boundary_set`` REMOVED from the
+    global system (reference: functionspaceimpl.py:932
+    RestrictedFunctionSpace — strong bcs baked into the space so the
+    assembled operators are genuinely smaller/SPD).
+
+    Removed dofs map to a SENTINEL index one past the end; jnp scatters
+    drop out-of-bounds targets and the sparsity builder assigns sentinel
+    positions, so assembly needs no special-casing."""
+
+    def __init__(self, V: FunctionSpace, boundary_set=(), name=None):
+        if isinstance(boundary_set, (int, str)):
+            boundary_set = (boundary_set,)
+        self.mesh_obj = V.mesh_obj
+        self.element = V.element
+        self.scalar_element = V.scalar_element
+        self.block_size = V.block_size
+        self.value_shape = V.value_shape
+        self.sdata = V.sdata
+        self.boundary_set = tuple(boundary_set)
+        self._V = V
+        self.name = name or f"Restricted({V.name})"
+        self._subspaces = None
+        removed = np.unique(np.concatenate(
+            [V.sdata.boundary_nodes(V.mesh_obj.boundary_facets(sub))
+             for sub in boundary_set])) if boundary_set else \
+            np.zeros(0, dtype=np.int64)
+        keep = np.ones(V.num_nodes, dtype=bool)
+        keep[removed] = False
+        self._nfree = int(keep.sum())
+        perm = np.full(V.num_nodes, self._nfree, dtype=np.int64)
+        perm[keep] = np.arange(self._nfree)
+        self._node_perm = perm
+        # shadow the base cached_properties via instance attributes
+        self.cell_node_map = perm[V.cell_node_map].astype(np.int64)
+
+    @property
+    def num_nodes(self):
+        return self._nfree
+
+    def boundary_nodes(self, subdomain):
+        nodes = self._node_perm[self._V.boundary_nodes(subdomain)]
+        return nodes[nodes < self._nfree]
+
+    @property
+    def restriction_sig(self):
+        return f"|restricted{sorted(map(str, self.boundary_set))}"
+
+    def __repr__(self):
+        return self.name

@@ -228,10 +228,11 @@ class Argument(Terminal):
         # the signature must distinguish the SAME element appearing as
         # different parts of different mixed spaces (assembler cache key)
         parent = getattr(self.space, "parent", None)
-        ctx = ""
+        ctx = getattr(self.space, "restriction_sig", "")
         if parent is not None:
-            ctx = "|" + ",".join(repr(V.element)
-                                 for V in parent.subspaces)                 + f"@{self.part}"
+            ctx += "|" + ",".join(repr(V.element)
+                                  for V in parent.subspaces) \
+                + f"@{self.part}"
         return f"Arg{self.number}[{self.space.element!r}{ctx}]"
 
     def __repr__(self):
