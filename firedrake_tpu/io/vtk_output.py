@@ -81,7 +81,66 @@ class VTKFile:
         self._write_pvd()
 
     # ------------------------------------------------------------ helpers
+    _QUAD_TYPE = {"triangle": 22, "tetrahedron": 24}
+    # VTK quadratic node order: vertices then edge midpoints
+    _QUAD_EDGES = {"triangle": [(0, 1), (1, 2), (2, 0)],
+                   "tetrahedron": [(0, 1), (1, 2), (2, 0),
+                                   (0, 3), (1, 3), (2, 3)]}
+
+    def _try_write_highorder(self, path, functions):
+        """Per-cell point blocks: quadratic VTK cells for degree >= 2
+        fields and exact (non-averaged) DG output (reference: firedrake
+        VTK DG embedding + Lagrange cells).  Returns False when a
+        function's space cannot be sampled this way (falls back to the
+        vertex-sampled linear writer)."""
+        mesh = functions[0].function_space().mesh_obj
+        cellname = mesh.cell.name
+        if cellname not in self._QUAD_TYPE:
+            return False
+        degs = []
+        for f in functions:
+            V = f.function_space()
+            el = V.scalar_element
+            if (V.mesh_obj is not mesh
+                    or getattr(el, "mapping", "identity") != "identity"
+                    or el.family not in ("Lagrange",
+                                         "Discontinuous Lagrange")):
+                return False
+            degs.append(el.degree)
+        if max(degs) < 2:
+            return False
+        # output nodes: vertices + VTK-ordered edge midpoints, per cell
+        verts = mesh.cell.vertices
+        edges = self._QUAD_EDGES[cellname]
+        ref = np.vstack([verts] + [(verts[a] + verts[b]) / 2
+                                   for (a, b) in edges])
+        cv = mesh.topology.cell_vertices
+        x = mesh._vertex_coords[cv]                     # (nc, nv, g)
+        J = np.stack([x[:, i + 1] - x[:, 0]
+                      for i in range(mesh.cell.dim)], axis=-1)
+        pts = x[:, :1] + np.einsum("cgd,nd->cng", J, ref)
+        nc, nn = pts.shape[:2]
+        pts = pts.reshape(-1, pts.shape[-1])
+        if pts.shape[1] < 3:
+            pts = np.hstack([pts, np.zeros((len(pts), 3 - pts.shape[1]))])
+        cells = np.arange(nc * nn, dtype=np.int64).reshape(nc, nn)
+        offsets = np.arange(1, nc + 1, dtype=np.int64) * nn
+        types = np.full(nc, self._QUAD_TYPE[cellname], dtype=np.uint8)
+        arrays = []
+        for f in functions:
+            V = f.function_space()
+            tab = V.scalar_element.tabulate(ref, 0)[0]   # (nn, nd)
+            bs = V.block_size
+            dofs = np.asarray(f.dat)[V.cell_dof_map].reshape(nc, -1, bs)
+            vals = np.einsum("ni,cik->cnk", tab, dofs).reshape(nc * nn,
+                                                               bs)
+            arrays.append((f.name, vals))
+        self._emit_vtu(path, pts, cells, offsets, types, arrays)
+        return True
+
     def _write_vtu(self, path, functions):
+        if self._try_write_highorder(path, functions):
+            return
         mesh = functions[0].function_space().mesh_obj
         pts = np.asarray(mesh._vertex_coords, dtype=np.float64)
         if pts.shape[1] < 3:
@@ -92,17 +151,20 @@ class VTKFile:
         ncell, npc = cells.shape
         offsets = np.arange(1, ncell + 1, dtype=np.int64) * npc
         types = np.full(ncell, _VTK_TYPE[mesh.cell.name], dtype=np.uint8)
+        arrays = [(f.name, _vertex_values(f)) for f in functions]
+        self._emit_vtu(path, pts, cells, offsets, types, arrays)
 
+    def _emit_vtu(self, path, pts, cells, offsets, types, arrays):
         pieces = []
         pieces.append('<?xml version="1.0"?>')
         pieces.append('<VTKFile type="UnstructuredGrid" version="0.1" '
                       'byte_order="LittleEndian">')
         pieces.append('<UnstructuredGrid>')
         pieces.append(f'<Piece NumberOfPoints="{len(pts)}" '
-                      f'NumberOfCells="{ncell}">')
+                      f'NumberOfCells="{len(types)}">')
         pieces.append('<Points><DataArray type="Float64" '
                       'NumberOfComponents="3" format="binary">')
-        pieces.append(_b64(pts))
+        pieces.append(_b64(np.ascontiguousarray(pts, dtype=np.float64)))
         pieces.append('</DataArray></Points>')
         pieces.append('<Cells>')
         pieces.append('<DataArray type="Int64" Name="connectivity" '
@@ -119,13 +181,12 @@ class VTKFile:
         pieces.append('</DataArray>')
         pieces.append('</Cells>')
         pieces.append('<PointData>')
-        for f in functions:
-            vals = _vertex_values(f)
+        for name, vals in arrays:
             ncomp = vals.shape[1]
             if ncomp == 2:    # pad vectors to 3 for paraview
                 vals = np.hstack([vals, np.zeros((len(vals), 1))])
                 ncomp = 3
-            pieces.append(f'<DataArray type="Float64" Name="{f.name}" '
+            pieces.append(f'<DataArray type="Float64" Name="{name}" '
                           f'NumberOfComponents="{ncomp}" format="binary">')
             pieces.append(_b64(np.ascontiguousarray(vals,
                                                     dtype=np.float64)))
