@@ -103,13 +103,29 @@ class Function(Coefficient):
         return self.at(arg)
 
     def riesz_representation(self, riesz_map="L2"):
+        """Primal/dual conversion (reference: cofunction.py:412
+        RieszMap): 'l2' copies the dat; 'L2' solves the mass system;
+        'H1' solves the H1 inner-product system."""
         from .assemble import assemble
-        from .language import TestFunction, TrialFunction, inner, dx
+        from .language import TestFunction, TrialFunction, inner, dx, grad
         if riesz_map == "l2":
-            out = Cofunction(self.space)
+            out = (Function if isinstance(self, Cofunction)
+                   else Cofunction)(self.space)
             out.dat = np.asarray(self.dat)
             return out
-        raise NotImplementedError("Riesz maps land with Cofunction algebra")
+        if riesz_map in ("L2", "H1"):
+            from .solvers.preconditioners import direct_solve
+            u = TrialFunction(self.space)
+            v = TestFunction(self.space)
+            a = inner(u, v) * dx
+            if riesz_map == "H1":
+                a = a + inner(grad(u), grad(v)) * dx
+            M = assemble(a)
+            out = (Function if isinstance(self, Cofunction)
+                   else Cofunction)(self.space)
+            out.dat = np.asarray(direct_solve(M, np.asarray(self.dat)))
+            return out
+        raise NotImplementedError(f"riesz map {riesz_map!r}")
 
     def __repr__(self):
         return f"Function({self.name!r}, {self.space!r})"
