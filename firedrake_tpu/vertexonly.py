@@ -192,8 +192,14 @@ def _vom_to_vom(src: "Function", dst_vom):
     elif src_vom is dst_vom:
         out = sdat
     else:
-        raise NotImplementedError("VOM-to-VOM interpolation between "
-                                  "unrelated vertex meshes")
+        # unrelated vertex meshes: match points by coordinates
+        # (reference: VomOntoVomInterpolator's SF permutation — here a
+        # KD-tree lookup; unmatched destination points get NaN)
+        from scipy.spatial import cKDTree
+        tree = cKDTree(src_vom._pts)
+        d, idx = tree.query(dst_vom._pts)
+        ok = d < 1e-12
+        out[ok] = sdat[idx[ok]]
     shape = (dst_vom.num_cells,) + src.shape
     return out.reshape(shape)
 

@@ -153,11 +153,40 @@ def main():
         g = ReducedFunctional(J, Control(m)).derivative()
         assert np.linalg.norm(np.asarray(g.dat)) > 0
 
+    def hybridization():
+        mesh = UnitSquareMesh(4, 4)
+        from firedrake_tpu import (MixedFunctionSpace, TrialFunctions,
+                                   TestFunctions, dot, div)
+        S = FunctionSpace(mesh, "RT", 1)
+        Q = FunctionSpace(mesh, "DG", 0)
+        W = MixedFunctionSpace([S, Q])
+        sigma, u = TrialFunctions(W)
+        tau, v = TestFunctions(W)
+        a = (dot(sigma, tau) - u * div(tau) - div(sigma) * v) * dx
+        L = -v * dx
+        wh, wr = Function(W), Function(W)
+        solve(a == L, wh, solver_parameters={
+            "ksp_type": "preonly", "pc_type": "hybridization"})
+        solve(a == L, wr, solver_parameters={
+            "ksp_type": "preonly", "pc_type": "lu"})
+        assert np.abs(np.asarray(wh.subfunctions[1].dat)
+                      - np.asarray(wr.subfunctions[1].dat)).max() < 1e-9
+
+    def adaptivity():
+        from firedrake_tpu import refine_marked, Constant
+        import firedrake_tpu as fd
+        mesh = UnitSquareMesh(4, 4)
+        m2 = refine_marked(mesh, np.arange(mesh.num_cells) % 3 == 0)
+        assert abs(assemble(Constant(1.0) * fd.dx(domain=m2))
+                   - 1.0) < 1e-12
+
     check("poisson (CG2, strong bcs, CG+Jacobi)", poisson)
     check("geometric multigrid", gmg)
     check("stokes fieldsplit/schur", stokes_fieldsplit)
     check("DG jump/limiter", dg_advection)
     check("mixed poisson RT1xDG0", mixed_poisson_rt)
+    check("hybridization pc", hybridization)
+    check("adaptive refinement", adaptivity)
     check("checkpoint roundtrip", checkpoint_io)
     check("adjoint gradient", adjoint_gradient)
 

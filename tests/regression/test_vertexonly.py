@@ -79,3 +79,19 @@ def test_vom_coordinates(parent):
     vm = VertexOnlyMesh(parent, pts)
     c = np.asarray(vm.coordinates.dat).reshape(-1, 2)
     assert np.abs(c - pts).max() == 0.0
+
+
+def test_vom_to_vom_unrelated(parent):
+    """Transfers between unrelated vertex meshes match points by
+    coordinates; unmatched points are NaN (reference:
+    VomOntoVomInterpolator)."""
+    X = SpatialCoordinate(parent)
+    f = Function(FunctionSpace(parent, "CG", 1)).interpolate(X[0])
+    a = VertexOnlyMesh(parent, [[0.25, 0.25], [0.5, 0.5], [0.75, 0.25]])
+    b = VertexOnlyMesh(parent, [[0.5, 0.5], [0.25, 0.25], [0.1, 0.9]])
+    ga = Function(FunctionSpace(a, "DG", 0)).interpolate(f)
+    gb = Function(FunctionSpace(b, "DG", 0)).interpolate(ga)
+    d = np.asarray(gb.dat)
+    assert abs(d[0] - 0.5) < 1e-12
+    assert abs(d[1] - 0.25) < 1e-12
+    assert np.isnan(d[2])
