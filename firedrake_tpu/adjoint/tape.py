@@ -61,14 +61,26 @@ def set_working_tape(tape):
 
 # ------------------------------------------------------------------ blocks
 class SolveBlock:
-    """Records solve(F == 0, u) / solve(a == L, u)."""
+    """Records solve(F == 0, u) / solve(a == L, u).
+
+    ALL coefficient values are snapshotted (pyadjoint's block-variable
+    versioning): a time loop reuses the same Function objects, so the
+    reverse sweep must evaluate each step's Jacobian/derivatives at that
+    step's values, not the final ones."""
 
     def __init__(self, F, u, bcs, solver_parameters=None):
         self.F = F                     # residual form, F(u) = 0
         self.u = u
         self.bcs = tuple(bcs or ())
         self.solver_parameters = dict(solver_parameters or {})
-        self.u_snapshot = np.asarray(u.dat).copy()
+        self._snapshot()
+
+    def _snapshot(self):
+        self.u_snapshot = np.asarray(self.u.dat).copy()
+        self.coeff_snapshots = {
+            id(c): np.asarray(c.dat).copy()
+            for c in _leaf_coefficients(self.F)
+            if hasattr(c, "dat") and c is not self.u}
 
     def adjoint_actions(self, ubar, adjoints):
         """Given ubar (dJ/du at this point), do the adjoint solve and push
@@ -82,7 +94,13 @@ class SolveBlock:
         from ..solvers.preconditioners import make_pc
 
         u = self.u
-        u.dat = self.u_snapshot        # state at solve time (final state)
+        # restore THIS step's values (saving the current ones)
+        saved = {id(u): np.asarray(u.dat)}
+        u.dat = self.u_snapshot
+        for c in _leaf_coefficients(self.F):
+            if id(c) in self.coeff_snapshots:
+                saved[id(c)] = np.asarray(c.dat)
+                c.dat = self.coeff_snapshots[id(c)]
         Ju = derivative(self.F, u)
         A_adj = assemble(form_adjoint(Ju))
         bc_idx = (np.unique(np.concatenate(
@@ -111,6 +129,30 @@ class SolveBlock:
                                                if hasattr(c, "dat")
                                                else c.values().size))
             adjoints[id(c)] = acc - np.asarray(contrib.dat)
+        # put the CURRENT values back (the sweep must not clobber state)
+        u.dat = saved[id(u)]
+        for c in _leaf_coefficients(self.F):
+            if id(c) in self.coeff_snapshots:
+                c.dat = saved[id(c)]
+        return adjoints
+
+
+class AssignBlock:
+    """Records target.assign(source) — the state hand-off of time loops
+    (pyadjoint's assign block).  Reverse: the target's adjoint flows to
+    the source."""
+
+    def __init__(self, target, source):
+        self.target = target
+        self.source = source
+
+    def adjoint_actions(self, adjoints):
+        tbar = adjoints.pop(id(self.target), None)
+        if tbar is None:
+            return adjoints
+        acc = adjoints.setdefault(
+            id(self.source), np.zeros(np.asarray(self.source.dat).size))
+        adjoints[id(self.source)] = acc + tbar
         return adjoints
 
 
@@ -127,10 +169,15 @@ class FunctionalBlock:
     def seed(self, jbar, adjoints):
         from ..language.calculus import derivative
         from ..assemble import assemble
+        saved = {id(c): np.asarray(c.dat)
+                 for c in _leaf_coefficients(self.form)
+                 if id(c) in self.snapshots}
+        for c in _leaf_coefficients(self.form):
+            if id(c) in self.snapshots:
+                c.dat = self.snapshots[id(c)]
         for c in _leaf_coefficients(self.form):
             if not _differentiable(c):
                 continue
-            c.dat = self.snapshots[id(c)]
             dj = derivative(self.form, c)
             if not dj.integrals():
                 continue
@@ -138,6 +185,9 @@ class FunctionalBlock:
             acc = adjoints.setdefault(id(c),
                                       np.zeros(np.asarray(c.dat).size))
             adjoints[id(c)] = acc + jbar * np.asarray(g.dat)
+        for c in _leaf_coefficients(self.form):
+            if id(c) in saved:
+                c.dat = saved[id(c)]
         return adjoints
 
 
@@ -205,7 +255,9 @@ class ReducedFunctional:
                     NonlinearVariationalSolver(
                         prob,
                         solver_parameters=b.solver_parameters).solve()
-                    b.u_snapshot = np.asarray(b.u.dat).copy()
+                    b._snapshot()
+                elif isinstance(b, AssignBlock):
+                    b.target.dat = np.asarray(b.source.dat).copy()
                 elif isinstance(b, FunctionalBlock):
                     b.snapshots = {
                         id(c): np.asarray(c.dat).copy()
@@ -232,6 +284,8 @@ class ReducedFunctional:
                 if ubar is None:
                     continue
                 b.adjoint_actions(ubar, adjoints)
+            elif isinstance(b, AssignBlock):
+                b.adjoint_actions(adjoints)
         from ..function import Function
         outs = []
         for ctrl in self.controls:

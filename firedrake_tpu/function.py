@@ -78,6 +78,11 @@ class Function(Coefficient):
             self.dat = _np.full(self.space.dim, float(val))
         else:
             self.dat = val
+        # tape the state hand-off of time loops (pyadjoint assign block)
+        from .adjoint.tape import annotate_tape
+        if annotate_tape() and isinstance(expr, Function):
+            from .adjoint.tape import AssignBlock, get_working_tape
+            get_working_tape().add_block(AssignBlock(self, expr))
         return self
 
     def interpolate(self, expr):

@@ -85,3 +85,45 @@ def test_replay_changes_value():
     J2 = rf(m2)
     # linear PDE: u scales with m, J quadratic -> factor 4
     assert abs(J2 / J1 - 4.0) < 1e-6
+
+
+def test_time_dependent_adjoint():
+    """Variable versioning: a time loop reuses the same Function objects
+    (solve + assign hand-off); each block snapshots its step's values so
+    the reverse sweep evaluates Jacobians at the right states
+    (reference: pyadjoint block variables / firedrake burgers adjoint
+    demo)."""
+    import math
+    from firedrake_tpu import (FunctionSpace, Function, TestFunction,
+                               SpatialCoordinate, UnitSquareMesh,
+                               DirichletBC, inner, grad, dx, solve, sin,
+                               assemble)
+    from firedrake_tpu.adjoint import (continue_annotation,
+                                       pause_annotation,
+                                       get_working_tape,
+                                       ReducedFunctional, Control,
+                                       taylor_test)
+    mesh = UnitSquareMesh(6, 6)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    dt = 0.05
+    v = TestFunction(V)
+    bcs = [DirichletBC(V, 0.0, "on_boundary")]
+    u0 = Function(V).interpolate(
+        sin(math.pi * X[0]) * sin(math.pi * X[1]))
+    tape = get_working_tape()
+    tape.clear_tape()
+    continue_annotation()
+    u_prev = Function(V)
+    u_prev.assign(u0)
+    u = Function(V)
+    for n in range(3):
+        F = ((u - u_prev) / dt * v + inner(grad(u), grad(v))) * dx
+        solve(F == 0, u, bcs=bcs)
+        u_prev.assign(u)
+    J = assemble(u * u * dx)
+    pause_annotation()
+    rf = ReducedFunctional(J, Control(u0))
+    h = Function(V).interpolate(
+        0.1 * X[0] * (1 - X[0]) * X[1] * (1 - X[1]))
+    assert taylor_test(rf, u0, h) > 1.9
