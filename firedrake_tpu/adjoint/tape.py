@@ -79,7 +79,8 @@ class SolveBlock:
         self.u_snapshot = np.asarray(self.u.dat).copy()
         self.coeff_snapshots = {
             id(c): np.asarray(c.dat).copy()
-            for c in _leaf_coefficients(self.F)
+            for c in (_leaf_coefficients(self.F)
+                      + _leaf_constants(self.F))
             if hasattr(c, "dat") and c is not self.u}
 
     def adjoint_actions(self, ubar, adjoints):
@@ -97,7 +98,8 @@ class SolveBlock:
         # restore THIS step's values (saving the current ones)
         saved = {id(u): np.asarray(u.dat)}
         u.dat = self.u_snapshot
-        for c in _leaf_coefficients(self.F):
+        participants = _leaf_coefficients(self.F) + _leaf_constants(self.F)
+        for c in participants:
             if id(c) in self.coeff_snapshots:
                 saved[id(c)] = np.asarray(c.dat)
                 c.dat = self.coeff_snapshots[id(c)]
@@ -129,9 +131,21 @@ class SolveBlock:
                                                if hasattr(c, "dat")
                                                else c.values().size))
             adjoints[id(c)] = acc - np.asarray(contrib.dat)
+        # scalar Constant controls: cbar -= <lam, dF/dc>
+        from ..language.core import ScalarValue
+        for c in _leaf_constants(self.F):
+            if c.values().size != 1:
+                continue
+            dFdc = derivative(self.F, c, du=ScalarValue(1.0))
+            if not dFdc.integrals():
+                continue
+            vec = assemble(dFdc)
+            acc = adjoints.setdefault(id(c), np.zeros(1))
+            adjoints[id(c)] = acc - np.array(
+                [float(np.dot(np.asarray(vec.dat), np.asarray(lam)))])
         # put the CURRENT values back (the sweep must not clobber state)
         u.dat = saved[id(u)]
-        for c in _leaf_coefficients(self.F):
+        for c in participants:
             if id(c) in self.coeff_snapshots:
                 c.dat = saved[id(c)]
         return adjoints
@@ -185,6 +199,16 @@ class FunctionalBlock:
             acc = adjoints.setdefault(id(c),
                                       np.zeros(np.asarray(c.dat).size))
             adjoints[id(c)] = acc + jbar * np.asarray(g.dat)
+        from ..language.core import ScalarValue
+        for c in _leaf_constants(self.form):
+            if c.values().size != 1:
+                continue
+            dj = derivative(self.form, c, du=ScalarValue(1.0))
+            if not dj.integrals():
+                continue
+            val = assemble(dj)
+            acc = adjoints.setdefault(id(c), np.zeros(1))
+            adjoints[id(c)] = acc + jbar * np.array([float(val)])
         for c in _leaf_coefficients(self.form):
             if id(c) in saved:
                 c.dat = saved[id(c)]
@@ -197,6 +221,16 @@ def _leaf_coefficients(form):
     for it in form.integrals():
         for t in it.integrand.traverse():
             if isinstance(t, Coefficient):
+                out.setdefault(t.count, t)
+    return [out[k] for k in sorted(out)]
+
+
+def _leaf_constants(form):
+    from ..language.core import ConstantBase
+    out = {}
+    for it in form.integrals():
+        for t in it.integrand.traverse():
+            if isinstance(t, ConstantBase):
                 out.setdefault(t.count, t)
     return [out[k] for k in sorted(out)]
 
@@ -286,12 +320,17 @@ class ReducedFunctional:
                 b.adjoint_actions(ubar, adjoints)
             elif isinstance(b, AssignBlock):
                 b.adjoint_actions(adjoints)
-        from ..function import Function
+        from ..function import Function, Constant
+        from ..language.core import ConstantBase
         outs = []
         for ctrl in self.controls:
             c = ctrl.coefficient
             g = adjoints.get(id(c),
                              np.zeros(np.asarray(c.dat).size))
+            if isinstance(c, ConstantBase):
+                outs.append(Constant(float(np.asarray(g).reshape(()))
+                                     if np.asarray(g).size == 1 else g))
+                continue
             gf = Function(c.function_space())
             gf.dat = g
             outs.append(gf)

@@ -292,6 +292,10 @@ class ConstantBase(Terminal):
     def dat(self):
         return self._value
 
+    @dat.setter
+    def dat(self, value):
+        self.assign(value)
+
     def _sig(self, rn):
         n = rn.setdefault(id(self), len(rn))
         return f"c{n}{self.shape}"

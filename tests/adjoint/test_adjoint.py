@@ -127,3 +127,38 @@ def test_time_dependent_adjoint():
     h = Function(V).interpolate(
         0.1 * X[0] * (1 - X[0]) * X[1] * (1 - X[1]))
     assert taylor_test(rf, u0, h) > 1.9
+
+
+def test_constant_control_gradient():
+    """dJ/dConstant via the adjoint matches finite differences
+    (reference: pyadjoint Control(Constant))."""
+    import numpy as np
+    from firedrake_tpu import (FunctionSpace, Function, TestFunction,
+                               UnitSquareMesh, DirichletBC, Constant,
+                               inner, grad, dx, solve, assemble)
+    from firedrake_tpu.adjoint import (continue_annotation,
+                                       pause_annotation,
+                                       get_working_tape,
+                                       ReducedFunctional, Control)
+    mesh = UnitSquareMesh(6, 6)
+    V = FunctionSpace(mesh, "CG", 1)
+    v = TestFunction(V)
+    bcs = [DirichletBC(V, 0.0, "on_boundary")]
+
+    def run(cval, annotate=False):
+        get_working_tape().clear_tape()
+        c = Constant(cval)
+        if annotate:
+            continue_annotation()
+        u = Function(V)
+        solve((inner(grad(u), grad(v)) - c * v) * dx == 0, u, bcs=bcs)
+        J = assemble(u * u * dx)
+        if annotate:
+            pause_annotation()
+        return float(J), c, J
+
+    _, c, J = run(2.0, annotate=True)
+    g = float(ReducedFunctional(J, Control(c)).derivative())
+    eps = 1e-6
+    fd = (run(2.0 + eps)[0] - run(2.0 - eps)[0]) / (2 * eps)
+    assert abs(g - fd) / abs(fd) < 1e-6
