@@ -279,11 +279,15 @@ def action(form: Form, w):
 
 
 def adjoint(form: Form):
+    """a*(u, v) = a(v, u): the TEST argument becomes the trial and vice
+    versa (swapping the NUMBERS, not just the spaces — renaming spaces
+    alone leaves the integrand, and thus the assembled matrix,
+    untransposed; only visible for nonsymmetric Jacobians)."""
     args = form.arguments()
     assert len(args) == 2, "adjoint needs a bilinear form"
     v, u = args
-    new_u = Argument(v.space, u.number)
-    new_v = Argument(u.space, v.number)
+    new_u = Argument(u.space, v.number)    # old trial -> test role
+    new_v = Argument(v.space, u.number)    # old test  -> trial role
     return replace(form, {v: new_v, u: new_u})
 
 

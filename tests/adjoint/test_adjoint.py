@@ -162,3 +162,61 @@ def test_constant_control_gradient():
     eps = 1e-6
     fd = (run(2.0 + eps)[0] - run(2.0 - eps)[0]) / (2 * eps)
     assert abs(g - fd) / abs(fd) < 1e-6
+
+
+def test_form_adjoint_is_transpose():
+    """adjoint(a) assembles to the exact matrix transpose, including
+    NONSYMMETRIC operators (advection) — regression for the
+    number-swap bug that left integrands untransposed."""
+    import math
+    import numpy as np
+    from firedrake_tpu import (FunctionSpace, Function, TestFunction,
+                               UnitIntervalMesh, SpatialCoordinate,
+                               grad, dx, sin, assemble)
+    from firedrake_tpu.language.calculus import derivative, adjoint
+    mesh = UnitIntervalMesh(8)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    v = TestFunction(V)
+    u = Function(V).interpolate(0.5 + 0.3 * sin(math.pi * X[0]))
+    F = (u * v + 0.02 * u * grad(u)[0] * v) * dx
+    Ju = derivative(F, u)
+    A = assemble(Ju).to_scipy().toarray()
+    AT = assemble(adjoint(Ju)).to_scipy().toarray()
+    assert np.abs(AT - A.T).max() < 1e-14
+
+
+def test_time_dependent_burgers_adjoint():
+    """Nonlinear (Burgers) time loop: gradients through nonsymmetric
+    Jacobians and state hand-offs pass the Taylor test."""
+    import math
+    from firedrake_tpu import (FunctionSpace, Function, TestFunction,
+                               UnitIntervalMesh, SpatialCoordinate,
+                               DirichletBC, grad, dx, solve, sin,
+                               assemble, inner)
+    from firedrake_tpu.adjoint import (continue_annotation,
+                                       pause_annotation,
+                                       get_working_tape,
+                                       ReducedFunctional, Control,
+                                       taylor_test)
+    mesh = UnitIntervalMesh(20)
+    V = FunctionSpace(mesh, "CG", 1)
+    X = SpatialCoordinate(mesh)
+    v = TestFunction(V)
+    dt, nu = 0.02, 0.05
+    u0 = Function(V).interpolate(sin(math.pi * X[0]))
+    get_working_tape().clear_tape()
+    continue_annotation()
+    u_prev = Function(V)
+    u_prev.assign(u0)
+    u = Function(V)
+    for n in range(3):
+        F = ((u - u_prev) / dt * v + u * grad(u)[0] * v
+             + nu * grad(u)[0] * grad(v)[0]) * dx
+        solve(F == 0, u, bcs=[DirichletBC(V, 0.0, "on_boundary")])
+        u_prev.assign(u)
+    J = assemble(u * u * dx)
+    pause_annotation()
+    rf = ReducedFunctional(J, Control(u0))
+    h = Function(V).interpolate(0.1 * X[0] * (1 - X[0]))
+    assert taylor_test(rf, u0, h) > 1.9
