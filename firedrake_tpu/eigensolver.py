@@ -59,6 +59,13 @@ class LinearEigensolver:
         which = self.params.get("eps_which", "SM")
         sigma = self.params.get("eps_target")
         hermitian = self.params.get("eps_gen_non_hermitian") is None
+        if (self.params.get("eps_backend") == "lobpcg" and hermitian
+                and sigma is None):
+            vals, vecs = self._lobpcg_device(A, M, k, which)
+            order = np.argsort(vals)
+            self._evals = np.asarray(vals)[order]
+            self._evecs = np.asarray(vecs)[:, order]
+            return len(self._evals)
         try:
             if hermitian:
                 vals, vecs = spla.eigsh(
@@ -82,6 +89,53 @@ class LinearEigensolver:
         self._evals = np.asarray(vals)[order]
         self._evecs = np.asarray(vecs)[:, order]
         return len(self._evals)
+
+    def _lobpcg_device(self, A, M, k, which):
+        """Device LOBPCG (jax.experimental.sparse.linalg) for Hermitian
+        problems: largest-k natively; smallest-k via a Gershgorin shift
+        (sigma*I - A keeps SPD-ness); generalized problems by LUMPED
+        mass (diagonal) congruence D^-1/2 A D^-1/2 — the standard FEM
+        lumping; use the scipy backend when the consistent mass matters.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.experimental.sparse.linalg import lobpcg_standard
+        Ac = A.tocsr()
+        d = None
+        if M is not None:
+            d = np.asarray(M.sum(axis=1)).ravel()     # lumped mass
+            Dinv = 1.0 / np.sqrt(d)
+            import scipy.sparse as sp
+            S = sp.diags(Dinv)
+            Ac = (S @ Ac @ S).tocsr()
+        n = Ac.shape[0]
+        # ELL layout for a device matvec
+        kmax = int(np.diff(Ac.indptr).max())
+        cols = np.zeros((n, kmax), dtype=np.int32)
+        vals = np.zeros((n, kmax))
+        for r in range(n):
+            lo, hi = Ac.indptr[r], Ac.indptr[r + 1]
+            cols[r, :hi - lo] = Ac.indices[lo:hi]
+            vals[r, :hi - lo] = Ac.data[lo:hi]
+        cols_j, vals_j = jnp.asarray(cols), jnp.asarray(vals)
+        smallest = which in ("SM", "SR")
+        # Gershgorin upper bound on the spectrum
+        sig = float(np.abs(Ac).sum(axis=1).max()) if smallest else 0.0
+
+        def op(X):                                    # (n, k) block
+            AX = jnp.einsum("rk,rkb->rb", vals_j, X[cols_j])
+            return sig * X - AX if smallest else AX
+
+        rng = np.random.RandomState(0)
+        X0 = jnp.asarray(np.linalg.qr(rng.randn(n, k))[0])
+        theta, U, _ = lobpcg_standard(op, X0,
+                                      m=int(self.params.get(
+                                          "eps_max_it", 200)))
+        lam = (sig - np.asarray(theta)) if smallest else np.asarray(theta)
+        U = np.asarray(U)
+        if d is not None:
+            U = U / np.sqrt(d)[:, None]               # back-transform
+        return lam, U
 
     def eigenvalue(self, i):
         return self._evals[i]

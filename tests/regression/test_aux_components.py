@@ -83,3 +83,25 @@ def test_profiling_events(tmp_path):
     p = tmp_path / "flame.txt"
     write_flamegraph(str(p))
     assert "outer;inner" in open(p).read()
+
+
+def test_device_lobpcg_eigensolver():
+    """eps_backend='lobpcg': device-side block eigensolver (lumped-mass
+    congruence + Gershgorin shift for smallest) — Dirichlet Laplacian
+    eigenvalues within discretization error of pi^2 (i^2+j^2)."""
+    import math
+    from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
+                               UnitSquareMesh, DirichletBC, inner, grad,
+                               dx, LinearEigenproblem, LinearEigensolver)
+    mesh = UnitSquareMesh(12, 12)
+    V = FunctionSpace(mesh, "CG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    prob = LinearEigenproblem(inner(grad(u), grad(v)) * dx, u * v * dx,
+                              bcs=[DirichletBC(V, 0.0, "on_boundary")])
+    es = LinearEigensolver(prob, n_evals=4, solver_parameters={
+        "eps_backend": "lobpcg", "eps_which": "SM", "eps_max_it": 400})
+    es.solve()
+    exact = [math.pi ** 2 * (i * i + j * j)
+             for (i, j) in [(1, 1), (1, 2), (2, 1), (2, 2)]]
+    for i, ex in enumerate(exact):
+        assert abs(es.eigenvalue(i) - ex) / ex < 0.02, (i, es.eigenvalue(i))
