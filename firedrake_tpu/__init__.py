@@ -42,7 +42,8 @@ from .nullspace import VectorSpaceBasis, MixedVectorSpaceBasis
 from .io import (VTKFile, File, CheckpointFile, DumbCheckpoint,
                  FILE_CREATE, FILE_READ, FILE_UPDATE)
 from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
-from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace)
+from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace,
+                       ensemble_solve, ensemble_batched_solve)
 from .pointeval import PointNotInDomainError
 from .slate import (Tensor, AssembledVector, assemble_slate)
 from . import fml
@@ -61,6 +62,8 @@ from .language.external import point_expr, PointwiseOperator
 from .supermesh import assemble_mixed_mass_matrix
 from .mg.mesh import MeshHierarchy, HierarchyBase
 from .mg.transfer import prolong, restrict, inject, TransferManager
+from .solvers.pcs import (PCBase, AssembledPC, AuxiliaryOperatorPC,
+                          MassInvPC, PCDPC)
 from .solving import (solve, LinearVariationalProblem,
                       LinearVariationalSolver,
                       NonlinearVariationalProblem,
@@ -89,6 +92,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "Function", "Cofunction", "Constant", "DirichletBC", "EquationBC",
     "homogenize",
     "assemble", "interpolate", "Interpolator", "project", "Projector",
+    "PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC", "PCDPC",
     "norm", "errornorm", "solve", "VectorSpaceBasis",
     "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",

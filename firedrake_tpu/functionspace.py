@@ -358,6 +358,12 @@ class FunctionSpace:
     def __hash__(self):
         return hash((id(self.mesh_obj), hash(self.element)))
 
+    def __mul__(self, other):
+        """V * Q builds a MixedFunctionSpace (reference:
+        functionspaceimpl.py WithGeometry.__mul__)."""
+        from .mixed import MixedFunctionSpace
+        return MixedFunctionSpace([self, other])
+
     def __repr__(self):
         return (f"FunctionSpace({self.mesh_obj.name}, "
                 f"{self.element!r}, dim={self.dim})")

@@ -122,10 +122,35 @@ class PMGPC:
         self.smooth_its = smooth_its
         self.nlevels = len(spaces)
 
-    # smoothing/cycle identical in shape to the h-multigrid
-    from .vcycle import GMGPreconditioner as _G
-    _smooth = _G._smooth
-    _cycle = _G._cycle
+    def _smooth(self, lv, x, b, its):
+        """Chebyshev smoothing on [emin, emax] of D^-1 A."""
+        A, dinv = lv["A"], lv["dinv"]
+        theta = (lv["emax"] + lv["emin"]) / 2
+        delta = (lv["emax"] - lv["emin"]) / 2
+        alpha = 1.0 / theta
+        p = dinv * (b - A.matvec(x))
+        x = x + alpha * p
+        for _ in range(its - 1):
+            beta = (delta * alpha / 2) ** 2
+            alpha = 1.0 / (theta - beta / alpha)
+            z = dinv * (b - A.matvec(x))
+            p = z + beta * p
+            x = x + alpha * p
+        return x
+
+    def _cycle(self, level, b):
+        lv = self.levels[level]
+        if level == 0:
+            return self.coarse_inv @ b
+        x = jnp.zeros_like(b)
+        x = self._smooth(lv, x, b, self.smooth_its)
+        r = (b - lv["A"].matvec(x)) * lv["mask"]
+        t = self.transfers[level - 1]
+        rc = t.restrict_fn(r) * self.levels[level - 1]["mask"]
+        xc = self._cycle(level - 1, rc)
+        x = x + t.prolong_fn(xc) * lv["mask"]
+        x = self._smooth(lv, x, b, self.smooth_its)
+        return x
 
     def __call__(self, r):
         return self._cycle(self.nlevels - 1, r)

@@ -71,10 +71,17 @@ def _estimate_lmax(op, d_inv, n, iters=12, seed=0):
 
 
 class GMGPreconditioner:
-    """V(nu,nu)-cycle over re-discretized level operators."""
+    """V(nu,nu)-cycle over re-discretized level operators.
+
+    Options-tree composition (PETSc PCMG semantics): per-level smoothers
+    configured by `<prefix>mg_levels_ksp_type` (default chebyshev,
+    max_it 2) + `<prefix>mg_levels_pc_type` (default jacobi; patch/vanka
+    allowed), the coarse solve by `<prefix>mg_coarse_*` (default
+    preonly+lu)."""
 
     def __init__(self, a_fine: Form, bcs, fine_space: FunctionSpace,
-                 smooth_its=2, coarse_size_limit=2000):
+                 smooth_its=2, coarse_size_limit=2000, params=None,
+                 prefix="", appctx=None):
         from ..assemble import assemble
         from ..bcs import DirichletBC
         mesh = fine_space.mesh_obj
@@ -99,57 +106,63 @@ class GMGPreconditioner:
                   for bc in (bcs or ())]
             level_bcs.append(lb)
 
+        params = dict(params or {})
+        # smoother defaults (PETSc mg_levels: chebyshev(2)+jacobi, no
+        # convergence test -> rtol 0 runs exactly max_it iterations)
+        params.setdefault(prefix + "mg_levels_ksp_type", "chebyshev")
+        params.setdefault(prefix + "mg_levels_ksp_max_it", smooth_its)
+        params.setdefault(prefix + "mg_levels_ksp_rtol", 0.0)
+        params.setdefault(prefix + "mg_levels_pc_type", "jacobi")
+        params.setdefault(prefix + "mg_coarse_ksp_type", "preonly")
+        params.setdefault(prefix + "mg_coarse_pc_type", "lu")
+
+        from ..solvers.composition import OpCtx, build_ksp
         self.levels = []
         for i, (V, f, lb) in enumerate(zip(spaces, forms, level_bcs)):
             A = assemble(f, bcs=lb)
-            diag = A.diagonal()
-            dinv = jnp.where(jnp.abs(diag) > 0, 1.0 / diag, 1.0)
             bc_idx = (np.unique(np.concatenate(
                 [b.dof_indices for b in lb]))
                 if lb else np.zeros(0, dtype=np.int32))
             mask = np.ones(V.dim)
             mask[bc_idx] = 0.0
-            lam = _estimate_lmax(A.matvec, dinv, V.dim)
-            self.levels.append(dict(
-                V=V, A=A, dinv=dinv, mask=jnp.asarray(mask),
-                emin=0.25 * lam, emax=1.05 * lam))
-        # coarse dense inverse
-        A0 = self.levels[0]["A"]
-        self.coarse_inv = jnp.asarray(
-            np.linalg.inv(A0.to_dense()))
+            lv = dict(V=V, A=A, mask=jnp.asarray(mask))
+            if i > 0:
+                ctx = OpCtx(mat=A, space=V, form=f, bcs=lb, appctx=appctx)
+                # per-level override mg_levels_<i>_* falls back to
+                # mg_levels_* (PETSc semantics)
+                lvl_prefix = prefix + f"mg_levels_{i}_"
+                use = lvl_prefix if any(
+                    k.startswith(lvl_prefix) for k in params) else \
+                    prefix + "mg_levels_"
+                if use == lvl_prefix:
+                    for k in ("ksp_type", "ksp_max_it", "ksp_rtol",
+                              "pc_type"):
+                        params.setdefault(
+                            lvl_prefix + k,
+                            params[prefix + "mg_levels_" + k])
+                lv["smooth"] = build_ksp(ctx, params, use)
+            self.levels.append(lv)
+        # coarse solve (default dense inverse via preonly+lu)
+        A0, V0, f0, lb0 = (self.levels[0]["A"], spaces[0], forms[0],
+                           level_bcs[0])
+        ctx0 = OpCtx(mat=A0, space=V0, form=f0, bcs=lb0, appctx=appctx)
+        self.coarse_solve = build_ksp(ctx0, params, prefix + "mg_coarse_")
         self.transfers = [get_transfer(spaces[i], spaces[i + 1])
                           for i in range(len(spaces) - 1)]
         self.smooth_its = smooth_its
         self.nlevels = len(spaces)
 
-    def _smooth(self, lv, x, b, its):
-        """Chebyshev smoothing on [emin, emax] of D^-1 A."""
-        A, dinv = lv["A"], lv["dinv"]
-        theta = (lv["emax"] + lv["emin"]) / 2
-        delta = (lv["emax"] - lv["emin"]) / 2
-        alpha = 1.0 / theta
-        p = dinv * (b - A.matvec(x))
-        x = x + alpha * p
-        for _ in range(its - 1):
-            beta = (delta * alpha / 2) ** 2
-            alpha = 1.0 / (theta - beta / alpha)
-            z = dinv * (b - A.matvec(x))
-            p = z + beta * p
-            x = x + alpha * p
-        return x
-
     def _cycle(self, level, b):
         lv = self.levels[level]
         if level == 0:
-            return self.coarse_inv @ b
-        x = jnp.zeros_like(b)
-        x = self._smooth(lv, x, b, self.smooth_its)
+            return self.coarse_solve(b)
+        x = lv["smooth"](b, x0=jnp.zeros_like(b))
         r = (b - lv["A"].matvec(x)) * lv["mask"]
         t = self.transfers[level - 1]
         rc = t.restrict_fn(r) * self.levels[level - 1]["mask"]
         xc = self._cycle(level - 1, rc)
         x = x + t.prolong_fn(xc) * lv["mask"]
-        x = self._smooth(lv, x, b, self.smooth_its)
+        x = lv["smooth"](b, x0=x)
         return x
 
     def __call__(self, r):

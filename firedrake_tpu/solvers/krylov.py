@@ -198,6 +198,103 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
     return KSPResult(x, it, true_r, _tolcheck(rnorm, r0norm, rtol, atol))
 
 
+def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
+           restart=30) -> KSPResult:
+    """Flexible GMRES (right preconditioning, Z basis stored) — required
+    when the preconditioner is nonstationary (an inner Krylov solve, a
+    nonlinear patch sweep), the PETSc KSPFGMRES role."""
+    pc = pc or (lambda r: r)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    m = restart
+    r0 = b - op(x0)
+    r0norm = jnp.linalg.norm(r0)
+
+    def arnoldi_step(carry, j):
+        V, Z, H, cs, sn, g = carry
+        z = pc(V[j])
+        Z = Z.at[j].set(z)
+        w = op(z)
+
+        def mgs(k, wh):
+            w, hcol = wh
+            hk = jnp.where(k <= j, jnp.vdot(V[k], w), 0.0)
+            w = w - hk * V[k]
+            return w, hcol.at[k].set(hk)
+        w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
+                                    (w, jnp.zeros(m + 1)))
+        hj1 = jnp.linalg.norm(w)
+        hcol = hcol.at[j + 1].set(hj1)
+        V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
+
+        def rot(k, hc):
+            t = cs[k] * hc[k] + sn[k] * hc[k + 1]
+            hc = hc.at[k + 1].set(-sn[k] * hc[k] + cs[k] * hc[k + 1])
+            return hc.at[k].set(t)
+
+        def rot_masked(k, hc):
+            return jax.lax.cond(k < j, lambda: rot(k, hc), lambda: hc)
+        hcol = jax.lax.fori_loop(0, m, rot_masked, hcol)
+        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+        c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
+        s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+        cs2 = cs.at[j].set(c)
+        sn2 = sn.at[j].set(s)
+        hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
+        hcol = hcol.at[j + 1].set(0.0)
+        H = H.at[:, j].set(hcol)
+        g2 = g.at[j + 1].set(-s * g[j])
+        g2 = g2.at[j].set(c * g[j])
+        return (V, Z, H, cs2, sn2, g2)
+
+    def cycle(x):
+        r = b - op(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n)).at[0].set(
+            jnp.where(beta > 0, r / beta, r))
+        Z = jnp.zeros((m, n))
+        H = jnp.zeros((m + 1, m))
+        cs = jnp.zeros(m)
+        sn = jnp.zeros(m)
+        g = jnp.zeros(m + 1).at[0].set(beta)
+
+        def inner_cond(st):
+            V, Z, H, cs, sn, g, j = st
+            return (j < m) & (jnp.abs(g[j]) >
+                              jnp.maximum(rtol * r0norm, atol))
+
+        def inner_body(st):
+            V, Z, H, cs, sn, g, j = st
+            V, Z, H, cs, sn, g = arnoldi_step((V, Z, H, cs, sn, g), j)
+            return V, Z, H, cs, sn, g, j + 1
+
+        V, Z, H, cs, sn, g, j = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (V, Z, H, cs, sn, g, jnp.zeros((), jnp.int32)))
+        Hmask = jnp.where((jnp.arange(m)[:, None] < j)
+                          & (jnp.arange(m)[None, :] < j), H[:m, :m],
+                          jnp.eye(m))
+        gm = jnp.where(jnp.arange(m) < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Hmask, gm, lower=False)
+        x = x + Z.T @ y
+        return x, jnp.abs(g[j]), j
+
+    def outer_cond(st):
+        x, rnorm, total_it = st
+        return (~_tolcheck(rnorm, r0norm, rtol, atol)) & (total_it < max_it)
+
+    def outer_body(st):
+        x, rnorm, total_it = st
+        x, rn, j = cycle(x)
+        return x, rn, total_it + j
+
+    x, rnorm, it = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (x0, r0norm, jnp.zeros((), jnp.int32)))
+    true_r = jnp.linalg.norm(b - op(x))
+    return KSPResult(x, it, true_r, _tolcheck(rnorm, r0norm, rtol, atol))
+
+
 def richardson(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
                max_it=10000, damping=1.0) -> KSPResult:
     pc = pc or (lambda r: r)
@@ -265,6 +362,7 @@ KSP_METHODS = {
     "bicgstab": bicgstab,
     "bcgs": bicgstab,
     "gmres": gmres,
+    "fgmres": fgmres,
     "minres": minres,
     "richardson": richardson,
     "chebyshev": chebyshev,

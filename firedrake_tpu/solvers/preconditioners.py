@@ -22,12 +22,20 @@ def make_jacobi(diag):
 
 
 def make_pc(pc_type: str, A=None, params=None):
-    """A is an assembled Matrix (or None for matrix-free with no PC)."""
+    """A is an assembled Matrix (or None for matrix-free with no PC).
+
+    Legacy flat dispatch — new code should go through
+    composition.build_pc (recursive options-tree composition)."""
     params = params or {}
     if pc_type in (None, "none"):
         return identity_pc
     if pc_type in ("jacobi", "bjacobi", "sor", "ilu", "icc"):
-        # bjacobi/sor/ilu approximated by jacobi until dedicated PCs land
+        if pc_type != "jacobi":
+            import warnings
+            warnings.warn(
+                f"pc_type {pc_type!r} has no TPU-native implementation; "
+                "substituting point-Jacobi (different convergence)",
+                stacklevel=2)
         if A is None:
             raise ValueError(f"pc_type {pc_type!r} needs an assembled "
                              "matrix (got matfree); use 'none'")
@@ -37,6 +45,8 @@ def make_pc(pc_type: str, A=None, params=None):
             raise ValueError("patch/asm pc needs an assembled matrix "
                              "with a row space")
         return make_star_patch(A, A.row_space)
+    if pc_type == "vanka":
+        return make_vanka_patch(A, A.row_space)
     raise NotImplementedError(f"pc_type {pc_type!r}")
 
 
@@ -70,6 +80,12 @@ def make_star_patch(A, V, multiplicative=False):
         for vv in cv[c]:
             patches[int(vv)].update(int(d) for d in dofs)
     patches = [sorted(p) for p in patches if p]
+    return _batched_patch_pc(A.to_scipy().tocsr(), patches)
+
+
+def _batched_patch_pc(Asp, patches):
+    """Additive Schwarz over dof-index patches as ONE batched dense
+    inverse-apply (npatch, K, K) riding the MXU — the tinyasm role."""
     K = max(len(p) for p in patches)
     npatch = len(patches)
     idx = np.zeros((npatch, K), dtype=np.int64)
@@ -77,7 +93,6 @@ def make_star_patch(A, V, multiplicative=False):
     for i, p in enumerate(patches):
         idx[i, :len(p)] = p
         mask[i, :len(p)] = 1.0
-    Asp = A.to_scipy().tocsr()
     Ap = np.zeros((npatch, K, K))
     for i, p in enumerate(patches):
         sub = Asp[np.ix_(p, p)].toarray()
@@ -89,6 +104,7 @@ def make_star_patch(A, V, multiplicative=False):
     Apinv = jnp.asarray(batched_inv(jnp.asarray(Ap)))
     idx_j = jnp.asarray(idx)
     mask_j = jnp.asarray(mask)
+
     def pc(r):
         # plain additive Schwarz: z = sum_p R_p^T A_p^-1 R_p r (SPD as a
         # sum of SPD terms — safe under CG)
@@ -98,3 +114,38 @@ def make_star_patch(A, V, multiplicative=False):
             zp.reshape(-1))
 
     return pc
+
+
+def make_vanka_patch(A, W, exclude_field=None, seed_field=None):
+    """Vanka smoother for mixed (saddle-point) systems (reference:
+    firedrake/preconditioners/asm.py ASMVankaPC, patch.py vanka
+    construction): one patch per dof of the SEED field (default: the
+    last field, e.g. pressure), containing that dof plus every dof of
+    the other fields it couples to — the row/column nonzeros of the
+    off-diagonal blocks. Patch solves are one batched dense inverse.
+
+    exclude_field accepted for option-compat (a field never included as
+    seed)."""
+    import scipy.sparse as sp
+    if W is None or not getattr(W, "num_sub_spaces", 0):
+        raise ValueError("vanka needs a mixed function space")
+    nf = W.num_sub_spaces
+    if seed_field is None:
+        seed_field = nf - 1
+        if exclude_field is not None and int(exclude_field) == seed_field:
+            seed_field = nf - 2
+    Asp = A.to_scipy().tocsr()
+    Acsc = Asp.tocsc()
+    off = int(W.offsets[seed_field])
+    dim = W.subspaces[seed_field].dim
+    patches = []
+    for s in range(off, off + dim):
+        row = Asp.indices[Asp.indptr[s]:Asp.indptr[s + 1]]
+        col = Acsc.indices[Acsc.indptr[s]:Acsc.indptr[s + 1]]
+        p = set(int(i) for i in row) | set(int(i) for i in col)
+        p.add(s)
+        # drop other seed-field dofs: classic Vanka couples one pressure
+        # dof with its velocity neighbourhood only
+        p = {i for i in p if not (off <= i < off + dim) or i == s}
+        patches.append(sorted(p))
+    return _batched_patch_pc(Asp, patches)

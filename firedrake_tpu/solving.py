@@ -107,6 +107,7 @@ class LinearVariationalSolver:
         self.problem = problem
         self.params = _merged_params(solver_parameters)
         self.nullspace = nullspace
+        self.appctx = appctx or {}
         self._mat = None
 
     def solve(self):
@@ -128,6 +129,19 @@ class LinearVariationalSolver:
             from .solvers.scpc import solve_scpc
             self.ksp_iterations = solve_scpc(p, params)
             return
+        if params.get("distributed"):
+            # SPMD solve over the device mesh (reference: firedrake
+            # under mpiexec; here parallel/dsolve.py shard_map CG)
+            from .parallel.dsolve import distributed_solve
+            nsh = params["distributed"]
+            nsh = None if nsh is True else int(nsh)
+            distributed_solve(
+                p.a, p.L, p.u, bcs=p.bcs, nshards=nsh,
+                rtol=params.get("ksp_rtol", 1e-10),
+                maxit=int(params.get("ksp_max_it", 5000)),
+                pc_type=params.get("pc_type", "jacobi"))
+            self.ksp_iterations = p.u._dist_iterations
+            return
 
         b = (jnp.asarray(assemble(p.L).dat) if p.L is not None
              else jnp.zeros(n))
@@ -148,9 +162,13 @@ class LinearVariationalSolver:
                 return asm._run(coords, cd, cv)
 
             op, bvec = _constrained_op(raw_op, b, bc_idx, gj, n)
-            pc = make_pc(params.get("pc_type", "none")
-                         if params.get("pc_type") != "jacobi" else "none",
-                         None, params)
+            from .solvers.composition import OpCtx, build_pc
+            mf_params = dict(params)
+            if mf_params.get("pc_type") == "jacobi":
+                mf_params["pc_type"] = "none"   # no assembled diagonal
+            ctx = OpCtx(matvec=op, space=V, form=p.a, bcs=p.bcs,
+                        appctx=self.appctx)
+            pc = build_pc(ctx, mf_params, "")
             res = _run_ksp(op, bvec, params, pc=pc,
                            x0=jnp.asarray(p.u.dat))
         else:
@@ -165,29 +183,23 @@ class LinearVariationalSolver:
                 A = A0.with_dirichlet(jnp.asarray(bc_idx))
             else:
                 A = A0
+            if params.get("ksp_type") == "preonly" and \
+                    params.get("pc_type") in ("lu", "cholesky", "ilu"):
+                # exact host sparse LU at the outermost level
+                p.u.dat = direct_solve(A, bvec)
+                self.ksp_iterations = 1
+                return
+            from .solvers.composition import OpCtx, build_pc
+            ctx = OpCtx(mat=A, space=V, form=p.a, bcs=p.bcs,
+                        appctx=self.appctx)
+            if params.get("pc_type") == "mg" and not hasattr(self, "_gmg"):
+                self._gmg = build_pc(ctx, params, "")
+            pc = self._gmg if params.get("pc_type") == "mg" \
+                else build_pc(ctx, params, "")
             if params.get("ksp_type") == "preonly":
-                if params.get("pc_type") in ("lu", "cholesky", "ilu"):
-                    p.u.dat = direct_solve(A, bvec)
-                    self.ksp_iterations = 1
-                    return
-                raise NotImplementedError("preonly with pc_type "
-                                          f"{params.get('pc_type')!r}")
-            pcname = params.get("pc_type", "jacobi")
-            if pcname == "mg":
-                from .mg.vcycle import GMGPreconditioner
-                if not hasattr(self, "_gmg"):
-                    self._gmg = GMGPreconditioner(p.a, p.bcs, V)
-                pc = self._gmg
-            elif pcname == "pmg":
-                from .mg.pmg import PMGPC
-                if not hasattr(self, "_pmg"):
-                    self._pmg = PMGPC(p.a, p.bcs, V)
-                pc = self._pmg
-            elif pcname == "fieldsplit":
-                from .solvers.fieldsplit import FieldsplitPC
-                pc = FieldsplitPC(A, V, params)
-            else:
-                pc = make_pc(pcname, A, params)
+                p.u.dat = pc(bvec)
+                self.ksp_iterations = 1
+                return
             opfn = A.matvec
             if self.nullspace is not None and not \
                     getattr(self.nullspace, "is_trivial", lambda: False)():
@@ -225,11 +237,15 @@ _action_cache = {}
 
 def _action_cached(a):
     """One action form (and hence ONE matvec-input coefficient) per
-    bilinear form object."""
+    bilinear form object.  The cache holds a STRONG reference to `a`:
+    id() keys of dead objects get recycled by CPython, and a stale hit
+    silently returns another form's action (seen as a never-converging
+    fgmres when Stokes tests ran back-to-back)."""
     key = id(a)
-    if key not in _action_cache:
-        _action_cache[key] = _action_form(a)
-    return _action_cache[key]
+    hit = _action_cache.get(key)
+    if hit is None or hit[0] is not a:
+        _action_cache[key] = (a, _action_form(a))
+    return _action_cache[key][1]
 
 
 def _constrained_op(raw_op, b, bc_idx, g, n):
@@ -272,6 +288,7 @@ class NonlinearVariationalSolver:
                  **kwargs):
         self.problem = problem
         self.params = _merged_params(solver_parameters, nonlinear=True)
+        self.appctx = appctx or {}
 
     def _residual(self, uvec):
         p = self.problem
@@ -370,7 +387,13 @@ class NonlinearVariationalSolver:
             if len(bc_idx):
                 idx = jnp.asarray(bc_idx)
                 rhsv = rhsv.at[idx].set(-r[idx])
-            pc = identity_pc
+            from .solvers.composition import OpCtx, build_pc
+            mf_params = dict(params)
+            if mf_params.get("pc_type", "none") == "jacobi":
+                mf_params["pc_type"] = "none"
+            ctx = OpCtx(matvec=op, space=p.u.function_space(), form=p.J,
+                        bcs=p.bcs, appctx=getattr(self, "appctx", {}))
+            pc = build_pc(ctx, mf_params, "")
             res = _run_ksp(op, rhsv, params, pc=pc)
             return res.x
         J = assemble(p.J)
@@ -394,9 +417,15 @@ class NonlinearVariationalSolver:
             return jnp.asarray(spsolve(Js.tocsc(), np.asarray(rhs_v)))
         if len(bc_idx):
             J = J.with_dirichlet(jnp.asarray(bc_idx))
-        if params.get("ksp_type") == "preonly":
+        if params.get("ksp_type") == "preonly" and \
+                params.get("pc_type") in ("lu", "cholesky", "ilu"):
             return direct_solve(J, rhs_v)
-        pc = make_pc(params.get("pc_type", "jacobi"), J, params)
+        from .solvers.composition import OpCtx, build_pc
+        ctx = OpCtx(mat=J, space=p.u.function_space(), form=p.J,
+                    bcs=p.bcs, appctx=getattr(self, "appctx", {}))
+        pc = build_pc(ctx, params, "")
+        if params.get("ksp_type") == "preonly":
+            return pc(rhs_v)
         res = _run_ksp(J.matvec, rhs_v, params, pc=pc)
         return res.x
 
@@ -416,7 +445,9 @@ class LinearSolver:
         if self.params.get("ksp_type") == "preonly":
             x.dat = direct_solve(A, bvec)
             return
-        pc = make_pc(self.params.get("pc_type", "jacobi"), A, self.params)
+        from .solvers.composition import OpCtx, build_pc
+        ctx = OpCtx(mat=A, space=getattr(A, "row_space", None), bcs=bcs)
+        pc = build_pc(ctx, self.params, "")
         res = _run_ksp(A.matvec, bvec, self.params, pc=pc)
         x.dat = res.x
         self.ksp_iterations = int(res.iterations)
@@ -431,18 +462,23 @@ def solve(*args, **kwargs):
         bcs = kwargs.get("bcs")
         sp = kwargs.get("solver_parameters")
         J = kwargs.get("J")
+        appctx = kwargs.get("appctx")
+        nullspace = kwargs.get("nullspace")
         nums = {a.number for a in eq.lhs.arguments()}
         is_linear = nums == {0, 1}
         if is_linear:
             problem = LinearVariationalProblem(eq.lhs, eq.rhs, u, bcs=bcs)
-            solver = LinearVariationalSolver(problem, solver_parameters=sp)
+            solver = LinearVariationalSolver(problem, solver_parameters=sp,
+                                             appctx=appctx,
+                                             nullspace=nullspace)
         else:
             F = eq.lhs
             if isinstance(eq.rhs, Form) and not eq.rhs.empty():
                 F = F - eq.rhs
             problem = NonlinearVariationalProblem(F, u, bcs=bcs, J=J)
             solver = NonlinearVariationalSolver(problem,
-                                                solver_parameters=sp)
+                                                solver_parameters=sp,
+                                                appctx=appctx)
         solver.solve()
         from .adjoint.tape import (annotate_tape, get_working_tape,
                                    SolveBlock)
