@@ -82,22 +82,84 @@ class FormAssembler:
                     st["pos_T"] = jnp.asarray(np.ascontiguousarray(
                         np.asarray(pos).reshape(n, -1).T))
         self._acc_args = None
-        if self.rank == 2:
-            import os as _os
-            if _os.environ.get("FDTPU_GATHER_ACC", "1") != "0":
+        import os as _os
+        if _os.environ.get("FDTPU_SCATTER") == "1":
+            pass          # debug: keep the scatter-add accumulation
+        elif self.rank == 2:
+            if _os.environ.get("FDTPU_GATHER_ACC") == "table":
                 self._acc_args = self._build_acc_table()
+            else:
+                self._acc_args = self._build_sorted_accum()
+        elif self.rank == 1:
+            self._acc_args = self._build_sorted_accum_rank1()
         # index maps are passed as ARGUMENTS to the jitted program (not
         # closure constants): multi-MB embedded literals blow up
         # compile time, especially through remote-compile tunnels
         def _is_arrayish(v):
-            return isinstance(v, jnp.ndarray) or (
-                isinstance(v, dict)
-                and all(isinstance(x, jnp.ndarray) for x in v.values()))
+            if isinstance(v, jnp.ndarray):
+                return True
+            if isinstance(v, tuple):
+                return all(isinstance(x, jnp.ndarray) for x in v)
+            if isinstance(v, dict):
+                return all(_is_arrayish(x) for x in v.values())
+            return False
 
         self._arg_statics = [
             {k: v for k, v in st.items() if _is_arrayish(v)}
             for st in self._statics]
         self._jitted = jax.jit(self._run)
+
+    def _build_sorted_accum(self):
+        """Sorted-permutation CSR accumulation (the round-2 fast path).
+
+        Measured on the v5e: flat 1-D gathers and sorted segment_sum with
+        index arrays passed as jit ARGUMENTS run at ~0.02-0.2 ns/element,
+        while (nnz, K) 2D gather tables and scatter-adds with duplicate
+        indices cost 10-140 ms at 1M contributions (tiny-trailing-dim
+        relayouts + serial scatter lowering — PERF_NOTES.md round 2).
+        So: concatenate the per-integral local values FLAT, apply ONE
+        host-precomputed permutation that sorts contributions by target
+        nonzero, and finish with segment_sum(indices_are_sorted=True)."""
+        nnz = self.sparsity.nnz
+        parts = []
+        for st in self._statics:
+            pos = np.asarray(st["pos"])
+            n = st["n"]
+            kk = pos.size // n
+            # value flat order: slot-major (k*C + c) on the batched
+            # cell-last path, cell-major (c*KK + k) otherwise
+            parts.append(pos.reshape(n, kk).T.reshape(-1)
+                         if st.get("batched") else pos)
+        if not parts:
+            return None
+        pos_all = np.concatenate(parts)
+        # RestrictedFunctionSpace sentinels (pos == nnz) never land
+        src = np.nonzero(pos_all < nnz)[0].astype(np.int64)
+        key = pos_all[src]
+        o = np.argsort(key, kind="stable")
+        return {"perm": jnp.asarray(src[o].astype(np.int32)),
+                "seg": jnp.asarray(key[o].astype(np.int32))}
+
+    def _build_sorted_accum_rank1(self):
+        """Same sorted-permutation trick for vector assembly: one flat
+        permutation + segment_sum replaces the duplicate-index
+        scatter-add (which XLA lowers serially, ~10 ms/Melem)."""
+        ndof = self.test.space.dim
+        parts = []
+        for st in self._statics:
+            rows = np.asarray(st["rows"])
+            # value flat order matches the local tensor layout:
+            # batched (ni, C) -> rows.T ; cell-major (C, ni) -> rows
+            parts.append(rows.T.reshape(-1) if st.get("batched")
+                         else rows.reshape(-1))
+        if not parts:
+            return None
+        pos_all = np.concatenate(parts)
+        src = np.nonzero(pos_all < ndof)[0].astype(np.int64)
+        key = pos_all[src]
+        o = np.argsort(key, kind="stable")
+        return {"perm": jnp.asarray(src[o].astype(np.int32)),
+                "seg": jnp.asarray(key[o].astype(np.int32))}
 
     def _build_acc_table(self):
         """Scatter-free CSR accumulation plan.
@@ -157,6 +219,68 @@ class FormAssembler:
             out["rows_x"] = jnp.asarray(rows_x)
         return out
 
+    def _prepare_flat(self, ci, cells, cmap3):
+        """Static data for the fully-flat cell path: one contiguous
+        int32 (C,) index column per (dof, component) slot — flat 1-D
+        gathers are the only fast gather shape on this TPU."""
+        g = self.mesh.geometric_dimension
+        cm = np.ascontiguousarray(cmap3[cells])        # (C, ndofc, g)
+        C = len(cells)
+        out = {}
+        out["coords_cols"] = tuple(
+            jnp.asarray(np.ascontiguousarray(cm[:, k, d]).astype(np.int32))
+            for k in range(cm.shape[1]) for d in range(g))
+        ccols = {}
+        for c in ci.coefficients:
+            m = c.space.cell_dof_map[cells]            # (C, nslot)
+            ccols[c.count] = tuple(
+                jnp.asarray(np.ascontiguousarray(m[:, s]).astype(np.int32))
+                for s in range(m.shape[1]))
+        out["coeff_cols"] = ccols
+        csign = {}
+        for c in ci.coefficients:
+            if getattr(c.space, "has_dof_signs", False):
+                sg = c.space.cell_dof_signs[cells]
+                csign[c.count] = tuple(
+                    jnp.asarray(np.ascontiguousarray(sg[:, s]))
+                    for s in range(sg.shape[1]))
+        out["coeff_sign_cols"] = csign
+
+        def slot_signs(arg):
+            if arg is not None and getattr(arg.space, "has_dof_signs",
+                                           False):
+                sg = arg.space.cell_dof_signs[cells]
+                return tuple(jnp.asarray(np.ascontiguousarray(sg[:, s]))
+                             for s in range(sg.shape[1]))
+            return None
+        sr = slot_signs(self.test)
+        sc_ = slot_signs(self.trial)
+        if sr is not None:
+            out["sign_row_cols"] = sr
+        if sc_ is not None:
+            out["sign_col_cols"] = sc_
+        # trace-cost gate: the flat program unrolls ni*nj*nq slot terms
+        # at trace time; past this budget the (C,)-layout win is eaten
+        # by minutes of host tracing — fall back to the vmapped paths
+        import os as _os
+        ni_, nj_ = ci.local_shape()
+        from .compiler.lowering import _cell_rule
+        nq_ = len(_cell_rule(self.mesh.cell.name, ci.degree)[1])
+        if ni_ * nj_ * nq_ > int(_os.environ.get("FDTPU_FLAT_LIMIT",
+                                                 "1500")):
+            raise NotImplementedError("flat unroll budget exceeded")
+        # validate the flat lowering supports this integrand
+        kf = ci.cell_kernel_flat()
+        spec = jax.ShapeDtypeStruct((C,), jnp.float64)
+        cspecs = tuple(tuple(spec for _ in ccols[c.count])
+                       for c in ci.coefficients)
+        vspecs = tuple(jax.ShapeDtypeStruct(np.asarray(c.values()).shape,
+                                            jnp.float64)
+                       for c in ci.constants)
+        jax.eval_shape(kf, tuple(spec for _ in out["coords_cols"]),
+                       cspecs, vspecs)
+        return out
+
     # ----------------------------------------------------- host-side prep
     def _prepare_integral(self, ci: CompiledIntegral):
         mesh = self.mesh
@@ -188,6 +312,9 @@ class FormAssembler:
             cells = mesh.cell_subset(ci.subdomain_id)
             if len(cells) == 0:
                 return None
+            # numpy (non-jnp) => stays out of _arg_statics; the
+            # distributed executor uses it to localize per shard
+            st["_entities"] = np.asarray(cells)
             st["coords_map"] = jnp.asarray(cmap3[cells])
             st["coeff_maps"] = dofmaps(cells)
             st["coeff_signs"] = coeff_signs(cells)
@@ -200,9 +327,30 @@ class FormAssembler:
                 st["cols"] = jnp.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
+            import os
+            # ---- fully-flat fast path: every device op on (C,) vectors
+            # (the only layout-safe shape on this TPU — PERF_NOTES.md);
+            # validated by abstract tracing, falls back when the flat
+            # lowering does not support a node type.  The unrolled
+            # program costs real HOST TRACE time per form, and the
+            # layout pathology it cures is TPU-only — so it is on by
+            # default only when lowering for TPU (FDTPU_FLAT=1 forces,
+            # FDTPU_NO_FLAT=1 disables).
+            want_flat = (os.environ.get("FDTPU_FLAT") == "1"
+                         or jax.default_backend() == "tpu")
+            if want_flat and os.environ.get("FDTPU_NO_FLAT") != "1":
+                try:
+                    st.update(self._prepare_flat(ci, cells, cmap3))
+                    st["batched"] = True   # slot-major value ordering
+                    # drop index data only the fallback paths would use
+                    for k in ("coords_map", "coeff_maps", "coeff_signs",
+                              "sign_rows", "sign_cols"):
+                        st.pop(k, None)
+                    return st
+                except NotImplementedError:
+                    pass
             # ---- cell-last (batched) fast path, if the lowering supports
             # this form (see compiler/batched.py); validated by tracing
-            import os
             if os.environ.get("FDTPU_NO_BATCHED") == "1":
                 st["batched"] = False
                 return st
@@ -242,6 +390,7 @@ class FormAssembler:
             if len(facets) == 0:
                 return None
             cells = topo.facet_cells[facets, 0]
+            st["_entities"] = np.asarray(cells)   # shard = cell owner
             st["coords_map"] = jnp.asarray(cmap3[cells])
             st["lf"] = jnp.asarray(topo.facet_local_id[facets, 0])
             st["coeff_maps"] = dofmaps(cells)
@@ -269,6 +418,7 @@ class FormAssembler:
                 return None
             cp = topo.facet_cells[facets, 0]
             cm = topo.facet_cells[facets, 1]
+            st["_entities"] = np.asarray(cp)      # shard = plus-cell owner
             lfp = topo.facet_local_id[facets, 0]
             lfm = topo.facet_local_id[facets, 1]
             # relative orientation of the minus side:
@@ -311,21 +461,63 @@ class FormAssembler:
 
     # ------------------------------------------------------ device program
     def _run(self, coords_dat, coeff_dats, const_vals, arg_statics=None,
-             acc=None):
+             acc=None, nseg=None):
+        """nseg overrides the segment count of the sorted accumulation —
+        the distributed executor passes per-shard LOCAL sizes (+1 trash
+        segment for padding) while reusing this exact program."""
         rank = self.rank
         statics = arg_statics if arg_statics is not None \
             else self._arg_statics
         if acc is None:
-            acc = self._acc_args if rank == 2 else None
+            acc = self._acc_args
+        if nseg is None:
+            nseg = (self.sparsity.nnz if rank == 2
+                    else self.test.space.dim if rank == 1 else 0)
         if rank == 0:
             total = jnp.zeros(())
         elif rank == 1:
-            total = jnp.zeros(self.test.space.dim)
+            total = jnp.zeros(nseg)
         else:
             total = jnp.zeros(self.sparsity.nnz)
         flats = []          # per-integral local values (gather-table path)
         for ci, st in zip(self._compiled, statics):
             consts = tuple(const_vals[c.count] for c in ci.constants)
+            if "coords_cols" in st:
+                # ---------------- fully-flat path (compiler/flat.py):
+                # per-slot 1-D gathers -> flat elementwise quadrature ->
+                # per-slot (C,) outputs; finisher is perm+segment_sum
+                kf = ci.cell_kernel_flat()
+                ccols = tuple(coords_dat[ix] for ix in st["coords_cols"])
+                wcols = []
+                for c in ci.coefficients:
+                    cols = tuple(coeff_dats[c.count][ix]
+                                 for ix in st["coeff_cols"][c.count])
+                    sg = st.get("coeff_sign_cols", {}).get(c.count)
+                    if sg is not None:
+                        cols = tuple(w * s for w, s in zip(cols, sg))
+                    wcols.append(cols)
+                slots = kf(ccols, tuple(wcols), consts)  # ni*nj x (C,)
+                ni, nj = ci.local_shape()
+                sr = st.get("sign_row_cols")
+                sc_ = st.get("sign_col_cols")
+                if sr is not None or sc_ is not None:
+                    slots = [slots[i * nj + j]
+                             * (sr[i] if sr is not None else 1.0)
+                             * (sc_[j] if sc_ is not None else 1.0)
+                             for i in range(ni) for j in range(nj)]
+                if rank == 0:
+                    total = total + sum(jnp.sum(s) for s in slots)
+                elif acc is not None:
+                    flats.extend(slots)
+                elif rank == 1:
+                    rows_T = st["rows"].T
+                    for i in range(ni):
+                        total = total.at[rows_T[i]].add(slots[i])
+                else:
+                    pos_T = st["pos_T"]
+                    for k in range(ni * nj):
+                        total = total.at[pos_T[k]].add(slots[k])
+                continue
             if "coords_map_T" in st:
                 # ---------------- cell-last fast path (compiler/batched)
                 kb = ci.cell_kernel_batched()
@@ -343,12 +535,22 @@ class FormAssembler:
                 if rank == 0:
                     total = total + jnp.sum(loc)
                 elif rank == 1:
-                    vals = loc[:, 0, :]               # (ni, C)
-                    rows_T = st["rows"].T             # (ni, C) index view
-                    total = total.at[rows_T.reshape(-1)].add(
-                        vals.reshape(-1))
+                    if acc is not None:
+                        # per-slot flat (C,) slices: a concat of flat
+                        # pieces keeps the default layout; reshape(-1)
+                        # of the tiled (ni, C) array would force a
+                        # relayout inside the fused program
+                        ni = loc.shape[0]
+                        flats.extend(loc[i, 0] for i in range(ni))
+                    else:
+                        vals = loc[:, 0, :]           # (ni, C)
+                        rows_T = st["rows"].T         # (ni, C) index view
+                        total = total.at[rows_T.reshape(-1)].add(
+                            vals.reshape(-1))
                 elif acc is not None:
-                    flats.append(loc.reshape(-1))     # slot-major (k, C)
+                    ni, nj = loc.shape[0], loc.shape[1]
+                    flats.extend(loc[i, j] for i in range(ni)
+                                 for j in range(nj))  # slot-major (k, C)
                 else:
                     total = total.at[st["pos_T"].reshape(-1)].add(
                         loc.reshape(-1))
@@ -403,19 +605,30 @@ class FormAssembler:
                 total = total + jnp.sum(loc)
             elif rank == 1:
                 vals = loc[:, :, 0]
-                total = total.at[st["rows"].reshape(-1)].add(
-                    vals.reshape(-1))
+                if acc is not None:
+                    flats.append(vals.reshape(-1))
+                else:
+                    total = total.at[st["rows"].reshape(-1)].add(
+                        vals.reshape(-1))
             elif acc is not None:
                 flats.append(loc.reshape(-1))         # cell-major (C, k)
             else:
                 total = total.at[st["pos"]].add(loc.reshape(-1))
-        if rank == 2 and acc is not None:
-            flat = jnp.concatenate(flats + [jnp.zeros(1)])
-            total = flat[acc["tbl"]].sum(axis=1)
-            if "tblx" in acc:
-                extra = flat[acc["tblx"]].sum(axis=1)
-                total = total.at[acc["rows_x"]].add(
-                    extra, unique_indices=True)
+        if acc is not None and rank >= 1 and flats:
+            flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+            if "perm" in acc:
+                # sorted-permutation accumulation: ONE flat gather + ONE
+                # sorted segment-sum (both ~memory-bandwidth on TPU)
+                total = jax.ops.segment_sum(
+                    flat[acc["perm"]], acc["seg"], num_segments=nseg,
+                    indices_are_sorted=True)
+            else:
+                flat = jnp.concatenate([flat, jnp.zeros(1)])
+                total = flat[acc["tbl"]].sum(axis=1)
+                if "tblx" in acc:
+                    extra = flat[acc["tblx"]].sum(axis=1)
+                    total = total.at[acc["rows_x"]].add(
+                        extra, unique_indices=True)
         return total
 
     # ------------------------------------------------------------- public

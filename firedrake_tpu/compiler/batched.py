@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .smalldot import einsum as _small_einsum
+
 from .lowering import (Lowerer, CellContext, _cell_rule, _tables_at)
 from ..language.core import (Argument, Coefficient, SpatialCoordinate,
                              Zero, ScalarValue, Identity)
@@ -99,16 +101,16 @@ class BatchedCellContext(CellContext):
         coords = self.coords_of(side)                  # (ndofc, g, C)
         t0 = self.ref_table(self.coord_elem, 0, side)  # (nq, ndofc)
         t1 = self.ref_table(self.coord_elem, 1, side)  # (nq, ndofc, t)
-        X = jnp.einsum("jgc,qj->qgc", coords, t0)
-        J = jnp.einsum("jgc,qjt->qgtc", coords, t1)    # (nq, g, t, C)
+        X = _small_einsum("jgc,qj->qgc", coords, t0)
+        J = _small_einsum("jgc,qjt->qgtc", coords, t1)    # (nq, g, t, C)
         if self.gdim == self.tdim:
             detJ = _detC(J, 1, 2)                      # (nq, C)
             Jinv = _invC(J, 1, 2)                      # (nq, t, g, C)
             adet = jnp.abs(detJ)
         else:
-            G = jnp.einsum("qgtc,qgsc->qtsc", J, J)
+            G = _small_einsum("qgtc,qgsc->qtsc", J, J)
             adet = jnp.sqrt(_detC(G, 1, 2))
-            Jinv = jnp.einsum("qtsc,qgsc->qtgc", _invC(G, 1, 2), J)
+            Jinv = _small_einsum("qtsc,qgsc->qtgc", _invC(G, 1, 2), J)
         out = dict(X=X, J=J, detJ=adet, Jinv=Jinv)
         self._cache[key] = out
         return out
@@ -127,13 +129,13 @@ class BatchedCellContext(CellContext):
         pts, wts = _cell_rule(self.cell.name, 2)
         t1 = jnp.asarray(self.coord_elem.tabulate(pts, 1)[1])
         coords = self.coords_of(side)
-        J = jnp.einsum("jgc,qjt->qgtc", coords, t1)
+        J = _small_einsum("jgc,qjt->qgtc", coords, t1)
         if self.gdim == self.tdim:
             dJ = jnp.abs(_detC(J, 1, 2))
         else:
-            G = jnp.einsum("qgtc,qgsc->qtsc", J, J)
+            G = _small_einsum("qgtc,qgsc->qtsc", J, J)
             dJ = jnp.sqrt(_detC(G, 1, 2))
-        return jnp.einsum("qc,q->c", dJ, jnp.asarray(wts))
+        return _small_einsum("qc,q->c", dJ, jnp.asarray(wts))
 
 
 class BatchedLowerer(Lowerer):
@@ -273,7 +275,7 @@ class BatchedLowerer(Lowerer):
             cb = jnp.broadcast_shapes(va.shape[-1:], vb.shape[-1:])
             va = jnp.broadcast_to(va, lead + va.shape[3:-1] + cb)
             vb = jnp.broadcast_to(vb, lead + vb.shape[3:-1] + cb)
-            return jnp.einsum(f"xyq{la}zc,xyqz{lb}c->xyq{la}{lb}c",
+            return _small_einsum(f"xyq{la}zc,xyqz{lb}c->xyq{la}{lb}c",
                               va, vb)
         if t is Outer:
             a, b = e.operands
@@ -342,9 +344,9 @@ class BatchedLowerer(Lowerer):
             return T[..., None]
         Jinv = self.ctx.jinv(side or "+")
         if d == 1:
-            return jnp.einsum("q...t,qtgc->q...gc", T, Jinv)
+            return _small_einsum("q...t,qtgc->q...gc", T, Jinv)
         if d == 2:
-            return jnp.einsum("q...st,qsac,qtbc->q...abc", T, Jinv, Jinv)
+            return _small_einsum("q...st,qsac,qtbc->q...abc", T, Jinv, Jinv)
         raise NotImplementedError("batched derivatives beyond order 2")
 
     def _terminal_deriv(self, base, d, side, out_shape):
@@ -378,7 +380,7 @@ class BatchedLowerer(Lowerer):
                 P = self._pullback_batched(T, elem, d, side)
             else:
                 P = self._to_phys(T, d, side)
-            v = jnp.einsum("jc,qj...c->q...c", dat, P)
+            v = _small_einsum("jc,qj...c->q...c", dat, P)
             return v[None, None]
         raise NotImplementedError(
             f"batched grad of {type(base).__name__}")
@@ -389,14 +391,14 @@ class BatchedLowerer(Lowerer):
         mapping = getattr(elem, "mapping", "identity")
         if mapping == "contravariant":
             if d == 0:
-                return jnp.einsum("qikc,qjk->qjic", J, T) \
+                return _small_einsum("qikc,qjk->qjic", J, T) \
                     / detJ[:, None, None, :]
             if d == 1:
-                P = jnp.einsum("qikc,qjks,qsgc->qjigc", J, T, Jinv)
+                P = _small_einsum("qikc,qjks,qsgc->qjigc", J, T, Jinv)
                 return P / detJ[:, None, None, None, :]
         if mapping == "covariant":
             if d == 0:
-                return jnp.einsum("qkic,qjk->qjic", Jinv, T)
+                return _small_einsum("qkic,qjk->qjic", Jinv, T)
             if d == 1:
-                return jnp.einsum("qkic,qjks,qsgc->qjigc", Jinv, T, Jinv)
+                return _small_einsum("qkic,qjks,qsgc->qjigc", Jinv, T, Jinv)
         raise NotImplementedError(mapping)

@@ -26,6 +26,8 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
+from .smalldot import einsum as _small_einsum
+
 from ..language.core import (Expr, Terminal, Zero, ScalarValue, Identity,
                              PermutationSymbol, Argument, Coefficient,
                              ConstantBase, Sum, Product, Division, Power,
@@ -124,16 +126,16 @@ class BaseContext:
         coords = self.coords_of(side)                 # (ndofc, gdim)
         t0 = self.ref_table(self.coord_elem, 0, side)  # (nq, ndofc)
         t1 = self.ref_table(self.coord_elem, 1, side)  # (nq, ndofc, tdim)
-        X = jnp.einsum("jg,qj->qg", coords, t0)
-        J = jnp.einsum("jg,qjt->qgt", coords, t1)
+        X = _small_einsum("jg,qj->qg", coords, t0)
+        J = _small_einsum("jg,qjt->qgt", coords, t1)
         if self.gdim == self.tdim:
             detJ = _smalldet(J)
             Jinv = _smallinv(J)                       # (nq, tdim, gdim)
             adet = jnp.abs(detJ)
         else:
-            G = jnp.einsum("qgt,qgs->qts", J, J)
+            G = _small_einsum("qgt,qgs->qts", J, J)
             adet = jnp.sqrt(_smalldet(G))
-            Jinv = jnp.einsum("qts,qgs->qtg", _smallinv(G), J)
+            Jinv = _small_einsum("qts,qgs->qtg", _smallinv(G), J)
         out = dict(X=X, J=J, detJ=adet, Jinv=Jinv)
         self._cache[key] = out
         return out
@@ -158,11 +160,11 @@ class BaseContext:
         e = self.coord_elem
         t1 = jnp.asarray(e.tabulate(pts, 1)[1])       # (nq, ndofc, tdim)
         coords = self.coords_of(side)
-        J = jnp.einsum("jg,qjt->qgt", coords, t1)
+        J = _small_einsum("jg,qjt->qgt", coords, t1)
         if self.gdim == self.tdim:
             dJ = jnp.abs(_smalldet(J))
         else:
-            G = jnp.einsum("qgt,qgs->qts", J, J)
+            G = _small_einsum("qgt,qgs->qts", J, J)
             dJ = jnp.sqrt(_smalldet(G))
         return jnp.sum(dJ * jnp.asarray(wts))
 
@@ -252,8 +254,8 @@ class ExteriorFacetContext(BaseContext):
             if self.fdim == 0:
                 s = jnp.ones(len(self.qwts))
             else:
-                T = jnp.einsum("qgt,tf->qgf", J, A)
-                Gm = jnp.einsum("qgf,qge->qfe", T, T)
+                T = _small_einsum("qgt,tf->qgf", J, A)
+                Gm = _small_einsum("qgf,qge->qfe", T, T)
                 s = jnp.sqrt(_smalldet(Gm))
             self._cache[key] = s * jnp.asarray(self.qwts)
         return self._cache[key]
@@ -263,7 +265,7 @@ class ExteriorFacetContext(BaseContext):
         if key not in self._cache:
             nref = jnp.asarray(self.cell.facet_reference_normals)[self.lf]
             Jinv = self.geom("+")["Jinv"]              # (nq, t, g)
-            u = jnp.einsum("qtg,t->qg", Jinv, nref)
+            u = _small_einsum("qtg,t->qg", Jinv, nref)
             n = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
             self._cache[key] = n
         return self._cache[key]
@@ -330,8 +332,8 @@ class InteriorFacetContext(BaseContext):
             if self.fdim == 0:
                 s = jnp.ones(len(self.qwts))
             else:
-                T = jnp.einsum("qgt,tf->qgf", J, A)
-                Gm = jnp.einsum("qgf,qge->qfe", T, T)
+                T = _small_einsum("qgt,tf->qgf", J, A)
+                Gm = _small_einsum("qgf,qge->qfe", T, T)
                 s = jnp.sqrt(_smalldet(Gm))
             self._cache[key] = s * jnp.asarray(self.qwts)
         return self._cache[key]
@@ -342,7 +344,7 @@ class InteriorFacetContext(BaseContext):
             nref = jnp.asarray(self.cell.facet_reference_normals)[
                 self.lf["+"]]
             Jinv = self.geom("+")["Jinv"]
-            u = jnp.einsum("qtg,t->qg", Jinv, nref)
+            u = _small_einsum("qtg,t->qg", Jinv, nref)
             n = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
             self._cache[key] = n
         n = self._cache[key]
@@ -411,9 +413,9 @@ class Lowerer:
             return T
         Jinv = self.ctx.jinv(side or "+")              # (nq, t, g)
         if d == 1:
-            return jnp.einsum("q...t,qtg->q...g", T, Jinv)
+            return _small_einsum("q...t,qtg->q...g", T, Jinv)
         if d == 2:
-            return jnp.einsum("q...st,qsa,qtb->q...ab", T, Jinv, Jinv)
+            return _small_einsum("q...st,qsa,qtb->q...ab", T, Jinv, Jinv)
         raise NotImplementedError("derivatives beyond order 2")
 
     # -------------------------------------------------------------- eval
@@ -563,7 +565,8 @@ class Lowerer:
             return jnp.swapaxes(ev(e.operands[0], side), 3, 4)
         if t is Trace:
             v = ev(e.operands[0], side)
-            return jnp.einsum("...ii->...", v)
+            # diagonal sum unrolled (smalldot has no repeated labels)
+            return sum(v[..., i, i] for i in range(v.shape[-1]))
         if t is Determinant:
             return _smalldet(ev(e.operands[0], side))
         if t is Inverse:
@@ -572,7 +575,7 @@ class Lowerer:
             # div = trace over (last value axis, gradient axis) of grad
             g = Grad(e.operands[0])
             vg = ev(g, side)
-            return jnp.einsum("...ii->...", vg)
+            return sum(vg[..., i, i] for i in range(vg.shape[-1]))
         if t is Curl:
             g = Grad(e.operands[0])
             vg = ev(g, side)     # (..., comp, gdim)
@@ -615,7 +618,7 @@ class Lowerer:
         sa = "xyq" + "".join(la) + "z"
         sb = "xyq" + "z" + "".join(lb)
         so = "xyq" + "".join(la) + "".join(lb)
-        return jnp.einsum(f"{sa},{sb}->{so}", va, vb)
+        return _small_einsum(f"{sa},{sb}->{so}", va, vb)
 
     # ------------------------------------------------------- terminal d^k
     def _terminal_deriv(self, base, d, side, out_shape):
@@ -646,7 +649,7 @@ class Lowerer:
             elem = base.space.element
             T = ctx.ref_table(elem, d, side or "+")
             P = self._pullback(T, elem, d, side)
-            v = jnp.einsum("j,qj...->q...", dat, P)
+            v = _small_einsum("j,qj...->q...", dat, P)
             return v[None, None]
         raise NotImplementedError(
             f"grad of {type(base).__name__} terminal")
@@ -666,15 +669,15 @@ class Lowerer:
         J, Jinv, detJ = g["J"], g["Jinv"], g["detJ"]
         if mapping == "contravariant":
             if d == 0:
-                return jnp.einsum("qik,qjk->qji", J, T) / detJ[:, None,
+                return _small_einsum("qik,qjk->qji", J, T) / detJ[:, None,
                                                                None]
             if d == 1:
-                P = jnp.einsum("qik,qjks,qsg->qjig", J, T, Jinv)
+                P = _small_einsum("qik,qjks,qsg->qjig", J, T, Jinv)
                 return P / detJ[:, None, None, None]
         if mapping == "covariant":
             if d == 0:
-                return jnp.einsum("qki,qjk->qji", Jinv, T)
+                return _small_einsum("qki,qjk->qji", Jinv, T)
             if d == 1:
-                return jnp.einsum("qki,qjks,qsg->qjig", Jinv, T, Jinv)
+                return _small_einsum("qki,qjks,qsg->qjig", Jinv, T, Jinv)
         raise NotImplementedError(
             f"{mapping} pullback with derivative order {d}")
