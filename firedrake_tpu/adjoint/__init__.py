@@ -2,13 +2,16 @@
 pyadjoint re-exports).  See tape.py for the TPU-native design."""
 from .tape import (annotate_tape, continue_annotation, pause_annotation,
                    get_working_tape, set_working_tape, Tape, Control,
-                   ReducedFunctional, compute_gradient, taylor_test,
-                   AdjFloat, SolveBlock, FunctionalBlock)
+                   ReducedFunctional, compute_gradient, compute_hessian,
+                   taylor_test, AdjFloat, SolveBlock, FunctionalBlock,
+                   enable_disk_checkpointing)
+from .ensemble_rf import EnsembleReducedFunctional
 
 __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "get_working_tape", "set_working_tape", "Tape", "Control",
-           "ReducedFunctional", "compute_gradient", "taylor_test",
-           "AdjFloat"]
+           "ReducedFunctional", "compute_gradient", "compute_hessian",
+           "taylor_test", "AdjFloat", "enable_disk_checkpointing",
+           "EnsembleReducedFunctional"]
 
 
 # `firedrake_tpu.adjoint` is both this package AND (for API parity with
