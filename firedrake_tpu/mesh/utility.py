@@ -664,3 +664,81 @@ def Submesh(mesh, subdomain_id=None, cells=None, name=None):
 
 
 __all__ += ["Submesh"]
+
+
+def BallMesh(radius=1.0, refinement_level=0, name="mesh"):
+    """Tetrahedral mesh of a solid ball (reference: utility_meshes.py
+    BallMesh — gmsh/OpenCASCADE there; here a structured cube tet mesh
+    mapped cube->ball by scaling each sup-norm shell onto the sphere of
+    the same radius, which keeps radial lines nested and cells
+    positively oriented)."""
+    n = 2 * (refinement_level + 1)     # even: the origin is a vertex
+    cube = UnitCubeMesh(n, n, n)
+    coords = np.asarray(cube._vertex_coords) * 2.0 - 1.0   # [-1,1]^3
+    rinf = np.max(np.abs(coords), axis=1)
+    r2 = np.linalg.norm(coords, axis=1)
+    scale = np.where(r2 > 0, rinf / np.maximum(r2, 1e-300), 0.0)
+    verts = coords * (scale * radius)[:, None]
+    topo = MeshTopology(np.asarray(cube.topology.cell_vertices),
+                        len(verts), cube.cell.name, name)
+    m = Mesh(topo, verts, name=name)
+    # single boundary surface, id 1 (reference marks the sphere 1)
+    m.facet_markers = np.where(
+        np.isin(np.arange(m.topology.facet_cells.shape[0]),
+                m.topology.exterior_facets), 1, 0).astype(_IDX)
+    return m
+
+
+def UnitBallMesh(refinement_level=0, name="mesh"):
+    return BallMesh(1.0, refinement_level, name)
+
+
+__all__ += ["BallMesh", "UnitBallMesh"]
+
+
+def RelabeledMesh(mesh, indicators, subdomain_ids, name=None):
+    """New mesh sharing topology/coordinates with additional subdomain
+    labels (reference: firedrake/mesh.py:4769 RelabeledMesh).  Each
+    indicator is a DG0 Function (cell labels) or a facet indicator
+    (array over facets / HDivTrace-style Function); nonzero entries get
+    the corresponding subdomain id."""
+    topo = mesh.topology
+    out = Mesh(topo, np.asarray(mesh._vertex_coords),
+               name=name or mesh.name + "_relabeled")
+    out.cell_markers = np.asarray(mesh.cell_markers).copy()
+    out.facet_markers = np.asarray(mesh.facet_markers).copy()
+    nf = topo.facet_cells.shape[0]
+    for ind, sid in zip(indicators, subdomain_ids):
+        vals = np.asarray(getattr(ind, "dat", ind)).reshape(-1)
+        if vals.size == mesh.num_cells:
+            out.cell_markers[vals != 0] = int(sid)
+        elif vals.size == nf:
+            out.facet_markers[vals != 0] = int(sid)
+        else:
+            raise ValueError(
+                f"indicator size {vals.size} matches neither cells "
+                f"({mesh.num_cells}) nor facets ({nf})")
+    return out
+
+
+class MeshSequence:
+    """An ordered collection of meshes for mixed-domain problems
+    (reference: firedrake/mesh.py:5090 MeshSequence)."""
+
+    def __init__(self, meshes):
+        self._meshes = list(meshes)
+
+    def __getitem__(self, i):
+        return self._meshes[i]
+
+    def __len__(self):
+        return len(self._meshes)
+
+    def __iter__(self):
+        return iter(self._meshes)
+
+    def __repr__(self):
+        return f"MeshSequence({self._meshes!r})"
+
+
+__all__ += ["RelabeledMesh", "MeshSequence"]
