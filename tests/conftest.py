@@ -6,6 +6,16 @@ import os
 os.environ.setdefault("XLA_FLAGS",
                       "--xla_force_host_platform_device_count=8")
 
+# XLA:CPU compilation recurses deeply on nested while-loop programs
+# (fgmres with an inner-Krylov preconditioner); under pytest's deeper
+# Python frames the default 8MB stack segfaults the compiler.  The main
+# thread's stack grows up to RLIMIT_STACK, so raise the soft limit.
+import resource
+
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY:
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+
 import jax
 
 # The axon sitecustomize pins the platform to the tunneled TPU; tests must
