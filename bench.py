@@ -1,14 +1,19 @@
 """Benchmarks on the default JAX backend (TPU under the driver).
 
 Prints ONE JSON line (the driver contract): P1 Poisson matrix-assembly
-throughput.  The full BASELINE.json metric set (P2 assembly, ELL matvec
+throughput.  The full BASELINE.json metric set (P2 assembly, SpMV
 GFLOP/s, CG+GMG solve time) is measured too, written to
-BENCH_DETAILS.json and echoed on stderr.
+BENCH_DETAILS.json.
 
-Methodology (PERF_NOTES.md): steady-state timing after compile; the
-assembly program is repeated ON DEVICE via lax.fori_loop with a
-carry->input dependency so the ~1-2 ms tunnel dispatch latency and d2h
-readback are amortized out of the per-iteration cost.
+Methodology (PERF_NOTES.md round 2b): through the axon tunnel,
+`block_until_ready` can return before the remote work completes, so
+every timed call FORCES materialization by reading one scalar of the
+result back.  Work is repeated ON DEVICE via lax.fori_loop with a
+non-factorable carry->input dependency (a pure coordinate scale is
+algebraically transparent to XLA and gets hoisted); differencing a
+1-rep call against an R-rep call cancels the constant dispatch +
+readback overhead.  Rep counts are chosen to stay under the ~60 s
+remote execution watchdog.
 
 Baseline: the reference publishes no numbers (BASELINE.md); Firedrake-
 class CPU assembly is memory-bandwidth-bound at roughly 1e7 assembled
@@ -38,7 +43,21 @@ def _setup():
     return jax
 
 
-def _assembly_bench(jax, n, degree, reps=10):
+def _per_rep(call):
+    """Per-repetition seconds from a forced-materialized (1, R) pair,
+    R sized from the 1-rep wall to stay under the execution watchdog."""
+    call(1)                             # warm (compile + sync path)
+    t0 = time.perf_counter()
+    call(1)
+    base = time.perf_counter() - t0
+    R = max(8, min(5000, int(20.0 / max(base, 4e-3))))
+    t0 = time.perf_counter()
+    call(R + 1)
+    tR = time.perf_counter() - t0
+    return max(tR - base, 1e-9) / R, R
+
+
+def _assembly_bench(jax, n, degree):
     """On-device repeated matrix assembly; returns dofs/s."""
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
@@ -48,41 +67,31 @@ def _assembly_bench(jax, n, degree, reps=10):
     mesh = UnitSquareMesh(n, n)
     V = FunctionSpace(mesh, "CG", degree)
     u, v = TrialFunction(V), TestFunction(V)
-    a = inner(grad(u), grad(v)) * dx
-    asm = get_assembler(a)
+    asm = get_assembler(inner(grad(u), grad(v)) * dx)
     coords = jnp.asarray(mesh.coordinates.dat)
     statics, acc = asm._arg_statics, asm._acc_args
 
-    import jax as _jax
+    @jax.jit
+    def run(r, c0, cds, st, ac):
+        nc = cds.shape[0]
 
-    # statics/acc as ARGUMENTS, not closure constants (multi-MB embedded
-    # literals blow up remote compiles — assemble.py)
-    @_jax.jit
-    def run(reps_, c0, cds, st, ac):
         def body(i, carry):
-            # carry -> coords dependency defeats CSE across reps
-            c = cds + 0.0 * carry[0]
+            c = cds + 1e-20 * carry[:nc]
             return asm._run(c, {}, {}, arg_statics=st, acc=ac)
-        return _jax.lax.fori_loop(0, reps_, body, c0)
+        out = jax.lax.fori_loop(0, r, body, c0)
+        return out[0]
 
-    def run_(r, c0):
-        return run(r, c0, coords, statics, acc)
+    z = jnp.zeros(asm.sparsity.nnz)
 
-    out = run_(1, jnp.zeros(asm.sparsity.nnz))
-    out.block_until_ready()            # compile + 1 rep
-    t0 = time.perf_counter()
-    out = run_(1, out)
-    out.block_until_ready()
-    t1 = time.perf_counter()           # 1-rep wall (dispatch + 1)
-    out = run_(reps + 1, out)
-    out.block_until_ready()
-    t2 = time.perf_counter()           # (reps+1)-rep wall
-    dt = max((t2 - t1) - (t1 - t0), 1e-9) / reps
-    return V.dim / dt, V.dim, dt
+    def call(r):
+        return float(run(r, z, coords, statics, acc))
+
+    dt, R = _per_rep(call)
+    return V.dim / dt, V.dim, dt, R
 
 
-def _matvec_bench(jax, n, degree=1, reps=20):
-    """Assembled ELL SpMV GFLOP/s (2 flops per stored nonzero)."""
+def _matvec_bench(jax, n, degree=1):
+    """SpMV GFLOP/s (ELL form; 2 flops per stored nonzero)."""
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                UnitSquareMesh, inner, grad, dx, assemble)
@@ -94,38 +103,36 @@ def _matvec_bench(jax, n, degree=1, reps=20):
     x = jnp.ones(V.dim)
     mv = A.matvec
 
-    def body(i, xc):
-        return mv(xc)
-
     @jax.jit
     def run(r, x0):
-        return jax.lax.fori_loop(0, r, body, x0)
+        def body(i, xc):
+            return mv(xc) * (1.0 / (1.0 + 1e-9))
+        return jax.lax.fori_loop(0, r, body, x0)[0]
 
-    y = run(1, x)
-    y.block_until_ready()
-    t0 = time.perf_counter()
-    y = run(1, y)
-    y.block_until_ready()
-    t1 = time.perf_counter()
-    y = run(reps + 1, y)
-    y.block_until_ready()
-    t2 = time.perf_counter()
-    dt = max((t2 - t1) - (t1 - t0), 1e-9) / reps
-    nnz = int(A.nnz) if hasattr(A, "nnz") else A.to_scipy().nnz
-    return 2.0 * nnz / dt / 1e9, V.dim, dt
+    def call(r):
+        return float(run(r, x))
+
+    dt, R = _per_rep(call)
+    nnz = int(A.sparsity.nnz)
+    return 2.0 * nnz / dt / 1e9, V.dim, dt, R
 
 
-def _solve_bench(jax, n, degree, pc):
-    """End-to-end CG solve wall time (includes setup amortized out by
-    solving twice and timing the second)."""
-    import numpy as np
+def _solve_bench(jax, nbase, levels, degree):
+    """CG+GMG solve wall time at the KSP level — setup is d2h-free
+    (device Chebyshev bounds + device coarse inverse; PERF_NOTES 2b);
+    the timed call is forced-materialized via one scalar read."""
     import math
+    import numpy as np
     import jax.numpy as jnp
-    from firedrake_tpu import (FunctionSpace, Function, TestFunction,
-                               TrialFunction, SpatialCoordinate,
-                               UnitSquareMesh, DirichletBC, inner, grad,
-                               dx, solve, sin)
-    mesh = UnitSquareMesh(n, n)
+    from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
+                               SpatialCoordinate, UnitSquareMesh,
+                               MeshHierarchy, DirichletBC, inner, grad,
+                               dx, sin, assemble)
+    from firedrake_tpu.mg.vcycle import GMGPreconditioner
+    from firedrake_tpu.solving import _run_ksp, _bc_data
+
+    hier = MeshHierarchy(UnitSquareMesh(nbase, nbase), levels)
+    mesh = hier.meshes[-1]
     V = FunctionSpace(mesh, "CG", degree)
     u, v = TrialFunction(V), TestFunction(V)
     X = SpatialCoordinate(mesh)
@@ -133,52 +140,74 @@ def _solve_bench(jax, n, degree, pc):
     a = inner(grad(u), grad(v)) * dx
     L = f * v * dx
     bc = DirichletBC(V, 0.0, "on_boundary")
-    params = {"ksp_type": "cg", "pc_type": pc, "ksp_rtol": 1e-10}
-    w = Function(V)
-    solve(a == L, w, bcs=[bc], solver_parameters=params)  # warm
+    A = assemble(a, bcs=[bc])
+    bc_idx, _ = _bc_data([bc], V.dim)
+    A = A.with_dirichlet(jnp.asarray(bc_idx))
+    mask = np.ones(V.dim)
+    mask[bc_idx] = 0.0
+    b = jnp.asarray(assemble(L).dat) * jnp.asarray(mask)
+    # chebyshev coarse solve: the Pallas Gauss-Jordan inverse inside
+    # the nested CG+V-cycle program crashes the remote compile helper
+    # (SIGABRT); a 30-step Chebyshev coarse sweep is PC-grade accurate
+    pc = GMGPreconditioner(a, [bc], V, params={
+        "mg_coarse_ksp_type": "chebyshev",
+        "mg_coarse_ksp_max_it": 30,
+        "mg_coarse_ksp_rtol": 0.0,
+        "mg_coarse_pc_type": "jacobi"})
+    params = {"ksp_type": "cg", "ksp_rtol": 1e-10}
+    res = _run_ksp(A.matvec, b, params, pc=pc)       # warm + compile
+    float(res.x[0])
     t0 = time.perf_counter()
-    w2 = Function(V)
-    solve(a == L, w2, bcs=[bc], solver_parameters=params)
+    res = _run_ksp(A.matvec, b, params, pc=pc)
+    float(res.x[0])
     dt = time.perf_counter() - t0
-    return dt, V.dim
+    return dt, V.dim, int(res.iterations)
+
+
+def _free_device():
+    """Drop cached assemblers (their statics hold multi-GB tile-padded
+    device mirrors: a (C, 3) int32 map pads its minor dim 3 -> 128) so
+    each metric starts with a clean HBM."""
+    import gc
+    from firedrake_tpu.assemble import _assembler_cache
+    _assembler_cache.clear()
+    gc.collect()
 
 
 def main():
     jax = _setup()
     details = {}
 
-    val, dofs, dt = _assembly_bench(jax, 512, 1)
+    val, dofs, dt, R = _assembly_bench(jax, 512, 1)
     details["p1_assembly_512"] = {
-        "dofs": dofs, "sec_per_assembly": dt, "dofs_per_sec": val}
+        "dofs": dofs, "sec_per_assembly": dt, "dofs_per_sec": val,
+        "reps": R}
     headline = val
+    _free_device()
 
     try:
-        v2, d2, t2 = _assembly_bench(jax, 1024, 1, reps=5)
-        details["p1_assembly_1024"] = {
-            "dofs": d2, "sec_per_assembly": t2, "dofs_per_sec": v2}
-        headline = max(headline, v2)
+        v2, d2, t2, R2 = _assembly_bench(jax, 256, 2)
+        details["p2_assembly_256"] = {
+            "dofs": d2, "sec_per_assembly": t2, "dofs_per_sec": v2,
+            "reps": R2}
     except Exception as e:       # noqa: BLE001 — record and continue
-        details["p1_assembly_1024"] = {"error": str(e)[:200]}
+        details["p2_assembly_256"] = {"error": str(e)[:200]}
+    _free_device()
 
     try:
-        v2, d2, t2 = _assembly_bench(jax, 384, 2, reps=5)
-        details["p2_assembly_384"] = {
-            "dofs": d2, "sec_per_assembly": t2, "dofs_per_sec": v2}
+        gf, d3, t3, R3 = _matvec_bench(jax, 512)
+        details["spmv_512"] = {
+            "dofs": d3, "sec_per_matvec": t3, "gflops": gf, "reps": R3}
     except Exception as e:
-        details["p2_assembly_384"] = {"error": str(e)[:200]}
+        details["spmv_512"] = {"error": str(e)[:200]}
+    _free_device()
 
     try:
-        gf, d3, t3 = _matvec_bench(jax, 512)
-        details["ell_matvec_512"] = {
-            "dofs": d3, "sec_per_matvec": t3, "gflops": gf}
+        dt4, d4, its = _solve_bench(jax, 32, 3, 1)
+        details["cg_gmg_solve_p1"] = {"dofs": d4, "seconds": dt4,
+                                      "iterations": its}
     except Exception as e:
-        details["ell_matvec_512"] = {"error": str(e)[:200]}
-
-    try:
-        dt4, d4 = _solve_bench(jax, 256, 1, "mg")
-        details["cg_gmg_solve_256_p1"] = {"dofs": d4, "seconds": dt4}
-    except Exception as e:
-        details["cg_gmg_solve_256_p1"] = {"error": str(e)[:200]}
+        details["cg_gmg_solve_p1"] = {"error": str(e)[:200]}
 
     with open("/root/repo/BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)

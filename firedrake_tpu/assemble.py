@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from .language.measure import Form
 from .language.core import Argument, Coefficient, ConstantBase
 from .compiler.kernels import CompiledIntegral
+from .compiler.smalldot import einsum as _small_einsum
 from .assembly.sparsity import Sparsity
 from .assembly.matrix import Matrix
 from .function import Function, Cofunction
@@ -75,37 +76,53 @@ class FormAssembler:
                                      self.trial.space.dim, blocks)
             for st, pos in zip(self._statics,
                                self.sparsity.block_positions):
-                st["pos"] = jnp.asarray(pos)
+                st["pos"] = np.asarray(pos)
                 if st.get("batched"):
                     # slot-major positions matching (ni*nj, C) value order
                     n = st["n"]
-                    st["pos_T"] = jnp.asarray(np.ascontiguousarray(
-                        np.asarray(pos).reshape(n, -1).T))
+                    st["pos_T"] = np.ascontiguousarray(
+                        np.asarray(pos).reshape(n, -1).T)
         self._acc_args = None
         import os as _os
         if _os.environ.get("FDTPU_SCATTER") == "1":
             pass          # debug: keep the scatter-add accumulation
         elif self.rank == 2:
-            if _os.environ.get("FDTPU_GATHER_ACC") == "table":
-                self._acc_args = self._build_acc_table()
-            else:
+            # gather tables by default: the honest forced-materialization
+            # A/B at 512^2 P1 measured table 200 ms vs sorted-segsum
+            # 650-770 ms per assembly (segment_sum lowers slowly on this
+            # chip; PERF_NOTES round 2b)
+            if _os.environ.get("FDTPU_GATHER_ACC") == "sorted":
                 self._acc_args = self._build_sorted_accum()
+            else:
+                self._acc_args = self._build_acc_table()
         elif self.rank == 1:
             self._acc_args = self._build_sorted_accum_rank1()
         # index maps are passed as ARGUMENTS to the jitted program (not
         # closure constants): multi-MB embedded literals blow up
-        # compile time, especially through remote-compile tunnels
+        # compile time, especially through remote-compile tunnels.
+        # _statics stays NUMPY (host-side consumers — accumulation
+        # plans, the distributed localizer — must NEVER read arrays
+        # back from the device: ONE multi-MB d2h through the axon
+        # tunnel takes ~30 s AND permanently degrades every subsequent
+        # dispatch of the process by ~30-100 ms — PERF_NOTES round 2b);
+        # _arg_statics is the device mirror.
         def _is_arrayish(v):
-            if isinstance(v, jnp.ndarray):
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
                 return True
             if isinstance(v, tuple):
-                return all(isinstance(x, jnp.ndarray) for x in v)
+                return all(isinstance(x, (np.ndarray, jnp.ndarray))
+                           for x in v)
             if isinstance(v, dict):
-                return all(_is_arrayish(x) for x in v.values())
+                return bool(v) is False or all(
+                    _is_arrayish(x) for x in v.values())
             return False
 
         self._arg_statics = [
-            {k: v for k, v in st.items() if _is_arrayish(v)}
+            jax.tree_util.tree_map(
+                jnp.asarray,
+                {k: v for k, v in st.items()
+                 if not k.startswith("_") and v is not None
+                 and _is_arrayish(v)})
             for st in self._statics]
         self._jitted = jax.jit(self._run)
 
@@ -228,13 +245,13 @@ class FormAssembler:
         C = len(cells)
         out = {}
         out["coords_cols"] = tuple(
-            jnp.asarray(np.ascontiguousarray(cm[:, k, d]).astype(np.int32))
+            np.ascontiguousarray(cm[:, k, d]).astype(np.int32)
             for k in range(cm.shape[1]) for d in range(g))
         ccols = {}
         for c in ci.coefficients:
             m = c.space.cell_dof_map[cells]            # (C, nslot)
             ccols[c.count] = tuple(
-                jnp.asarray(np.ascontiguousarray(m[:, s]).astype(np.int32))
+                np.ascontiguousarray(m[:, s]).astype(np.int32)
                 for s in range(m.shape[1]))
         out["coeff_cols"] = ccols
         csign = {}
@@ -242,7 +259,7 @@ class FormAssembler:
             if getattr(c.space, "has_dof_signs", False):
                 sg = c.space.cell_dof_signs[cells]
                 csign[c.count] = tuple(
-                    jnp.asarray(np.ascontiguousarray(sg[:, s]))
+                    np.ascontiguousarray(sg[:, s])
                     for s in range(sg.shape[1]))
         out["coeff_sign_cols"] = csign
 
@@ -250,7 +267,7 @@ class FormAssembler:
             if arg is not None and getattr(arg.space, "has_dof_signs",
                                            False):
                 sg = arg.space.cell_dof_signs[cells]
-                return tuple(jnp.asarray(np.ascontiguousarray(sg[:, s]))
+                return tuple(np.ascontiguousarray(sg[:, s])
                              for s in range(sg.shape[1]))
             return None
         sr = slot_signs(self.test)
@@ -259,6 +276,12 @@ class FormAssembler:
             out["sign_row_cols"] = sr
         if sc_ is not None:
             out["sign_col_cols"] = sc_
+        # matrix entity transforms mix dof slots — not expressible as
+        # the flat path's per-slot sign columns; use the vmapped path
+        spaces = [a.space for a in (self.test, self.trial)
+                  if a is not None] + [c.space for c in ci.coefficients]
+        if any(getattr(s, "has_dof_transforms", False) for s in spaces):
+            raise NotImplementedError("dof transforms: vmapped path")
         # trace-cost gate: the flat program unrolls ni*nj*nq slot terms
         # at trace time; past this budget the (C,)-layout win is eaten
         # by minutes of host tracing — fall back to the vmapped paths
@@ -291,21 +314,39 @@ class FormAssembler:
         cmap3 = cmap.reshape(topo.num_cells, -1, g)
 
         def dofmaps(cells):
-            return {c.count: jnp.asarray(c.space.cell_dof_map[cells])
+            return {c.count: np.asarray(c.space.cell_dof_map[cells])
                     for c in ci.coefficients}
 
         def coeff_signs(cells):
             out = {}
             for c in ci.coefficients:
                 if getattr(c.space, "has_dof_signs", False):
-                    out[c.count] = jnp.asarray(
+                    out[c.count] = np.asarray(
                         c.space.cell_dof_signs[cells])
             return out
 
         def arg_signs(arg, cells):
             if arg is not None and getattr(arg.space, "has_dof_signs",
                                            False):
-                return jnp.asarray(arg.space.cell_dof_signs[cells])
+                return np.asarray(arg.space.cell_dof_signs[cells])
+            return None
+
+        # matrix-valued entity transformations (tet-face moments etc.,
+        # functionspace.cell_dof_transforms): per-cell (nd, nd) blocks
+        # applied as B to coefficient gathers and B^T . B to local
+        # tensors — the FIAT entity_transformations role
+        def coeff_T(cells):
+            out = {}
+            for c in ci.coefficients:
+                if getattr(c.space, "has_dof_transforms", False):
+                    out[c.count] = np.asarray(
+                        c.space.cell_dof_transforms[cells])
+            return out
+
+        def arg_T(arg, cells):
+            if arg is not None and getattr(arg.space,
+                                           "has_dof_transforms", False):
+                return np.asarray(arg.space.cell_dof_transforms[cells])
             return None
 
         if ci.integral_type == "cell":
@@ -315,29 +356,30 @@ class FormAssembler:
             # numpy (non-jnp) => stays out of _arg_statics; the
             # distributed executor uses it to localize per shard
             st["_entities"] = np.asarray(cells)
-            st["coords_map"] = jnp.asarray(cmap3[cells])
+            st["coords_map"] = np.asarray(cmap3[cells])
             st["coeff_maps"] = dofmaps(cells)
             st["coeff_signs"] = coeff_signs(cells)
             st["sign_rows"] = arg_signs(self.test, cells)
             st["sign_cols"] = arg_signs(self.trial, cells)
+            st["coeff_T"] = coeff_T(cells)
+            st["T_rows"] = arg_T(self.test, cells)
+            st["T_cols"] = arg_T(self.trial, cells)
             if self.test is not None:
-                st["rows"] = jnp.asarray(
+                st["rows"] = np.asarray(
                     self.test.space.cell_dof_map[cells])
             if self.trial is not None:
-                st["cols"] = jnp.asarray(
+                st["cols"] = np.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
             import os
-            # ---- fully-flat fast path: every device op on (C,) vectors
-            # (the only layout-safe shape on this TPU — PERF_NOTES.md);
-            # validated by abstract tracing, falls back when the flat
-            # lowering does not support a node type.  The unrolled
-            # program costs real HOST TRACE time per form, and the
-            # layout pathology it cures is TPU-only — so it is on by
-            # default only when lowering for TPU (FDTPU_FLAT=1 forces,
-            # FDTPU_NO_FLAT=1 disables).
-            want_flat = (os.environ.get("FDTPU_FLAT") == "1"
-                         or jax.default_backend() == "tpu")
+            # ---- fully-flat cell path (compiler/flat.py): every device
+            # intermediate a (C,) vector.  OPT-IN ONLY (FDTPU_FLAT=1):
+            # the honest forced-materialization A/B measured it at no
+            # advantage over the cell-major path on the v5e (the earlier
+            # 100-1000x claims were async-dispatch artifacts — PERF_NOTES
+            # round 2b), and its trace-time unrolling costs real host
+            # time per form.  Kept for layout experiments.
+            want_flat = os.environ.get("FDTPU_FLAT") == "1"
             if want_flat and os.environ.get("FDTPU_NO_FLAT") != "1":
                 try:
                     st.update(self._prepare_flat(ci, cells, cmap3))
@@ -351,7 +393,14 @@ class FormAssembler:
                     pass
             # ---- cell-last (batched) fast path, if the lowering supports
             # this form (see compiler/batched.py); validated by tracing
-            if os.environ.get("FDTPU_NO_BATCHED") == "1":
+            spaces_ = [a.space for a in (self.test, self.trial)
+                       if a is not None] + [c.space
+                                            for c in ci.coefficients]
+            if (os.environ.get("FDTPU_NO_BATCHED") == "1"
+                    or any(getattr(s, "has_dof_transforms", False)
+                           for s in spaces_)):
+                # the cell-last lowering does not apply matrix entity
+                # transforms — only the cell-major path does
                 st["batched"] = False
                 return st
             try:
@@ -370,19 +419,19 @@ class FormAssembler:
                                cfshapes, cvals)
                 st["batched"] = True
                 # transposed index maps: gathers produce cell-minor output
-                st["coords_map_T"] = jnp.asarray(
+                st["coords_map_T"] = np.asarray(
                     np.ascontiguousarray(cmap3[cells].transpose(1, 2, 0)))
                 st["coeff_maps_T"] = {
-                    c.count: jnp.asarray(np.ascontiguousarray(
+                    c.count: np.asarray(np.ascontiguousarray(
                         c.space.cell_dof_map[cells].T))
                     for c in ci.coefficients}
                 st["coeff_signs_T"] = {
-                    k: jnp.asarray(np.ascontiguousarray(np.asarray(v).T))
+                    k: np.ascontiguousarray(np.asarray(v).T)
                     for k, v in st["coeff_signs"].items()}
                 for key in ("sign_rows", "sign_cols"):
                     if st[key] is not None:
-                        st[key + "_T"] = jnp.asarray(
-                            np.ascontiguousarray(np.asarray(st[key]).T))
+                        st[key + "_T"] = np.ascontiguousarray(
+                            np.asarray(st[key]).T)
             except NotImplementedError:
                 st["batched"] = False
         elif ci.integral_type == "exterior_facet":
@@ -391,17 +440,20 @@ class FormAssembler:
                 return None
             cells = topo.facet_cells[facets, 0]
             st["_entities"] = np.asarray(cells)   # shard = cell owner
-            st["coords_map"] = jnp.asarray(cmap3[cells])
-            st["lf"] = jnp.asarray(topo.facet_local_id[facets, 0])
+            st["coords_map"] = np.asarray(cmap3[cells])
+            st["lf"] = np.asarray(topo.facet_local_id[facets, 0])
             st["coeff_maps"] = dofmaps(cells)
             st["coeff_signs"] = coeff_signs(cells)
             st["sign_rows"] = arg_signs(self.test, cells)
             st["sign_cols"] = arg_signs(self.trial, cells)
+            st["coeff_T"] = coeff_T(cells)
+            st["T_rows"] = arg_T(self.test, cells)
+            st["T_cols"] = arg_T(self.trial, cells)
             if self.test is not None:
-                st["rows"] = jnp.asarray(
+                st["rows"] = np.asarray(
                     self.test.space.cell_dof_map[cells])
             if self.trial is not None:
-                st["cols"] = jnp.asarray(
+                st["cols"] = np.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(facets)
         elif ci.integral_type == "interior_facet":
@@ -433,29 +485,46 @@ class FormAssembler:
             pos = np.argmax(eqm, axis=2)               # (ne, nfv)
             keys = [tuple(row) for row in pos]
             o_rel = np.array([pidx[k] for k in keys], dtype=np.int32)
-            st["coords_map_p"] = jnp.asarray(cmap3[cp])
-            st["coords_map_m"] = jnp.asarray(cmap3[cm])
-            st["lf_p"] = jnp.asarray(lfp)
-            st["lf_m"] = jnp.asarray(lfm)
-            st["o_rel"] = jnp.asarray(o_rel)
+            st["coords_map_p"] = np.asarray(cmap3[cp])
+            st["coords_map_m"] = np.asarray(cmap3[cm])
+            st["lf_p"] = np.asarray(lfp)
+            st["lf_m"] = np.asarray(lfm)
+            st["o_rel"] = np.asarray(o_rel)
             st["coeff_maps_p"] = dofmaps(cp)
             st["coeff_maps_m"] = dofmaps(cm)
             st["coeff_signs_p"] = coeff_signs(cp)
             st["coeff_signs_m"] = coeff_signs(cm)
+            st["coeff_T_p"] = coeff_T(cp)
+            st["coeff_T_m"] = coeff_T(cm)
+
+            def _cat_T(arg):
+                """Block-diag [T(+), T(-)] matching the hstacked rows."""
+                Tp_ = arg_T(arg, cp)
+                if Tp_ is None:
+                    return None
+                Tm_ = arg_T(arg, cm)
+                Tp_, Tm_ = np.asarray(Tp_), np.asarray(Tm_)
+                ne, nd = Tp_.shape[0], Tp_.shape[1]
+                out2 = np.zeros((ne, 2 * nd, 2 * nd))
+                out2[:, :nd, :nd] = Tp_
+                out2[:, nd:, nd:] = Tm_
+                return out2
+            st["T_rows"] = _cat_T(self.test)
+            st["T_cols"] = _cat_T(self.trial)
             def _cat_signs(arg):
                 if arg is not None and getattr(arg.space, "has_dof_signs",
                                                False):
                     sg = arg.space.cell_dof_signs
-                    return jnp.asarray(np.hstack([sg[cp], sg[cm]]))
+                    return np.hstack([sg[cp], sg[cm]])
                 return None
             st["sign_rows"] = _cat_signs(self.test)
             st["sign_cols"] = _cat_signs(self.trial)
             if self.test is not None:
                 m = self.test.space.cell_dof_map
-                st["rows"] = jnp.asarray(np.hstack([m[cp], m[cm]]))
+                st["rows"] = np.asarray(np.hstack([m[cp], m[cm]]))
             if self.trial is not None:
                 m = self.trial.space.cell_dof_map
-                st["cols"] = jnp.asarray(np.hstack([m[cp], m[cm]]))
+                st["cols"] = np.asarray(np.hstack([m[cp], m[cm]]))
             st["n"] = len(facets)
         return st
 
@@ -557,15 +626,22 @@ class FormAssembler:
                 continue
             kern = ci.kernel()
             nco = len(ci.coefficients)
-            def _signed(c, gathered, signs):
+            def _signed(c, gathered, signs, Ts=None):
                 sg = signs.get(c.count)
-                return gathered if sg is None else gathered * sg
+                if sg is not None:
+                    return gathered * sg
+                T = Ts.get(c.count) if Ts else None
+                if T is not None:
+                    # local coefficients = B @ canonical (tet faces etc.)
+                    return _small_einsum("cij,cj->ci", T, gathered)
+                return gathered
 
             if ci.integral_type == "cell":
                 ce = coords_dat[st["coords_map"]]      # (ne, ndofc, g)
                 coeffs = tuple(
                     _signed(c, coeff_dats[c.count][
-                        st["coeff_maps"][c.count]], st["coeff_signs"])
+                        st["coeff_maps"][c.count]], st["coeff_signs"],
+                        st.get("coeff_T"))
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda c, *w: kern(c, w, consts))(ce, *coeffs)
@@ -573,7 +649,8 @@ class FormAssembler:
                 ce = coords_dat[st["coords_map"]]
                 coeffs = tuple(
                     _signed(c, coeff_dats[c.count][
-                        st["coeff_maps"][c.count]], st["coeff_signs"])
+                        st["coeff_maps"][c.count]], st["coeff_signs"],
+                        st.get("coeff_T"))
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda c, l, *w: kern(c, l, w, consts)
@@ -584,12 +661,12 @@ class FormAssembler:
                 coeffs_p = tuple(
                     _signed(c, coeff_dats[c.count][
                         st["coeff_maps_p"][c.count]],
-                        st["coeff_signs_p"])
+                        st["coeff_signs_p"], st.get("coeff_T_p"))
                     for c in ci.coefficients)
                 coeffs_m = tuple(
                     _signed(c, coeff_dats[c.count][
                         st["coeff_maps_m"][c.count]],
-                        st["coeff_signs_m"])
+                        st["coeff_signs_m"], st.get("coeff_T_m"))
                     for c in ci.coefficients)
                 loc = jax.vmap(
                     lambda a, b, lp, lm, o, *w: kern(
@@ -601,6 +678,11 @@ class FormAssembler:
                 loc = loc * st["sign_rows"][:, :, None]
             if st.get("sign_cols") is not None:
                 loc = loc * st["sign_cols"][:, None, :]
+            # matrix entity transforms: A_can = B_r^T A_loc B_c
+            if st.get("T_rows") is not None:
+                loc = _small_einsum("cip,cij->cpj", st["T_rows"], loc)
+            if st.get("T_cols") is not None:
+                loc = _small_einsum("cpj,cjq->cpq", loc, st["T_cols"])
             if rank == 0:
                 total = total + jnp.sum(loc)
             elif rank == 1:

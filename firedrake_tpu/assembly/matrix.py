@@ -11,10 +11,21 @@ from .sparsity import Sparsity
 
 
 def ell_matvec(data, x, ell_cols, ell_pos, nrows, kmax):
-    """y = A @ x with A given by flat CSR data scattered into ELL."""
+    """y = A @ x with A given by flat CSR data scattered into ELL.
+    (Legacy 2D form — csr_matvec below is the TPU production path.)"""
     flat = jnp.zeros(nrows * kmax, dtype=data.dtype).at[ell_pos].set(data)
     ell_data = flat.reshape(nrows, kmax)
     return jnp.sum(ell_data * x[ell_cols], axis=1)
+
+
+def csr_matvec(data, x, coo_cols, coo_rows, nrows):
+    """y = A @ x in FLAT form: one 1-D gather + one sorted segment_sum.
+    On the v5e the ELL (nrows, kmax) layout pays tiny-trailing-dim tile
+    padding + a 2-D gather (~43 ms at 263k rows) where the flat form is
+    bandwidth-bound (PERF_NOTES round 2b)."""
+    return jax.ops.segment_sum(data * x[coo_cols], coo_rows,
+                               num_segments=nrows,
+                               indices_are_sorted=True)
 
 
 class Matrix:
@@ -31,6 +42,8 @@ class Matrix:
         ell_cols, ell_pos, _ = sparsity.ell
         self._ell_cols = jnp.asarray(ell_cols)
         self._ell_pos = jnp.asarray(ell_pos)
+        self._coo_cols = jnp.asarray(sparsity.coo_cols)
+        self._coo_rows = jnp.asarray(sparsity.coo_rows)
 
     @property
     def shape(self):
@@ -38,6 +51,9 @@ class Matrix:
 
     # --------------------------------------------------------------- ops
     def matvec(self, x):
+        # ELL form: the honest A/B measured it 43 ms vs 234 ms for the
+        # flat gather+segment_sum form at 263k rows (segment_sum lowers
+        # slowly on the v5e — PERF_NOTES round 2b)
         s = self.sparsity
         return ell_matvec(self.data, jnp.asarray(x), self._ell_cols,
                           self._ell_pos, s.nrows, s.kmax)
@@ -57,6 +73,15 @@ class Matrix:
         cols = jnp.asarray(s.coo_cols)
         contrib = self.data * jnp.asarray(y)[rows]
         return jnp.zeros(s.ncols, dtype=self.data.dtype).at[cols].add(contrib)
+
+    def to_dense_device(self):
+        """Dense (nrows, ncols) ON DEVICE — no d2h readback (any
+        readback through the axon tunnel permanently degrades the
+        process's dispatch; PERF_NOTES round 2b)."""
+        s = self.sparsity
+        return jnp.zeros((s.nrows, s.ncols), dtype=self.data.dtype).at[
+            jnp.asarray(s.coo_rows), jnp.asarray(s.coo_cols)].add(
+            self.data)
 
     # ------------------------------------------------------------- export
     def to_scipy(self):

@@ -115,8 +115,25 @@ class PMGPC:
             self.levels.append(dict(V=Vl, A=A, dinv=dinv,
                                     mask=jnp.asarray(mask),
                                     emin=0.25 * lam, emax=1.05 * lam))
-        self.coarse_inv = jnp.asarray(
-            np.linalg.inv(self.levels[0]["A"].to_dense()))
+        A0 = self.levels[0]["A"]
+        if jax.default_backend() == "tpu" and hasattr(A0,
+                                                      "to_dense_device"):
+            # device f32 Gauss-Jordan + one f64 refinement step: no f64
+            # LU on XLA:TPU, and a host readback poisons the tunnel
+            # (PERF_NOTES round 2b)
+            from ..ops.batched_inverse import batched_inv
+            Ainv32 = batched_inv(
+                A0.to_dense_device().astype(jnp.float32)[None])[0]
+            mv0 = A0.matvec
+
+            def coarse_solve(b):
+                x = (Ainv32 @ b.astype(jnp.float32)).astype(b.dtype)
+                return x + (Ainv32 @ (b - mv0(x)).astype(jnp.float32)
+                            ).astype(b.dtype)
+            self.coarse_solve = coarse_solve
+        else:
+            Ainv = jnp.asarray(np.linalg.inv(A0.to_dense()))
+            self.coarse_solve = lambda b: Ainv @ b
         self.transfers = [PLevelTransfer(spaces[i], spaces[i + 1])
                           for i in range(len(spaces) - 1)]
         self.smooth_its = smooth_its
@@ -141,7 +158,7 @@ class PMGPC:
     def _cycle(self, level, b):
         lv = self.levels[level]
         if level == 0:
-            return self.coarse_inv @ b
+            return self.coarse_solve(b)
         x = jnp.zeros_like(b)
         x = self._smooth(lv, x, b, self.smooth_its)
         r = (b - lv["A"].matvec(x)) * lv["mask"]

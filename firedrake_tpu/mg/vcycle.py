@@ -59,15 +59,21 @@ def coarsen_form(form: Form, fine_mesh, coarse_mesh, space_map):
 
 
 def _estimate_lmax(op, d_inv, n, iters=12, seed=0):
-    """Power iteration for lambda_max(D^-1 A) (host-side setup)."""
+    """Power iteration for lambda_max(D^-1 A), as ONE jitted device
+    program returning a DEVICE scalar — reading it back would poison
+    every later dispatch through the axon tunnel (PERF_NOTES 2b)."""
     rng = np.random.default_rng(seed)
-    x = jnp.asarray(rng.standard_normal(n))
-    lam = 1.0
-    for _ in range(iters):
-        y = d_inv * op(x)
-        lam = float(jnp.linalg.norm(y))
-        x = y / lam
-    return lam
+    x0 = jnp.asarray(rng.standard_normal(n))
+
+    @jax.jit
+    def power(x):
+        def body(i, x):
+            y = d_inv * op(x)
+            return y / jnp.linalg.norm(y)
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.linalg.norm(d_inv * op(x))
+
+    return power(x0)
 
 
 class GMGPreconditioner:

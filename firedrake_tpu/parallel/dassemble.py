@@ -37,7 +37,8 @@ def get_space_partition(cache: dict, V, mpart: MeshPartition):
 
 # statics keys that hold dof indices, by which space they index
 _COORD_IDX = ("coords_map", "coords_map_p", "coords_map_m")
-_VAL_KEYS = ("lf", "lf_p", "lf_m", "o_rel", "sign_rows", "sign_cols")
+_VAL_KEYS = ("lf", "lf_p", "lf_m", "o_rel", "sign_rows", "sign_cols",
+             "T_rows", "T_cols")
 
 
 class DistributedForm:
@@ -169,7 +170,8 @@ class DistributedForm:
         for k in _VAL_KEYS:
             if k in st and st[k] is not None:
                 out[k] = np.asarray(st[k])[sel]
-        for k in ("coeff_signs", "coeff_signs_p", "coeff_signs_m"):
+        for k in ("coeff_signs", "coeff_signs_p", "coeff_signs_m",
+                  "coeff_T", "coeff_T_p", "coeff_T_m"):
             if k in st:      # keep empty dicts: _run indexes the key
                 out[k] = {cnt: np.asarray(v)[sel]
                           for cnt, v in st[k].items()}

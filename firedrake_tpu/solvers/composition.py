@@ -77,18 +77,28 @@ class OpCtx:
         return self.mat.diagonal()
 
     def cheb_bounds(self):
-        """(emin, emax) estimate for D^-1 A by power iteration (host-side
-        setup; the PETSc ksp_chebyshev_esteig role)."""
+        """(emin, emax) estimate for D^-1 A by power iteration (the
+        PETSc ksp_chebyshev_esteig role).  Runs as ONE jitted device
+        program and returns DEVICE scalars: reading even one float back
+        through the axon tunnel permanently degrades every later
+        dispatch (PERF_NOTES round 2b), and the Chebyshev smoother is
+        happy with traced bounds."""
         if self._cheb_bounds is None:
             d = self.diagonal()
             dinv = jnp.where(jnp.abs(d) > 0, 1.0 / d, 1.0)
+            mv = self.matvec
             rng = np.random.default_rng(0)
-            x = jnp.asarray(rng.standard_normal(self.dim))
-            lam = 1.0
-            for _ in range(12):
-                y = dinv * self.matvec(x)
-                lam = float(jnp.linalg.norm(y))
-                x = y / lam
+            x0 = jnp.asarray(rng.standard_normal(self.dim))
+
+            @jax.jit
+            def power(x):
+                def body(i, x):
+                    y = dinv * mv(x)
+                    return y / jnp.linalg.norm(y)
+                x = jax.lax.fori_loop(0, 12, body, x)
+                return jnp.linalg.norm(dinv * mv(x))
+
+            lam = power(x0)
             self._cheb_bounds = (0.25 * lam, 1.05 * lam)
         return self._cheb_bounds
 
@@ -220,6 +230,24 @@ def _pc_lu(ctx, params, prefix):
     if ctx.mat is None:
         raise ValueError("pc_type 'lu' needs an assembled operator")
     if n <= limit:
+        if jax.default_backend() == "tpu" and hasattr(ctx.mat,
+                                                      "to_dense_device"):
+            # device-side inverse: XLA:TPU has no f64 LU and the Pallas
+            # Gauss-Jordan is f32-only, but one f64 iterative-refinement
+            # step (flat-CSR matvec residual) restores coarse-solve
+            # accuracy; a host round-trip would poison the tunnel
+            # (PERF_NOTES round 2b)
+            from ..ops.batched_inverse import batched_inv
+            dense32 = ctx.mat.to_dense_device().astype(jnp.float32)
+            Ainv32 = batched_inv(dense32[None])[0]
+            mv = ctx.mat.matvec
+
+            def pc(r):
+                x = (Ainv32 @ r.astype(jnp.float32)).astype(r.dtype)
+                res = r - mv(x)
+                return x + (Ainv32 @ res.astype(jnp.float32)
+                            ).astype(r.dtype)
+            return pc
         Ainv = jnp.asarray(np.linalg.inv(ctx.mat.to_dense()))
         return lambda r: Ainv @ r
     from scipy.sparse.linalg import splu
