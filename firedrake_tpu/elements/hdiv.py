@@ -140,6 +140,66 @@ def _monomials2(k):
     return [(i, t - i) for t in range(k + 1) for i in range(t + 1)]
 
 
+def _monomials3(k):
+    """Exponent triples of the P_k monomial basis on the tet."""
+    return [(i, j, t - i - j) for t in range(k + 1)
+            for i in range(t + 1) for j in range(t - i + 1)]
+
+
+def _face_quad3(cell, lf, deg):
+    """Face quadrature for a tet face: (3D points, weights*scale, outward
+    normal, 2D parameter points in the LOCAL facet-vertex-order chart)."""
+    fc = cell.facet_cell
+    q = make_quadrature(fc.name, deg)
+    A, b = cell.facet_embedding(lf)
+    pts = q.points @ A.T + b[None, :]
+    scale = cell.facet_area_scale(lf)
+    nref = cell.facet_reference_normals[lf]
+    return pts, q.weights * scale, nref, q.points
+
+
+@lru_cache(maxsize=None)
+def _tri_face_transform_tables(k):
+    """(6, m, m) dof-transform tables B for P_{k-1} moments on a
+    triangular face under the 6 vertex-order permutations.
+
+    Convention (matches topology.py cell_entity_orientations): for
+    orientation index o with permutation sigma = permutations(range(3))[o],
+    canonical vertex j is local vertex sigma[j].  With D(sigma) =
+    parity(sigma) * C(sigma), where m_i(canonical coords) =
+    sum_j C_ij m_j(local coords), the canonical basis functions are
+    phi_loc @ B with B = D^-1 — so LOCAL dof coefficients = B @ canonical
+    coefficients, and local element tensors map A_can = B^T A_loc B.
+    (Reference role: FIAT/FInAT entity_transformations for H(div) tet
+    faces, consumed by firedrake through TSFC.)"""
+    import itertools
+    mons = _monomials2(k - 1)
+    m = len(mons)
+    q = make_quadrature("triangle", max(2 * k, 2))
+    S = q.points
+
+    def evalm(pts):
+        return np.stack([pts[:, 0] ** a * pts[:, 1] ** b
+                         for (a, b) in mons], axis=1)
+
+    Ml = evalm(S)
+    mu = np.stack([1 - S[:, 0] - S[:, 1], S[:, 0], S[:, 1]], axis=1)
+    out = np.zeros((6, m, m))
+    for o, sigma in enumerate(itertools.permutations(range(3))):
+        lam_c = mu[:, list(sigma)]
+        Sc = lam_c[:, 1:3]
+        Mc = evalm(Sc)
+        C = np.linalg.lstsq(Ml, Mc, rcond=None)[0].T   # m_i(can)=C_ij m_j
+        par = 1.0
+        p = list(sigma)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if p[i] > p[j]:
+                    par = -par
+        out[o] = np.linalg.inv(par * C)
+    return out
+
+
 def _legendre01(j, s):
     """Legendre P_j on [0,1] (edge-moment weights: parity (-1)^j under
     s -> 1-s gives clean orientation sign tables)."""
@@ -161,15 +221,20 @@ class RaviartThomas(_MomentElement):
     def _span_terms(self):
         d = self.cell.dim
         k = self.degree
-        if d == 3 and k != 1:
-            raise NotImplementedError("RT degree > 1 on tetrahedra")
         terms = []
         if d == 3:
-            for i in range(d):
-                e = np.zeros(d)
-                e[i] = 1.0
-                terms.append(lambda x, e=e: e)
-            terms.append(lambda x: np.asarray(x, dtype=float))
+            for (a, b, c) in _monomials3(k - 1):
+                for i in range(3):
+                    e = np.zeros(3)
+                    e[i] = 1.0
+                    terms.append(lambda x, e=e, a=a, b=b, c=c:
+                                 e * (x[0] ** a * x[1] ** b * x[2] ** c))
+            for a in range(k):          # x * hom(P_{k-1}) in 3D
+                for b in range(k - a):
+                    c = k - 1 - a - b
+                    terms.append(lambda x, a=a, b=b, c=c:
+                                 np.asarray(x, dtype=float)
+                                 * (x[0] ** a * x[1] ** b * x[2] ** c))
             return terms
         for (a, b) in _monomials2(k - 1):
             for i in range(2):
@@ -187,22 +252,47 @@ class RaviartThomas(_MomentElement):
         cell = self.cell
         k = self.degree
         out = []
-        nmom = 1 if cell.dim == 3 else k
+        if cell.dim == 3:
+            # face normal moments against P_{k-1}(face) monomials in the
+            # LOCAL facet-vertex-order chart; cross-cell consistency via
+            # entity_transforms (matrix-valued, _tri_face_transform_tables)
+            fmons = _monomials2(k - 1)
+            for lf in range(len(cell.facets)):
+                pts, wts, nref, s2 = _face_quad3(cell, lf, 2 * k + 2)
+                for (a, b) in fmons:
+                    def ell(t, pts=pts, wts=wts, nref=nref, s2=s2,
+                            a=a, b=b):
+                        vals = np.array([t(p) for p in pts])
+                        m = s2[:, 0] ** a * s2[:, 1] ** b
+                        return float(np.sum(wts * m * (vals @ nref)))
+                    out.append(ell)
+            if k >= 2:
+                q = make_quadrature(cell.name, 2 * k + 2)
+                for (a, b, c) in _monomials3(k - 2):
+                    for i in range(3):
+                        e = np.zeros(3)
+                        e[i] = 1.0
+
+                        def ell(t, q=q, e=e, a=a, b=b, c=c):
+                            vals = np.array([t(p) for p in q.points])
+                            m = (q.points[:, 0] ** a * q.points[:, 1] ** b
+                                 * q.points[:, 2] ** c)
+                            return float(np.sum(q.weights * m
+                                                * (vals @ e)))
+                        out.append(ell)
+            return out
         for lf in range(len(cell.facets)):
             pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
-            if cell.dim == 2:
-                fverts = cell.vertices[list(cell.facets[lf])]
-                dvec = fverts[1] - fverts[0]
-                s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
-            else:
-                s = None
-            for j in range(nmom):
+            fverts = cell.vertices[list(cell.facets[lf])]
+            dvec = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            for j in range(k):
                 def ell(t, pts=pts, wts=wts, nref=nref, s=s, j=j):
                     vals = np.array([t(p) for p in pts])
-                    w = wts if s is None else wts * _legendre01(j, s)
+                    w = wts * _legendre01(j, s)
                     return float(np.sum(w * (vals @ nref)))
                 out.append(ell)
-        if cell.dim == 2 and k >= 2:
+        if k >= 2:
             q = make_quadrature(cell.name, 2 * k + 2)
             for (a, b) in _monomials2(k - 2):
                 for i in range(2):
@@ -220,7 +310,7 @@ class RaviartThomas(_MomentElement):
     def entity_dofs(self):
         cell = self.cell
         k = self.degree
-        npe = 1 if cell.dim == 3 else k
+        npe = k * (k + 1) // 2 if cell.dim == 3 else k
         ed = {d: {e: [] for e in range(len(cell.topology[d]))}
               for d in cell.topology}
         for lf in range(len(cell.facets)):
@@ -228,6 +318,21 @@ class RaviartThomas(_MomentElement):
         nfacet = npe * len(cell.facets)
         ed[cell.dim][0] = list(range(nfacet, self.ndof))
         return ed
+
+    @property
+    def has_dof_transforms(self):
+        """True when cross-cell dof consistency needs matrix (not just
+        sign) entity transformations: multi-moment tet faces."""
+        return self.cell.dim == 3 and self.degree >= 2
+
+    def entity_transforms(self, d):
+        """(n_orientations, npe, npe) local<-canonical dof-coefficient
+        transform per entity orientation, or None for identity/sign
+        entities.  The data layer composes these with local_facet_sign
+        into per-cell block matrices."""
+        if self.cell.dim == 3 and d == 2 and self.degree >= 2:
+            return _tri_face_transform_tables(self.degree)
+        return None
 
     def facet_dof_signs(self, orientation):
         import itertools
@@ -248,8 +353,10 @@ class RaviartThomas(_MomentElement):
 
     @property
     def facet_dof_sign_flip(self):
-        """True: facet dofs flip sign under facet orientation reversal."""
-        return True
+        """True: facet dofs flip sign under facet orientation reversal.
+        False when matrix entity transforms handle consistency instead
+        (multi-moment tet faces) — the two paths must not compose."""
+        return not self.has_dof_transforms
 
 
 class BrezziDouglasMarini(_MomentElement):

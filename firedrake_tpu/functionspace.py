@@ -179,6 +179,43 @@ class FunctionSpaceData:
     def has_dof_signs(self):
         return getattr(self.element, "facet_dof_sign_flip", False)
 
+    @property
+    def has_dof_transforms(self):
+        """Matrix-valued entity transformations (multi-moment tet faces:
+        RT/BDM degree >= 2, BDM any degree, N1curl faces — the FIAT
+        entity_transformations role).  Mutually exclusive with the
+        diagonal sign path."""
+        return getattr(self.element, "has_dof_transforms", False)
+
+    @property
+    def cell_dof_transforms(self):
+        """(ncell, ndof, ndof) per-cell LOCAL <- CANONICAL dof transform
+        B: coefficient gathers apply B, local tensors map B^T A B (see
+        elements/hdiv.py _tri_face_transform_tables)."""
+        if getattr(self, "_dof_T", None) is not None:
+            return self._dof_T
+        topo = self.mesh.topology
+        elem = self.element
+        nd = elem.ndof
+        T = np.tile(np.eye(nd), (topo.num_cells, 1, 1))
+        for d in range(1, topo.dim):
+            tab = (elem.entity_transforms(d)
+                   if hasattr(elem, "entity_transforms") else None)
+            if tab is None:
+                continue
+            co = topo.cell_entity_orientations(d)
+            for e, slots in elem.entity_dofs[d].items():
+                if not slots:
+                    continue
+                sl = np.asarray(slots)
+                sign = (elem.local_facet_sign(e)
+                        if (d == topo.dim - 1
+                            and hasattr(elem, "local_facet_sign"))
+                        else 1.0)
+                T[:, sl[:, None], sl[None, :]] = sign * tab[co[:, e]]
+        self._dof_T = T
+        return T
+
     # ---------------------------------------------------------- boundaries
     @lru_cache(maxsize=None)
     def _facet_closure_template(self, local_facet: int):
@@ -319,6 +356,18 @@ class FunctionSpace:
         if self.block_size == 1:
             return signs
         return np.repeat(signs, self.block_size, axis=1)
+
+    @property
+    def has_dof_transforms(self):
+        return self.sdata.has_dof_transforms
+
+    @cached_property
+    def cell_dof_transforms(self) -> np.ndarray:
+        """(ncell, ndof, ndof) per-cell local<-canonical transform
+        (block_size is always 1 for the vector-valued H(div)/H(curl)
+        elements that need this)."""
+        assert self.block_size == 1
+        return self.sdata.cell_dof_transforms
 
     # UFL-compat helpers
     def ufl_element(self):
