@@ -21,6 +21,35 @@ from firedrake_tpu import (UnitSquareMesh, MeshHierarchy, FunctionSpace,
 pi = pi_mod.pi
 
 
+def big_stack(fn):
+    """Run the test in a thread with a 512MB stack: XLA:CPU compilation
+    recurses deeply on nested while-loop programs (fgmres with inner
+    Krylov PCs) and the MAIN thread's stack cannot always grow past
+    existing heap mappings late in a long pytest process (segfaults in
+    backend_compile), while a fresh thread gets its stack allocated
+    up-front."""
+    import functools
+    import threading
+
+    @functools.wraps(fn)
+    def wrapper(*a, **k):
+        old = threading.stack_size(512 * 1024 * 1024)
+        exc = []
+
+        def runner():
+            try:
+                fn(*a, **k)
+            except BaseException as e:     # noqa: BLE001 — re-raised
+                exc.append(e)
+        t = threading.Thread(target=runner)
+        t.start()
+        t.join()
+        threading.stack_size(old)
+        if exc:
+            raise exc[0]
+    return wrapper
+
+
 def stokes_problem(n, mesh=None):
     mesh = mesh or UnitSquareMesh(n, n)
     V = VectorFunctionSpace(mesh, "CG", 2)
@@ -45,6 +74,7 @@ def poiseuille_error(w, mesh):
     return fd.errornorm(as_vector([X[1] * (1 - X[1]), 0.0]), u)
 
 
+@big_stack
 def test_schur_massinv_mesh_independent():
     """fieldsplit(schur) with MassInvPC on the pressure block: iteration
     counts stay bounded under refinement (spectral equivalence)."""
@@ -76,6 +106,7 @@ def test_schur_massinv_mesh_independent():
     assert its[-1] < 40
 
 
+@big_stack
 def test_mg_inside_fieldsplit():
     """fieldsplit_0_pc_type: mg — geometric multigrid nested inside the
     velocity block of a Schur fieldsplit, all one options dict."""
@@ -102,6 +133,7 @@ def test_mg_inside_fieldsplit():
     assert solver.ksp_iterations < 60
 
 
+@big_stack
 def test_schur_selfp():
     """pc_fieldsplit_schur_precondition: selfp assembles
     A11 - A10 diag(A00)^-1 A01 and preconditions the Schur solve."""
@@ -127,6 +159,7 @@ def test_schur_selfp():
     assert poiseuille_error(w, mesh) < 1e-6
 
 
+@big_stack
 def test_vanka_smoother():
     """Monolithic Vanka-patch preconditioned outer Krylov on Stokes."""
     a, L, w, bcs, mesh = stokes_problem(6)
@@ -143,6 +176,7 @@ def test_vanka_smoother():
     assert poiseuille_error(w, mesh) < 1e-6
 
 
+@big_stack
 def test_pcksp_nesting():
     """pc_type: ksp — a full inner Krylov solve as preconditioner
     (PCKSP), inner options under ksp_*."""
@@ -173,6 +207,7 @@ def test_pcksp_nesting():
     assert fd.errornorm(ref, uh) < 1e-8
 
 
+@big_stack
 def test_mg_levels_options():
     """mg_levels_* options select the smoother: richardson+patch vs
     default chebyshev+jacobi both converge mesh-independently."""
@@ -210,6 +245,7 @@ def test_mg_levels_options():
     assert its["rich_patch"] != its["cheb"]
 
 
+@big_stack
 def test_composite_pc():
     mesh = UnitSquareMesh(10, 10)
     V = FunctionSpace(mesh, "CG", 1)
@@ -245,6 +281,7 @@ def test_substitution_warns():
         solver.solve()
 
 
+@big_stack
 def test_auxiliary_operator_pc():
     """User AuxiliaryOperatorPC subclass supplies the preconditioning
     form; resolved via its dotted path."""
@@ -296,6 +333,7 @@ def navier_stokes_cavity(n, Re, sp):
 
 
 @pytest.mark.parametrize("schur_pc", ["massinv", "pcd"])
+@big_stack
 def test_navier_stokes_schur(schur_pc):
     """Lid-driven cavity at Re=50 with Schur fieldsplit; pressure block
     by MassInv (mu-weighted) or PCD."""
