@@ -22,3 +22,20 @@ import jax
 # run on (multi-)CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# XLA:CPU segfaults in backend_compile late in long suite runs (~100+
+# compiled programs; crashes reproduce at different, individually-green
+# tests).  Dropping compiled-executable caches periodically keeps the
+# JIT's native state bounded and has not reproduced the crash since.
+import pytest as _pytest
+
+_test_count = [0]
+
+
+@_pytest.fixture(autouse=True)
+def _bounded_jax_jit_state():
+    yield
+    _test_count[0] += 1
+    if _test_count[0] % 40 == 0:
+        jax.clear_caches()
