@@ -6,12 +6,19 @@ from .tape import (annotate_tape, continue_annotation, pause_annotation,
                    taylor_test, AdjFloat, SolveBlock, FunctionalBlock,
                    enable_disk_checkpointing)
 from .ensemble_rf import EnsembleReducedFunctional
+from .optimization import (minimize, maximize, MinimizationProblem,
+                           MinimizationSolver, EqualityConstraint,
+                           InequalityConstraint, UFLEqualityConstraint,
+                           UFLInequalityConstraint)
 
 __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "get_working_tape", "set_working_tape", "Tape", "Control",
            "ReducedFunctional", "compute_gradient", "compute_hessian",
            "taylor_test", "AdjFloat", "enable_disk_checkpointing",
-           "EnsembleReducedFunctional"]
+           "EnsembleReducedFunctional", "minimize", "maximize",
+           "MinimizationProblem", "MinimizationSolver",
+           "EqualityConstraint", "InequalityConstraint",
+           "UFLEqualityConstraint", "UFLInequalityConstraint"]
 
 
 # `firedrake_tpu.adjoint` is both this package AND (for API parity with

@@ -42,7 +42,7 @@ class FormAssembler:
     parloop/kernel caches (tsfc_interface.py:77)."""
 
     def __init__(self, form: Form, bcs=(), mat_type="aij",
-                 zero_bc_nodes=False):
+                 zero_bc_nodes=False, use_stencil=True):
         self.form = form
         self.bcs = tuple(bcs or ())
         self.mat_type = mat_type
@@ -58,23 +58,47 @@ class FormAssembler:
         self.coefficients = form.coefficients()
         self.constants = form.constants()
 
+        self._compiled = [
+            CompiledIntegral(integral, self.test, self.trial, self.mesh)
+            for integral in form.integrals()]
+        # ---- structured-mesh stencil fast path (assembly/stencil.py):
+        # zero index arrays, zero gathers — slices + lax.pad only.  When
+        # it applies, the big per-integral index statics (and for rank 2
+        # the whole Sparsity) are built lazily only if a consumer (the
+        # distributed executor) asks for them.
+        self._stencil = None
+        if use_stencil and self.rank in (1, 2):
+            from .assembly.stencil import build_stencil_plan
+            self._stencil = build_stencil_plan(self)
+        if self._stencil is not None:
+            self._statics_list = None
+            self._acc_args = None
+            self._arg_statics = []
+            self._jitted = jax.jit(self._run)
+            return
+
+        self._statics_list = []
+        self._build_statics()
+        self._finalize_setup()
+
+    def _build_statics(self):
+        compiled = self._compiled
         self._compiled = []
-        self._statics = []
+        self._statics_list = []
         blocks = []
-        for integral in form.integrals():
-            ci = CompiledIntegral(integral, self.test, self.trial, self.mesh)
+        for ci in compiled:
             st = self._prepare_integral(ci)
             if st is None:
                 continue     # empty entity set
             self._compiled.append(ci)
-            self._statics.append(st)
+            self._statics_list.append(st)
             if self.rank == 2:
                 blocks.append((np.asarray(st["rows"]),
                                np.asarray(st["cols"])))
         if self.rank == 2:
             self.sparsity = Sparsity(self.test.space.dim,
                                      self.trial.space.dim, blocks)
-            for st, pos in zip(self._statics,
+            for st, pos in zip(self._statics_list,
                                self.sparsity.block_positions):
                 st["pos"] = np.asarray(pos)
                 if st.get("batched"):
@@ -82,6 +106,17 @@ class FormAssembler:
                     n = st["n"]
                     st["pos_T"] = np.ascontiguousarray(
                         np.asarray(pos).reshape(n, -1).T)
+
+    @property
+    def _statics(self):
+        """Per-integral numpy index statics.  Built lazily when the
+        stencil fast path is active (only the distributed executor
+        needs them then)."""
+        if self._statics_list is None:
+            self._build_statics()
+        return self._statics_list
+
+    def _finalize_setup(self):
         self._acc_args = None
         import os as _os
         if _os.environ.get("FDTPU_SCATTER") == "1":
@@ -117,14 +152,46 @@ class FormAssembler:
                     _is_arrayish(x) for x in v.values())
             return False
 
+        # persistent device mirrors hold every >=2D array FLATTENED:
+        # a (C, 3) int32 map stored 2-D gets (8,128)-tile-padded on TPU
+        # (3 -> 128 lanes, 43x HBM; 1024^2 meshes OOMed in round 2).
+        # _run reshapes at the use site with the statically-known
+        # trailing dims — a no-op for host callers that pass 2-D shards.
         self._arg_statics = [
             jax.tree_util.tree_map(
-                jnp.asarray,
+                lambda v: jnp.asarray(
+                    v.reshape(-1) if isinstance(v, np.ndarray)
+                    and v.ndim >= 2 else v),
                 {k: v for k, v in st.items()
                  if not k.startswith("_") and v is not None
                  and _is_arrayish(v)})
             for st in self._statics]
         self._jitted = jax.jit(self._run)
+
+    @staticmethod
+    def _rs1(v, ref):
+        if ref is None or not hasattr(v, "reshape"):
+            return v
+        ref = np.asarray(ref)
+        if ref.ndim >= 2:
+            return v.reshape((-1,) + ref.shape[1:])
+        return v
+
+    def _restore_shapes(self, st, np_st):
+        """Restore the trailing dims of flattened device mirrors using
+        the numpy statics' statically-known shapes (a no-op for shard
+        callers that pass 2-D arrays)."""
+        out = {}
+        for k, v in st.items():
+            ref = np_st.get(k)
+            if isinstance(v, dict) and isinstance(ref, dict):
+                out[k] = {kk: self._rs1(vv, ref.get(kk))
+                          for kk, vv in v.items()}
+            elif isinstance(v, tuple) and isinstance(ref, tuple):
+                out[k] = tuple(self._rs1(x, r) for x, r in zip(v, ref))
+            else:
+                out[k] = self._rs1(v, ref)
+        return out
 
     def _build_sorted_accum(self):
         """Sorted-permutation CSR accumulation (the round-2 fast path).
@@ -223,7 +290,13 @@ class FormAssembler:
         tbl = np.full((nnz, NB), pad, dtype=np.int32)
         m = col < NB
         tbl[spos[m], col[m]] = order[m].astype(np.int32)
-        out = {"tbl": jnp.asarray(tbl)}
+        # store COLUMNS, not the (nnz, NB) table: a 2-D int32 array with
+        # a tiny trailing dim gets (8,128)-tile-padded on TPU (NB=2 ->
+        # 128 lanes, 64x HBM — the round-2 1024^2 OOM); flat 1-D columns
+        # don't pad and gather identically
+        out = {"tbl_cols": tuple(
+            jnp.asarray(np.ascontiguousarray(tbl[:, j]))
+            for j in range(NB))}
         rows_x = np.where(counts > NB)[0]
         if len(rows_x):
             ridx = np.full(nnz, -1, dtype=np.int64)
@@ -232,76 +305,10 @@ class FormAssembler:
             mx = ~m
             tblx[ridx[spos[mx]], col[mx] - NB] = \
                 order[mx].astype(np.int32)
-            out["tblx"] = jnp.asarray(tblx)
+            out["tblx_cols"] = tuple(
+                jnp.asarray(np.ascontiguousarray(tblx[:, j]))
+                for j in range(tblx.shape[1]))
             out["rows_x"] = jnp.asarray(rows_x)
-        return out
-
-    def _prepare_flat(self, ci, cells, cmap3):
-        """Static data for the fully-flat cell path: one contiguous
-        int32 (C,) index column per (dof, component) slot — flat 1-D
-        gathers are the only fast gather shape on this TPU."""
-        g = self.mesh.geometric_dimension
-        cm = np.ascontiguousarray(cmap3[cells])        # (C, ndofc, g)
-        C = len(cells)
-        out = {}
-        out["coords_cols"] = tuple(
-            np.ascontiguousarray(cm[:, k, d]).astype(np.int32)
-            for k in range(cm.shape[1]) for d in range(g))
-        ccols = {}
-        for c in ci.coefficients:
-            m = c.space.cell_dof_map[cells]            # (C, nslot)
-            ccols[c.count] = tuple(
-                np.ascontiguousarray(m[:, s]).astype(np.int32)
-                for s in range(m.shape[1]))
-        out["coeff_cols"] = ccols
-        csign = {}
-        for c in ci.coefficients:
-            if getattr(c.space, "has_dof_signs", False):
-                sg = c.space.cell_dof_signs[cells]
-                csign[c.count] = tuple(
-                    np.ascontiguousarray(sg[:, s])
-                    for s in range(sg.shape[1]))
-        out["coeff_sign_cols"] = csign
-
-        def slot_signs(arg):
-            if arg is not None and getattr(arg.space, "has_dof_signs",
-                                           False):
-                sg = arg.space.cell_dof_signs[cells]
-                return tuple(np.ascontiguousarray(sg[:, s])
-                             for s in range(sg.shape[1]))
-            return None
-        sr = slot_signs(self.test)
-        sc_ = slot_signs(self.trial)
-        if sr is not None:
-            out["sign_row_cols"] = sr
-        if sc_ is not None:
-            out["sign_col_cols"] = sc_
-        # matrix entity transforms mix dof slots — not expressible as
-        # the flat path's per-slot sign columns; use the vmapped path
-        spaces = [a.space for a in (self.test, self.trial)
-                  if a is not None] + [c.space for c in ci.coefficients]
-        if any(getattr(s, "has_dof_transforms", False) for s in spaces):
-            raise NotImplementedError("dof transforms: vmapped path")
-        # trace-cost gate: the flat program unrolls ni*nj*nq slot terms
-        # at trace time; past this budget the (C,)-layout win is eaten
-        # by minutes of host tracing — fall back to the vmapped paths
-        import os as _os
-        ni_, nj_ = ci.local_shape()
-        from .compiler.lowering import _cell_rule
-        nq_ = len(_cell_rule(self.mesh.cell.name, ci.degree)[1])
-        if ni_ * nj_ * nq_ > int(_os.environ.get("FDTPU_FLAT_LIMIT",
-                                                 "1500")):
-            raise NotImplementedError("flat unroll budget exceeded")
-        # validate the flat lowering supports this integrand
-        kf = ci.cell_kernel_flat()
-        spec = jax.ShapeDtypeStruct((C,), jnp.float64)
-        cspecs = tuple(tuple(spec for _ in ccols[c.count])
-                       for c in ci.coefficients)
-        vspecs = tuple(jax.ShapeDtypeStruct(np.asarray(c.values()).shape,
-                                            jnp.float64)
-                       for c in ci.constants)
-        jax.eval_shape(kf, tuple(spec for _ in out["coords_cols"]),
-                       cspecs, vspecs)
         return out
 
     # ----------------------------------------------------- host-side prep
@@ -372,25 +379,6 @@ class FormAssembler:
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
             import os
-            # ---- fully-flat cell path (compiler/flat.py): every device
-            # intermediate a (C,) vector.  OPT-IN ONLY (FDTPU_FLAT=1):
-            # the honest forced-materialization A/B measured it at no
-            # advantage over the cell-major path on the v5e (the earlier
-            # 100-1000x claims were async-dispatch artifacts — PERF_NOTES
-            # round 2b), and its trace-time unrolling costs real host
-            # time per form.  Kept for layout experiments.
-            want_flat = os.environ.get("FDTPU_FLAT") == "1"
-            if want_flat and os.environ.get("FDTPU_NO_FLAT") != "1":
-                try:
-                    st.update(self._prepare_flat(ci, cells, cmap3))
-                    st["batched"] = True   # slot-major value ordering
-                    # drop index data only the fallback paths would use
-                    for k in ("coords_map", "coeff_maps", "coeff_signs",
-                              "sign_rows", "sign_cols"):
-                        st.pop(k, None)
-                    return st
-                except NotImplementedError:
-                    pass
             # ---- cell-last (batched) fast path, if the lowering supports
             # this form (see compiler/batched.py); validated by tracing
             spaces_ = [a.space for a in (self.test, self.trial)
@@ -533,7 +521,13 @@ class FormAssembler:
              acc=None, nseg=None):
         """nseg overrides the segment count of the sorted accumulation —
         the distributed executor passes per-shard LOCAL sizes (+1 trash
-        segment for padding) while reusing this exact program."""
+        segment for padding) while reusing this exact program.
+
+        The stencil fast path applies ONLY to self-driven whole-mesh
+        runs (arg_statics None): the distributed executor passes
+        per-shard statics and must get the general gather program."""
+        if self._stencil is not None and arg_statics is None:
+            return self._run_stencil(coords_dat, coeff_dats, const_vals)
         rank = self.rank
         statics = arg_statics if arg_statics is not None \
             else self._arg_statics
@@ -549,44 +543,9 @@ class FormAssembler:
         else:
             total = jnp.zeros(self.sparsity.nnz)
         flats = []          # per-integral local values (gather-table path)
-        for ci, st in zip(self._compiled, statics):
+        for ci, st, np_st in zip(self._compiled, statics, self._statics):
+            st = self._restore_shapes(st, np_st)
             consts = tuple(const_vals[c.count] for c in ci.constants)
-            if "coords_cols" in st:
-                # ---------------- fully-flat path (compiler/flat.py):
-                # per-slot 1-D gathers -> flat elementwise quadrature ->
-                # per-slot (C,) outputs; finisher is perm+segment_sum
-                kf = ci.cell_kernel_flat()
-                ccols = tuple(coords_dat[ix] for ix in st["coords_cols"])
-                wcols = []
-                for c in ci.coefficients:
-                    cols = tuple(coeff_dats[c.count][ix]
-                                 for ix in st["coeff_cols"][c.count])
-                    sg = st.get("coeff_sign_cols", {}).get(c.count)
-                    if sg is not None:
-                        cols = tuple(w * s for w, s in zip(cols, sg))
-                    wcols.append(cols)
-                slots = kf(ccols, tuple(wcols), consts)  # ni*nj x (C,)
-                ni, nj = ci.local_shape()
-                sr = st.get("sign_row_cols")
-                sc_ = st.get("sign_col_cols")
-                if sr is not None or sc_ is not None:
-                    slots = [slots[i * nj + j]
-                             * (sr[i] if sr is not None else 1.0)
-                             * (sc_[j] if sc_ is not None else 1.0)
-                             for i in range(ni) for j in range(nj)]
-                if rank == 0:
-                    total = total + sum(jnp.sum(s) for s in slots)
-                elif acc is not None:
-                    flats.extend(slots)
-                elif rank == 1:
-                    rows_T = st["rows"].T
-                    for i in range(ni):
-                        total = total.at[rows_T[i]].add(slots[i])
-                else:
-                    pos_T = st["pos_T"]
-                    for k in range(ni * nj):
-                        total = total.at[pos_T[k]].add(slots[k])
-                continue
             if "coords_map_T" in st:
                 # ---------------- cell-last fast path (compiler/batched)
                 kb = ci.cell_kernel_batched()
@@ -706,12 +665,29 @@ class FormAssembler:
                     indices_are_sorted=True)
             else:
                 flat = jnp.concatenate([flat, jnp.zeros(1)])
-                total = flat[acc["tbl"]].sum(axis=1)
-                if "tblx" in acc:
-                    extra = flat[acc["tblx"]].sum(axis=1)
+                total = sum(flat[c] for c in acc["tbl_cols"])
+                if "tblx_cols" in acc:
+                    extra = sum(flat[c] for c in acc["tblx_cols"])
                     total = total.at[acc["rows_x"]].add(
                         extra, unique_indices=True)
         return total
+
+    def _run_stencil(self, coords_dat, coeff_dats, const_vals):
+        """Structured-mesh device program: static slices in, lax.pad
+        accumulation out — zero gathers/scatters (assembly/stencil.py)."""
+        plan = self._stencil
+        locs = [None] * plan.ntypes
+        for ci in self._compiled:
+            kb = ci.cell_kernel_batched()
+            consts = tuple(const_vals[c.count] for c in ci.constants)
+            for t in range(plan.ntypes):
+                ce, ws = plan.gather_cell_inputs(t, coords_dat, coeff_dats,
+                                                 ci)
+                loc = kb(ce, ws, consts)            # (ni, nj, C)
+                locs[t] = loc if locs[t] is None else locs[t] + loc
+        if self.rank == 2:
+            return plan.accumulate_rank2(locs)
+        return plan.accumulate_rank1(locs)
 
     # ------------------------------------------------------------- public
     def assemble(self, tensor=None):
@@ -720,8 +696,10 @@ class FormAssembler:
                       for c in self.coefficients}
         const_vals = {c.count: jnp.asarray(c.values())
                       for c in self.constants}
-        out = self._jitted(coords_dat, coeff_dats, const_vals,
-                           self._arg_statics, self._acc_args)
+        out = self._jitted(
+            coords_dat, coeff_dats, const_vals,
+            None if self._stencil is not None else self._arg_statics,
+            self._acc_args)
         return self._postprocess(out, tensor)
 
     def _postprocess(self, out, tensor):
@@ -740,8 +718,13 @@ class FormAssembler:
             f = Cofunction(self.test.space)
             f.dat = out
             return f
-        mat = Matrix(self.sparsity, out, self.test.space, self.trial.space,
-                     self.bcs)
+        if self._stencil is not None:
+            from .assembly.stencil import StencilMatrix
+            mat = StencilMatrix(self._stencil, out, self.test.space,
+                                self.trial.space, self.bcs)
+        else:
+            mat = Matrix(self.sparsity, out, self.test.space,
+                         self.trial.space, self.bcs)
         if self.bcs:
             rows = np.unique(np.concatenate(
                 [bc.dof_indices for bc in self.bcs]))
@@ -828,7 +811,9 @@ class MixedFormAssembler:
                 for j in range(self.W_trial.num_sub_spaces):
                     bf = extract_block(form, i, j)
                     if not bf.empty():
-                        self.block_assemblers[(i, j)] = FormAssembler(bf)
+                        # BlockMatrix consumers need CSR blocks
+                        self.block_assemblers[(i, j)] = FormAssembler(
+                            bf, use_stencil=False)
         elif self.rank == 1:
             for i in range(self.W_test.num_sub_spaces):
                 bf = extract_block(form, i, None)

@@ -64,53 +64,6 @@ class CompiledIntegral:
 
         return fn
 
-    def cell_kernel_flat(self):
-        """Fully-flat cell kernel: tuples of flat (C,) inputs -> list of
-        ni*nj flat (C,) slot vectors (k-major). Every device op is on
-        (C,) vectors — the layout-safe TPU shape (compiler/flat.py)."""
-        from .flat import FlatCellContext, FlatLowerer
-        mesh, deg = self.mesh, self.degree
-        g = mesh.geometric_dimension
-
-        def fn(coords_cols, coeff_cols, consts):
-            C = coords_cols[0].shape[0]
-            ndofc = len(coords_cols) // g
-            co = np.empty((ndofc, g), dtype=object)
-            for k in range(ndofc):
-                for d in range(g):
-                    co[k, d] = coords_cols[k * g + d]
-            ctx = FlatCellContext(mesh, deg, co)
-            cdat = {}
-            for c, cols in zip(self.coefficients, coeff_cols):
-                o = np.empty(len(cols), dtype=object)
-                for i, a in enumerate(cols):
-                    o[i] = a
-                cdat[c.count] = o
-            low = FlatLowerer(ctx, self.test, self.trial, cdat,
-                              {c.count: v for c, v in zip(self.constants,
-                                                          consts)})
-            v = low.run(self.integrand)      # obj (ni', nj', nq')
-            sc = ctx.scale()                 # obj (nq,)
-            ni, nj = self.local_shape()
-            nq = len(ctx.qwts)
-            out = []
-            for i in range(ni):
-                for j in range(nj):
-                    i0 = i if v.shape[0] > 1 else 0
-                    j0 = j if v.shape[1] > 1 else 0
-                    acc = None
-                    for q in range(nq):
-                        q0 = q if v.shape[2] > 1 else 0
-                        term = v[i0, j0, q0] * sc[q]
-                        acc = term if acc is None else acc + term
-                    acc = jnp.asarray(acc)
-                    if acc.ndim == 0:
-                        acc = jnp.broadcast_to(acc, (C,))
-                    out.append(acc)
-            return out
-
-        return fn
-
     def exterior_facet_kernel(self):
         mesh, deg = self.mesh, self.degree
 

@@ -33,6 +33,8 @@ class FunctionSpaceData:
     def __init__(self, mesh: Mesh, element: FiniteElement):
         self.mesh = mesh
         self.element = element
+        self.node_perm = None
+        self.grid_numbered = False
         if getattr(mesh, "is_vertex_only", False):
             # vertices ARE cells: one P0 node per vertex (reference:
             # mesh.py VertexOnlyMeshTopology — swarm points as cells)
@@ -91,6 +93,55 @@ class FunctionSpaceData:
                 off += cnt * npe
         self.num_nodes = off
         self._build_cell_node_map()
+        #: grid renumbering on structured meshes (assembly/stencil.py):
+        #: node id == gi + gj*gnx on the fine k-lattice, so higher-degree
+        #: CG assembly can use the zero-gather stencil path (the locality
+        #: role of the reference's dof reordering, firedrake/mesh.py:578)
+        self.node_perm = None
+        self.grid_numbered = False
+        self._maybe_grid_renumber()
+
+    def _maybe_grid_renumber(self):
+        import os
+        if os.environ.get("FDTPU_NO_GRID_NUMBERING") == "1":
+            return
+        mesh, elem = self.mesh, self.element
+        s = getattr(mesh, "_structured", None)
+        if s is None or getattr(elem, "family", None) != "Lagrange":
+            return
+        k = elem.degree
+        if k < 2:
+            self.grid_numbered = True       # vertex order IS grid order
+            return
+        from .assembly.stencil import grid_slot_offsets
+        offs = grid_slot_offsets(elem, s["kind"])
+        if offs is None:
+            return
+        nx, ny = s["nx"], s["ny"]
+        ntypes = len(offs)
+        old = self.cell_node_map.astype(np.int64)
+        if old.shape[0] != ntypes * nx * ny:
+            return
+        gnx, gny = k * nx + 1, k * ny + 1
+        if self.num_nodes != gnx * gny:
+            return
+        c = np.arange(old.shape[0])
+        t, q = c % ntypes, c // ntypes
+        qi, qj = q // ny, q % ny                    # x-major quad order
+        oarr = np.asarray(offs)                     # (ntypes, nd, 2)
+        oi, oj = oarr[t][:, :, 0], oarr[t][:, :, 1]
+        pred = (qi[:, None] * k + oi) + (qj[:, None] * k + oj) * gnx
+        perm = np.full(self.num_nodes, -1, dtype=np.int64)
+        perm[old.ravel()] = pred.ravel()
+        # dofs are identified by geometric node position from every cell,
+        # so the map must be a consistent bijection — verify fully
+        if (perm < 0).any() or not np.array_equal(perm[old], pred):
+            return
+        if np.unique(perm).size != self.num_nodes:
+            return
+        self.cell_node_map = pred.astype(_IDX)
+        self.node_perm = perm
+        self.grid_numbered = True
 
     def _build_cell_node_map(self):
         topo = self.mesh.topology
@@ -257,7 +308,10 @@ class FunctionSpaceData:
                 nodes.append((base[:, None] + np.arange(npe)).ravel())
         if not nodes:
             return np.zeros(0, dtype=_IDX)
-        return np.unique(np.concatenate(nodes)).astype(_IDX)
+        out = np.unique(np.concatenate(nodes))
+        if self.node_perm is not None:
+            out = np.sort(self.node_perm[out])
+        return out.astype(_IDX)
 
 
 _fsdata_cache: dict = {}

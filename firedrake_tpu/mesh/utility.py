@@ -82,6 +82,31 @@ def PeriodicUnitIntervalMesh(ncells: int, name="mesh"):
     return PeriodicIntervalMesh(ncells, 1.0, name=name)
 
 
+def _structured_cells(nx, ny, kind):
+    """Cell array of a structured grid mesh in the canonical ordering
+    (cell = ntypes*q + t, quad q = i*ny + j x-major) — shared by
+    RectangleMesh and the structured hierarchy refiner (mg/mesh.py)."""
+    def vid(i, j):
+        return i + j * (nx + 1)
+
+    I, J = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    v00 = vid(I, J).ravel()
+    v10 = vid(I + 1, J).ravel()
+    v01 = vid(I, J + 1).ravel()
+    v11 = vid(I + 1, J + 1).ravel()
+    if kind == "quad":
+        return np.stack([v00, v10, v01, v11], axis=1), "quadrilateral"
+    if kind == "tri_left":
+        t1 = np.stack([v00, v10, v01], axis=1)
+        t2 = np.stack([v10, v11, v01], axis=1)
+    else:
+        t1 = np.stack([v00, v10, v11], axis=1)
+        t2 = np.stack([v00, v11, v01], axis=1)
+    # interleave the two triangles of each grid quad: consecutive cells
+    # are spatial neighbors (gather locality + strip partitions)
+    return np.stack([t1, t2], axis=1).reshape(-1, 3), "triangle"
+
+
 def RectangleMesh(nx: int, ny: int, Lx=1.0, Ly=1.0, quadrilateral=False,
                   diagonal="left", name="mesh", originX=0.0, originY=0.0):
     xs = np.linspace(originX, originX + Lx, nx + 1)
@@ -98,16 +123,14 @@ def RectangleMesh(nx: int, ny: int, Lx=1.0, Ly=1.0, quadrilateral=False,
     v01 = vid(I, J + 1).ravel()
     v11 = vid(I + 1, J + 1).ravel()
 
+    structured = None
     if quadrilateral:
-        cells = np.stack([v00, v10, v01, v11], axis=1)
-        ct = "quadrilateral"
+        cells, ct = _structured_cells(nx, ny, "quad")
+        structured = {"nx": nx, "ny": ny, "kind": "quad"}
     else:
-        if diagonal == "left":
-            t1 = np.stack([v00, v10, v01], axis=1)
-            t2 = np.stack([v10, v11, v01], axis=1)
-        elif diagonal == "right":
-            t1 = np.stack([v00, v10, v11], axis=1)
-            t2 = np.stack([v00, v11, v01], axis=1)
+        if diagonal in ("left", "right"):
+            cells, ct = _structured_cells(nx, ny, "tri_" + diagonal)
+            structured = {"nx": nx, "ny": ny, "kind": "tri_" + diagonal}
         elif diagonal == "crossed":
             nverts = len(verts)
             centers = np.stack([(xs[:-1] + xs[1:]) / 2] * 1)
@@ -125,12 +148,13 @@ def RectangleMesh(nx: int, ny: int, Lx=1.0, Ly=1.0, quadrilateral=False,
             return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly))
         else:
             raise ValueError(f"unknown diagonal {diagonal!r}")
-        # interleave the two triangles of each grid quad: consecutive
-        # cells are spatial neighbors (gather locality + strip partitions)
-        cells = np.stack([t1, t2], axis=1).reshape(-1, 3)
-        ct = "triangle"
     topo = MeshTopology(cells, len(verts), ct, name)
-    return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly))
+    mesh = _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly))
+    # stencil fast-path metadata (assembly/stencil.py): cell c is type
+    # c % ntypes of grid quad (i, j) with i = (c//ntypes)//ny (x index),
+    # vertex id = i + j*(nx+1)
+    mesh._structured = structured
+    return mesh
 
 
 def SquareMesh(nx, ny, L, quadrilateral=False, name="mesh", **kw):

@@ -159,7 +159,102 @@ def child_reference_maps(cell_name: str):
     raise NotImplementedError(cell_name)
 
 
+def _refine_structured(mesh: Mesh):
+    """Uniform refinement of a structured RectangleMesh-family mesh that
+    PRESERVES grid numbering (mesh/utility.py conventions), so every
+    hierarchy level keeps the zero-gather stencil assembly/transfer fast
+    path (assembly/stencil.py).  Fine vertex (i, j) is the coarse vertex,
+    edge midpoint, or cell center it geometrically is, so deformed
+    coordinates refine exactly like the generic red refinement."""
+    from ..assembly.stencil import _cell_type_vertices
+    s = mesh._structured
+    nx, ny, kind = s["nx"], s["ny"], s["kind"]
+    g = mesh._vertex_coords.shape[1]
+    C = mesh._vertex_coords.reshape(ny + 1, nx + 1, g)
+    F = np.zeros((2 * ny + 1, 2 * nx + 1, g))
+    F[0::2, 0::2] = C
+    F[0::2, 1::2] = (C[:, :-1] + C[:, 1:]) / 2
+    F[1::2, 0::2] = (C[:-1] + C[1:]) / 2
+    if kind == "tri_left":          # diagonal (i+1, j) -- (i, j+1)
+        F[1::2, 1::2] = (C[:-1, 1:] + C[1:, :-1]) / 2
+    elif kind == "tri_right":       # diagonal (i, j) -- (i+1, j+1)
+        F[1::2, 1::2] = (C[:-1, :-1] + C[1:, 1:]) / 2
+    else:                           # quad cell center
+        F[1::2, 1::2] = (C[:-1, :-1] + C[:-1, 1:]
+                         + C[1:, :-1] + C[1:, 1:]) / 4
+    from ..mesh.utility import _structured_cells
+    cells, ct = _structured_cells(2 * nx, 2 * ny, kind)
+    topo = MeshTopology(cells.astype(_IDX), (2 * nx + 1) * (2 * ny + 1),
+                        ct, name=f"{mesh.name}_ref")
+    fine = Mesh(topo, F.reshape(-1, g), name=f"{mesh.name}_ref")
+    fine._structured = {"nx": 2 * nx, "ny": 2 * ny, "kind": kind}
+    if getattr(mesh, "_box_lengths", None) is not None:
+        from ..mesh.utility import _mark_box_facets
+        fine._box_lengths = mesh._box_lengths
+        _mark_box_facets(fine, mesh._box_lengths)
+    else:
+        _inherit_markers(mesh, fine)
+
+    # children: assign each fine cell of the 2x2 sub-quads to the coarse
+    # type whose quad-unit triangle contains its centroid
+    tverts = [np.asarray(v, dtype=np.float64)
+              for v in _cell_type_vertices(kind)]
+    ntypes = len(tverts)
+
+    def _centroid(t2, a, b):
+        return (np.asarray([a, b]) + tverts[t2].mean(axis=0)) / 2.0
+
+    def _contains(t, p):
+        V = tverts[t]
+        if len(V) == 4:
+            return True
+        E = np.stack([V[1] - V[0], V[2] - V[0]], axis=1)
+        lam = np.linalg.solve(E, p - V[0])
+        return lam.min() > -1e-12 and lam.sum() < 1 + 1e-12
+
+    children = {t: [] for t in range(ntypes)}      # [(t2, a, b)]
+    child_maps = {t: [] for t in range(ntypes)}    # [(A, b)] fine->coarse ref
+    for t2 in range(ntypes):
+        for a in (0, 1):
+            for b in (0, 1):
+                t = next(tt for tt in range(ntypes)
+                         if _contains(tt, _centroid(t2, a, b)))
+                children[t].append((t2, a, b))
+                Vt, Vc = tverts[t2], tverts[t]
+                if len(Vc) == 4:
+                    Ec = np.eye(2)
+                else:
+                    Ec = np.stack([Vc[1] - Vc[0], Vc[2] - Vc[0]], axis=1)
+                if len(Vt) == 4:
+                    Ef = np.eye(2)
+                else:
+                    Ef = np.stack([Vt[1] - Vt[0], Vt[2] - Vt[0]], axis=1)
+                Eci = np.linalg.inv(Ec)
+                A = Eci @ Ef / 2.0
+                bb = Eci @ ((np.asarray([a, b], dtype=np.float64)
+                             + Vt[0]) / 2.0 - Vc[0])
+                child_maps[t].append((A, bb))
+    nchild = 4
+    assert all(len(children[t]) == nchild for t in range(ntypes))
+    c = np.arange(ntypes * nx * ny)
+    t_of = c % ntypes
+    q = c // ntypes
+    I, J = q // ny, q % ny
+    c2f = np.zeros((len(c), nchild), dtype=np.int64)
+    for t in range(ntypes):
+        sel = t_of == t
+        for kchild, (t2, a, b) in enumerate(children[t]):
+            qf = (2 * I[sel] + a) * (2 * ny) + (2 * J[sel] + b)
+            c2f[sel, kchild] = ntypes * qf + t2
+    fine._coarse_mesh = mesh
+    fine._c2f_cells = c2f
+    fine._child_maps = [child_maps[t] for t in range(ntypes)]
+    return fine
+
+
 def refine_mesh(mesh: Mesh):
+    if getattr(mesh, "_structured", None) is not None:
+        return _refine_structured(mesh)
     try:
         refiner = _REFINERS[mesh.cell.name]
     except KeyError:

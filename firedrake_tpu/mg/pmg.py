@@ -81,9 +81,24 @@ class PMGPC:
     `coarsen_element`: degree k -> max(k//2, 1))."""
 
     def __init__(self, a_fine: Form, bcs, fine_space: FunctionSpace,
-                 smooth_its=3, coarsen=lambda k: max(k // 2, 1)):
+                 smooth_its=3, coarsen=lambda k: max(k // 2, 1),
+                 params=None, prefix="", appctx=None):
         from ..assemble import assemble
         from ..bcs import DirichletBC
+        # options routing (PETSc PMGPC reads its sub-options under the
+        # PC's prefix; reference preconditioners/pmg.py configure):
+        #   <prefix>pmg_mg_levels_ksp_max_it   smoothing steps
+        #   <prefix>pmg_mg_coarse_*            coarse KSP options tree
+        params = dict(params or {})
+        self._params, self._prefix = params, prefix
+        smooth_its = int(params.get(
+            prefix + "pmg_mg_levels_ksp_max_it", smooth_its))
+        sm_type = params.get(prefix + "pmg_mg_levels_ksp_type",
+                             "chebyshev")
+        if sm_type != "chebyshev":
+            import warnings
+            warnings.warn(f"pmg smoother {sm_type!r} unsupported; "
+                          "using chebyshev")
         V = fine_space
         k = V.scalar_element.degree
         degrees = [k]
@@ -116,8 +131,16 @@ class PMGPC:
                                     mask=jnp.asarray(mask),
                                     emin=0.25 * lam, emax=1.05 * lam))
         A0 = self.levels[0]["A"]
-        if jax.default_backend() == "tpu" and hasattr(A0,
-                                                      "to_dense_device"):
+        coarse_pref = prefix + "pmg_mg_coarse_"
+        if any(k.startswith(coarse_pref) for k in params):
+            from ..solvers.composition import OpCtx, build_ksp
+            V0 = self.levels[0]["V"]
+            f0 = (a_fine if V0 is V else _coarsen_degree_form(
+                a_fine, lambda _s, V0=V0: V0))
+            ctx0 = OpCtx(mat=A0, space=V0, form=f0, bcs=bcs, appctx=appctx)
+            self.coarse_solve = build_ksp(ctx0, params, coarse_pref)
+        elif jax.default_backend() == "tpu" and hasattr(A0,
+                                                        "to_dense_device"):
             # device f32 Gauss-Jordan + one f64 refinement step: no f64
             # LU on XLA:TPU, and a host readback poisons the tunnel
             # (PERF_NOTES round 2b)

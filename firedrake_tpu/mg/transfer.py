@@ -21,7 +21,11 @@ from ..functionspace import FunctionSpace
 
 
 class LevelTransfer:
-    """Transfer ops between Vc (coarse) and Vf (fine = refined mesh)."""
+    """Transfer ops between Vc (coarse) and Vf (fine = refined mesh).
+
+    Structured hierarchies carry PER-TYPE child reference maps
+    (mf._child_maps — the two triangles of each grid quad refine
+    differently); classic refinement has one type."""
 
     def __init__(self, Vc: FunctionSpace, Vf: FunctionSpace):
         self.Vc, self.Vf = Vc, Vf
@@ -30,37 +34,46 @@ class LevelTransfer:
             "fine mesh is not a refinement of the coarse mesh"
         elem = Vc.scalar_element
         assert elem == Vf.scalar_element
-        cmaps = child_reference_maps(mc.cell.name)
-        nchild = len(cmaps)
+        cmaps_by_type = getattr(mf, "_child_maps", None)
+        if cmaps_by_type is None:
+            cmaps_by_type = [child_reference_maps(mc.cell.name)]
+        ntypes = len(cmaps_by_type)
+        self.ntypes = ntypes
         nodes = elem.nodes                               # (nd, tdim)
         nd = elem.ndof
-        # prolongation tables: P[k, i_fine, j_coarse]
-        P = np.stack([elem.tabulate(nodes @ A.T + b, 0)[0]
-                      for (A, b) in cmaps])              # (nchild, nd, nd)
-        self.P = jnp.asarray(P)
-        # injection tables: for each coarse node, owning child + basis vals
-        child_of = np.zeros(nd, dtype=np.int64)
-        I = np.zeros((nd, nd))
-        for n, p in enumerate(nodes):
-            for k, (A, b) in enumerate(cmaps):
-                q = np.linalg.solve(A, p - b)
-                if mc.cell.contains_points(q[None])[0]:
-                    child_of[n] = k
-                    I[n] = elem.tabulate(q[None], 0)[0][0]
-                    break
-            else:
-                raise RuntimeError("coarse node not found in any child")
-        self.child_of = jnp.asarray(child_of)
-        self.I = jnp.asarray(I)
+        self.P = []          # per type: (nchild, nd_fine, nd_coarse)
+        self.child_of = []
+        self.I = []
+        for cmaps in cmaps_by_type:
+            P = np.stack([elem.tabulate(nodes @ A.T + b, 0)[0]
+                          for (A, b) in cmaps])          # (nchild, nd, nd)
+            self.P.append(jnp.asarray(P))
+            # injection: for each coarse node, owning child + basis vals
+            child_of = np.zeros(nd, dtype=np.int64)
+            I = np.zeros((nd, nd))
+            for n, p in enumerate(nodes):
+                for k, (A, b) in enumerate(cmaps):
+                    q = np.linalg.solve(A, p - b)
+                    if mc.cell.contains_points(q[None])[0]:
+                        child_of[n] = k
+                        I[n] = elem.tabulate(q[None], 0)[0][0]
+                        break
+                else:
+                    raise RuntimeError("coarse node not in any child")
+            self.child_of.append(jnp.asarray(child_of))
+            self.I.append(jnp.asarray(I))
 
-        c2f = mf._c2f_cells                              # (ncoarse, nchild)
+        c2f = np.asarray(mf._c2f_cells)                  # (ncoarse, nchild)
         self.c2f = c2f
-        # dof maps (scalar node maps expanded by block size)
         bs = Vc.block_size
         self.bs = bs
-        self.cmap = jnp.asarray(Vc.cell_dof_map)         # (ncoarse, nd*bs)
-        fmap = Vf.cell_dof_map                           # (nfine, nd*bs)
-        self.fmap = jnp.asarray(fmap[np.asarray(c2f)])   # (nco, nchild, nd*bs)
+        self.nd = nd
+        cmap = np.asarray(Vc.cell_dof_map)
+        fmap = np.asarray(Vf.cell_dof_map)
+        # per coarse type: coarse cells t::ntypes (cell = ntypes*q + t)
+        self.cmap_t = [jnp.asarray(cmap[t::ntypes]) for t in range(ntypes)]
+        self.fmap_t = [jnp.asarray(fmap[c2f[t::ntypes]])
+                       for t in range(ntypes)]   # (ncq, nchild, nd*bs)
         # fine dof multiplicity (for the cellwise transpose in restrict)
         mult = np.zeros(Vf.dim)
         np.add.at(mult, fmap.reshape(-1), 1.0)
@@ -68,14 +81,11 @@ class LevelTransfer:
         self._jit()
 
     def _jit(self):
-        P, I = self.P, self.I
-        bs = self.bs
-        cmap, fmap = self.cmap, self.fmap
-        child_of = self.child_of
-        nVf = self.Vf.dim
-        nVc = self.Vc.dim
+        ntypes, bs, nd = self.ntypes, self.bs, self.nd
+        P, I, child_of = self.P, self.I, self.child_of
+        cmap_t, fmap_t = self.cmap_t, self.fmap_t
+        nVf, nVc = self.Vf.dim, self.Vc.dim
         mult = self.fine_mult
-        nd = P.shape[1]
 
         def _blocked(dofs):
             # (..., nd*bs) -> (..., nd, bs)
@@ -83,33 +93,151 @@ class LevelTransfer:
 
         @jax.jit
         def prolong(cdat):
-            cd = _blocked(cdat[cmap])                    # (nc, nd, bs)
-            vals = jnp.einsum("kij,njb->nkib", P, cd)    # (nc, nchild, ndf, bs)
             out = jnp.zeros(nVf, dtype=cdat.dtype)
-            out = out.at[fmap.reshape(-1)].set(vals.reshape(-1))
+            for t in range(ntypes):
+                cd = _blocked(cdat[cmap_t[t]])           # (nc, nd, bs)
+                vals = jnp.einsum("kij,njb->nkib", P[t], cd)
+                out = out.at[fmap_t[t].reshape(-1)].set(vals.reshape(-1))
             return out
 
         @jax.jit
         def restrict_(fdual):
             fw = fdual / mult
-            fd = _blocked(fw[fmap])                      # (nc, nchild, nd, bs)
-            vals = jnp.einsum("kij,nkib->njb", P, fd)    # (nc, nd, bs)
             out = jnp.zeros(nVc, dtype=fdual.dtype)
-            out = out.at[cmap.reshape(-1)].add(vals.reshape(-1))
+            for t in range(ntypes):
+                fd = _blocked(fw[fmap_t[t]])             # (nc, k, nd, bs)
+                vals = jnp.einsum("kij,nkib->njb", P[t], fd)
+                out = out.at[cmap_t[t].reshape(-1)].add(vals.reshape(-1))
             return out
 
         @jax.jit
         def inject(fdat):
-            fd = _blocked(fdat[fmap])                    # (nc, nchild, nd, bs)
-            sel = jnp.take(fd, child_of, axis=1)         # (nc, ndc, nd, bs)
-            vals = jnp.einsum("njib,ji->njb", sel, I)    # (nc, ndc, bs)
             out = jnp.zeros(nVc, dtype=fdat.dtype)
-            out = out.at[cmap.reshape(-1)].set(vals.reshape(-1))
+            for t in range(ntypes):
+                fd = _blocked(fdat[fmap_t[t]])           # (nc, k, nd, bs)
+                sel = jnp.take(fd, child_of[t], axis=1)  # (nc, ndc, nd, bs)
+                vals = jnp.einsum("njib,ji->njb", sel, I[t])
+                out = out.at[cmap_t[t].reshape(-1)].set(vals.reshape(-1))
             return out
 
         self.prolong_fn = prolong
         self.restrict_fn = restrict_
         self.inject_fn = inject
+
+
+class StructuredTransfer:
+    """Zero-gather grid transfers for grid-numbered P1/Q1 spaces on a
+    structured hierarchy: prolong/restrict/inject are pure pad/slice
+    programs (reference role: mg/kernels.py:155 generated transfer
+    kernels; here the structure makes them stencils)."""
+
+    def __init__(self, Vc, Vf):
+        self.Vc, self.Vf = Vc, Vf
+        sc = Vc.mesh_obj._structured
+        sf = Vf.mesh_obj._structured
+        self.kind = sc["kind"]
+        self.nxc, self.nyc = sc["nx"], sc["ny"]
+        assert sf["nx"] == 2 * self.nxc and sf["ny"] == 2 * self.nyc
+        self.bs = Vc.block_size
+        self._jit()
+
+    def _jit(self):
+        gnxc, gnyc = self.nxc + 1, self.nyc + 1
+        kind, bs = self.kind, self.bs
+        nVc = gnxc * gnyc * bs
+        nVf = (2 * self.nxc + 1) * (2 * self.nyc + 1) * bs
+
+        def _planes(dat, n):
+            if bs == 1:
+                return [dat.reshape(n[0], n[1])]
+            return [dat[d::bs].reshape(n[0], n[1]) for d in range(bs)]
+
+        def _join(planes):
+            if bs == 1:
+                return planes[0].reshape(-1)
+            return jnp.stack([p.reshape(-1) for p in planes],
+                             axis=-1).reshape(-1)
+
+        zero = jnp.zeros(())
+
+        def _pro_plane(C):
+            ee = jax.lax.pad(C, zero.astype(C.dtype),
+                             ((0, 0, 1), (0, 0, 1)))
+            h = (C[:, :-1] + C[:, 1:]) / 2
+            ho = jax.lax.pad(h, zero.astype(C.dtype),
+                             ((0, 0, 1), (1, 1, 1)))
+            v = (C[:-1] + C[1:]) / 2
+            vo = jax.lax.pad(v, zero.astype(C.dtype),
+                             ((1, 1, 1), (0, 0, 1)))
+            if kind == "tri_left":
+                d = (C[:-1, 1:] + C[1:, :-1]) / 2
+            elif kind == "tri_right":
+                d = (C[:-1, :-1] + C[1:, 1:]) / 2
+            else:
+                d = (C[:-1, :-1] + C[:-1, 1:] + C[1:, :-1] + C[1:, 1:]) / 4
+            do = jax.lax.pad(d, zero.astype(C.dtype),
+                             ((1, 1, 1), (1, 1, 1)))
+            return ee + ho + vo + do
+
+        def _res_plane(F):
+            Fee = F[0::2, 0::2]
+            Fh = F[0::2, 1::2]
+            Fv = F[1::2, 0::2]
+            Fd = F[1::2, 1::2]
+            R = Fee
+            R = R + 0.5 * (jnp.pad(Fh, ((0, 0), (1, 0)))
+                           + jnp.pad(Fh, ((0, 0), (0, 1))))
+            R = R + 0.5 * (jnp.pad(Fv, ((1, 0), (0, 0)))
+                           + jnp.pad(Fv, ((0, 1), (0, 0))))
+            if kind == "tri_left":
+                # d[j,i] fed C[j, i+1] and C[j+1, i]
+                R = R + 0.5 * (jnp.pad(Fd, ((0, 1), (1, 0)))
+                               + jnp.pad(Fd, ((1, 0), (0, 1))))
+            elif kind == "tri_right":
+                R = R + 0.5 * (jnp.pad(Fd, ((0, 1), (0, 1)))
+                               + jnp.pad(Fd, ((1, 0), (1, 0))))
+            else:
+                R = R + 0.25 * (jnp.pad(Fd, ((0, 1), (0, 1)))
+                                + jnp.pad(Fd, ((0, 1), (1, 0)))
+                                + jnp.pad(Fd, ((1, 0), (0, 1)))
+                                + jnp.pad(Fd, ((1, 0), (1, 0))))
+            return R
+
+        @jax.jit
+        def prolong(cdat):
+            ps = _planes(cdat, (gnyc, gnxc))
+            return _join([_pro_plane(C) for C in ps])
+
+        @jax.jit
+        def restrict_(fdual):
+            ps = _planes(fdual, (2 * self.nyc + 1, 2 * self.nxc + 1))
+            return _join([_res_plane(F) for F in ps])
+
+        @jax.jit
+        def inject(fdat):
+            ps = _planes(fdat, (2 * self.nyc + 1, 2 * self.nxc + 1))
+            return _join([F[0::2, 0::2] for F in ps])
+
+        self.prolong_fn = prolong
+        self.restrict_fn = restrict_
+        self.inject_fn = inject
+
+
+def _structured_ok(Vc, Vf):
+    mc, mf = Vc.mesh_obj, Vf.mesh_obj
+    sc = getattr(mc, "_structured", None)
+    sf = getattr(mf, "_structured", None)
+    if sc is None or sf is None or getattr(mf, "_coarse_mesh", None) \
+            is not mc:
+        return False
+    if sf["nx"] != 2 * sc["nx"] or sf["ny"] != 2 * sc["ny"]:
+        return False
+    ec = Vc.scalar_element
+    if getattr(ec, "family", None) != "Lagrange" or ec.degree != 1:
+        return False
+    return (getattr(Vc.sdata, "grid_numbered", False)
+            and getattr(Vf.sdata, "grid_numbered", False)
+            and ec == Vf.scalar_element)
 
 
 _transfer_cache = {}
@@ -118,7 +246,10 @@ _transfer_cache = {}
 def get_transfer(Vc, Vf) -> LevelTransfer:
     key = (id(Vc.mesh_obj), id(Vf.mesh_obj), hash(Vc.element))
     if key not in _transfer_cache:
-        _transfer_cache[key] = LevelTransfer(Vc, Vf)
+        if _structured_ok(Vc, Vf):
+            _transfer_cache[key] = StructuredTransfer(Vc, Vf)
+        else:
+            _transfer_cache[key] = LevelTransfer(Vc, Vf)
     return _transfer_cache[key]
 
 

@@ -52,11 +52,14 @@ class DistributedForm:
     def __init__(self, form, mpart: MeshPartition, parts: dict):
         from ..assemble import FormAssembler
         # the batched (cell-last) layout is not localization-aware;
-        # flat + cell-major cover everything
+        # flat + cell-major cover everything.  use_stencil=False:
+        # the stencil fast path would DEFER the statics build past this
+        # env guard (and the localizer always drives _run with explicit
+        # shard statics anyway)
         old = os.environ.get("FDTPU_NO_BATCHED")
         os.environ["FDTPU_NO_BATCHED"] = "1"
         try:
-            self.asm = FormAssembler(form)
+            self.asm = FormAssembler(form, use_stencil=False)
         finally:
             if old is None:
                 os.environ.pop("FDTPU_NO_BATCHED", None)

@@ -116,10 +116,11 @@ class EllMatrix:
         kmax = max(int(counts.max()), 1)
         cols = np.zeros((nrows, kmax), dtype=np.int64)
         data = np.zeros((nrows, kmax))
-        for r in range(nrows):
-            lo, hi = csr.indptr[r], csr.indptr[r + 1]
-            cols[r, :hi - lo] = csr.indices[lo:hi]
-            data[r, :hi - lo] = csr.data[lo:hi]
+        # vectorized ELL fill (no per-row host loop)
+        rows = np.repeat(np.arange(nrows), counts)
+        within = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+        cols[rows, within] = csr.indices
+        data[rows, within] = csr.data
         self._cols = jnp.asarray(cols)
         self._data = jnp.asarray(data)
         self._csr = csr
@@ -282,7 +283,10 @@ def _pc_mg(ctx, params, prefix):
 
 def _pc_pmg(ctx, params, prefix):
     from ..mg.pmg import PMGPC
-    return PMGPC(ctx.form, ctx.bcs, ctx.space)
+    if ctx.form is None or ctx.space is None:
+        raise ValueError("pc_type 'pmg' needs the bilinear form + space")
+    return PMGPC(ctx.form, ctx.bcs, ctx.space, params=params,
+                 prefix=prefix, appctx=ctx.appctx)
 
 
 def _pc_patch(ctx, params, prefix):

@@ -52,9 +52,26 @@ def make_pc(pc_type: str, A=None, params=None):
 
 def direct_solve(A, b):
     """Host-side sparse LU (the PETSc `-pc_type lu` + MUMPS role for
-    moderate sizes; a batched device direct solver is future work)."""
-    from scipy.sparse.linalg import spsolve
-    x = spsolve(A.to_scipy().tocsc(), np.asarray(b))
+    moderate sizes; a batched device direct solver is future work).
+
+    Consistent-singular systems (e.g. enclosed-flow Stokes whose
+    pressure is defined up to a constant and no nullspace was given)
+    fall back to a minimum-norm least-squares solve instead of
+    returning NaNs — pivot order decides whether SuperLU notices the
+    singularity, so this must not depend on dof numbering."""
+    import warnings
+    from scipy.sparse.linalg import spsolve, lsqr
+    Asp = A.to_scipy().tocsc()
+    bh = np.asarray(b)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        x = spsolve(Asp, bh)
+    if not np.all(np.isfinite(x)):
+        if Asp.shape[0] <= 5000:
+            x, *_ = np.linalg.lstsq(Asp.toarray(), bh, rcond=None)
+        else:
+            x = lsqr(Asp, bh, atol=1e-14, btol=1e-14,
+                     iter_lim=20 * Asp.shape[0])[0]
     return jnp.asarray(x)
 
 
