@@ -1,19 +1,19 @@
 """Benchmarks on the default JAX backend (TPU under the driver).
 
 Prints ONE JSON line (the driver contract): P1 Poisson matrix-assembly
-throughput.  The full BASELINE.json metric set (P2 assembly, SpMV
-GFLOP/s, CG+GMG solve time) is measured too, written to
+throughput at 1024^2 (1.05M dofs) through the structured-mesh stencil
+path (assembly/stencil.py — zero gathers).  The full metric set (P2
+assembly, stencil SpMV, CG+GMG solves at 66k and 1M dofs, and the
+general gather path for unstructured parity) goes to
 BENCH_DETAILS.json.
 
 Methodology (PERF_NOTES.md round 2b): through the axon tunnel,
 `block_until_ready` can return before the remote work completes, so
 every timed call FORCES materialization by reading one scalar of the
 result back.  Work is repeated ON DEVICE via lax.fori_loop with a
-non-factorable carry->input dependency (a pure coordinate scale is
-algebraically transparent to XLA and gets hoisted); differencing a
-1-rep call against an R-rep call cancels the constant dispatch +
-readback overhead.  Rep counts are chosen to stay under the ~60 s
-remote execution watchdog.
+non-factorable carry->input dependency; differencing a 1-rep call
+against an R-rep call cancels the constant dispatch + readback
+overhead.  Rep counts stay under the ~60 s remote execution watchdog.
 
 Baseline: the reference publishes no numbers (BASELINE.md); Firedrake-
 class CPU assembly is memory-bandwidth-bound at roughly 1e7 assembled
@@ -43,55 +43,65 @@ def _setup():
     return jax
 
 
-def _per_rep(call):
+def _per_rep(call, budget=20.0):
     """Per-repetition seconds from a forced-materialized (1, R) pair,
     R sized from the 1-rep wall to stay under the execution watchdog."""
     call(1)                             # warm (compile + sync path)
     t0 = time.perf_counter()
     call(1)
     base = time.perf_counter() - t0
-    R = max(8, min(5000, int(20.0 / max(base, 4e-3))))
+    R = max(4, min(5000, int(budget / max(base, 4e-3))))
     t0 = time.perf_counter()
     call(R + 1)
     tR = time.perf_counter() - t0
     return max(tR - base, 1e-9) / R, R
 
 
-def _assembly_bench(jax, n, degree):
+def _assembly_bench(jax, n, degree, stencil=True):
     """On-device repeated matrix assembly; returns dofs/s."""
+    import os
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                UnitSquareMesh, inner, grad, dx)
-    from firedrake_tpu.assemble import get_assembler
+    from firedrake_tpu.assemble import FormAssembler
 
-    mesh = UnitSquareMesh(n, n)
-    V = FunctionSpace(mesh, "CG", degree)
-    u, v = TrialFunction(V), TestFunction(V)
-    asm = get_assembler(inner(grad(u), grad(v)) * dx)
+    if not stencil:
+        os.environ["FDTPU_NO_STENCIL"] = "1"
+    try:
+        mesh = UnitSquareMesh(n, n)
+        V = FunctionSpace(mesh, "CG", degree)
+        u, v = TrialFunction(V), TestFunction(V)
+        asm = FormAssembler(inner(grad(u), grad(v)) * dx + u * v * dx)
+    finally:
+        os.environ.pop("FDTPU_NO_STENCIL", None)
+    used_stencil = asm._stencil is not None
     coords = jnp.asarray(mesh.coordinates.dat)
-    statics, acc = asm._arg_statics, asm._acc_args
+    ncd = coords.shape[0]
+    st = None if used_stencil else asm._arg_statics
+    ac = None if used_stencil else asm._acc_args
 
     @jax.jit
-    def run(r, c0, cds, st, ac):
-        nc = cds.shape[0]
-
+    def run(r, c0, cds):
         def body(i, carry):
-            c = cds + 1e-20 * carry[:nc]
+            c = cds + 1e-20 * carry.reshape(-1)[:ncd]
             return asm._run(c, {}, {}, arg_statics=st, acc=ac)
-        out = jax.lax.fori_loop(0, r, body, c0)
-        return out[0]
+        return jax.lax.fori_loop(0, r, body, c0)
 
-    z = jnp.zeros(asm.sparsity.nnz)
+    spec = jax.eval_shape(
+        lambda c: asm._run(c, {}, {}, arg_statics=st, acc=ac), coords)
+    z = jnp.zeros(spec.shape, spec.dtype)
 
     def call(r):
-        return float(run(r, z, coords, statics, acc))
+        return float(run(r, z, coords).reshape(-1)[0])
 
     dt, R = _per_rep(call)
-    return V.dim / dt, V.dim, dt, R
+    return dict(dofs=V.dim, sec_per_assembly=dt,
+                dofs_per_sec=V.dim / dt, reps=R, stencil=used_stencil)
 
 
 def _matvec_bench(jax, n, degree=1):
-    """SpMV GFLOP/s (ELL form; 2 flops per stored nonzero)."""
+    """SpMV GFLOP/s (2 flops per CSR-pattern nonzero; the stencil form
+    is counted by its CSR-equivalent nnz, not padded channel slots)."""
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                UnitSquareMesh, inner, grad, dx, assemble)
@@ -107,20 +117,22 @@ def _matvec_bench(jax, n, degree=1):
     def run(r, x0):
         def body(i, xc):
             return mv(xc) * (1.0 / (1.0 + 1e-9))
-        return jax.lax.fori_loop(0, r, body, x0)[0]
+        return jax.lax.fori_loop(0, r, body, x0)
 
     def call(r):
-        return float(run(r, x))
+        return float(run(r, x)[0])
 
     dt, R = _per_rep(call)
-    nnz = int(A.sparsity.nnz)
-    return 2.0 * nnz / dt / 1e9, V.dim, dt, R
+    nnz = int(A.nnz if hasattr(A, "nnz") else A.sparsity.nnz)
+    return dict(dofs=V.dim, sec_per_matvec=dt,
+                gflops=2.0 * nnz / dt / 1e9, nnz=nnz, reps=R,
+                stencil=type(A).__name__ == "StencilMatrix")
 
 
 def _solve_bench(jax, nbase, levels, degree):
-    """CG+GMG solve wall time at the KSP level — setup is d2h-free
-    (device Chebyshev bounds + device coarse inverse; PERF_NOTES 2b);
-    the timed call is forced-materialized via one scalar read."""
+    """CG+GMG solve wall time at the KSP level on a structured hierarchy
+    (stencil operators + stencil transfers); the timed call is
+    forced-materialized via one scalar read."""
     import math
     import numpy as np
     import jax.numpy as jnp
@@ -146,28 +158,21 @@ def _solve_bench(jax, nbase, levels, degree):
     mask = np.ones(V.dim)
     mask[bc_idx] = 0.0
     b = jnp.asarray(assemble(L).dat) * jnp.asarray(mask)
-    # chebyshev coarse solve: the Pallas Gauss-Jordan inverse inside
-    # the nested CG+V-cycle program crashes the remote compile helper
-    # (SIGABRT); a 30-step Chebyshev coarse sweep is PC-grade accurate
-    pc = GMGPreconditioner(a, [bc], V, params={
-        "mg_coarse_ksp_type": "chebyshev",
-        "mg_coarse_ksp_max_it": 30,
-        "mg_coarse_ksp_rtol": 0.0,
-        "mg_coarse_pc_type": "jacobi"})
+    pc = GMGPreconditioner(a, [bc], V)
     params = {"ksp_type": "cg", "ksp_rtol": 1e-10}
-    res = _run_ksp(A.matvec, b, params, pc=pc)       # warm + compile
+    # ONE jitted whole-solve program (PETSc re-runs KSPSolve without
+    # re-setup; retracing the while-loop per call would time Python)
+    solver = jax.jit(lambda bb: _run_ksp(A.matvec, bb, params, pc=pc))
+    res = solver(b)                                  # warm + compile
     float(res.x[0])
     t0 = time.perf_counter()
-    res = _run_ksp(A.matvec, b, params, pc=pc)
+    res = solver(b)
     float(res.x[0])
     dt = time.perf_counter() - t0
-    return dt, V.dim, int(res.iterations)
+    return dict(dofs=V.dim, seconds=dt, iterations=int(res.iterations))
 
 
 def _free_device():
-    """Drop cached assemblers (their statics hold multi-GB tile-padded
-    device mirrors: a (C, 3) int32 map pads its minor dim 3 -> 128) so
-    each metric starts with a clean HBM."""
     import gc
     from firedrake_tpu.assemble import _assembler_cache
     _assembler_cache.clear()
@@ -178,40 +183,32 @@ def main():
     jax = _setup()
     details = {}
 
-    val, dofs, dt, R = _assembly_bench(jax, 512, 1)
-    details["p1_assembly_512"] = {
-        "dofs": dofs, "sec_per_assembly": dt, "dofs_per_sec": val,
-        "reps": R}
-    headline = val
-    _free_device()
+    def metric(name, fn, *args, **kw):
+        try:
+            details[name] = fn(jax, *args, **kw)
+        except Exception as e:       # noqa: BLE001 — record and continue
+            details[name] = {"error": str(e)[:200]}
+        print(name, "->", json.dumps(details[name]), file=sys.stderr,
+              flush=True)
+        _free_device()
 
-    try:
-        v2, d2, t2, R2 = _assembly_bench(jax, 256, 2)
-        details["p2_assembly_256"] = {
-            "dofs": d2, "sec_per_assembly": t2, "dofs_per_sec": v2,
-            "reps": R2}
-    except Exception as e:       # noqa: BLE001 — record and continue
-        details["p2_assembly_256"] = {"error": str(e)[:200]}
-    _free_device()
-
-    try:
-        gf, d3, t3, R3 = _matvec_bench(jax, 512)
-        details["spmv_512"] = {
-            "dofs": d3, "sec_per_matvec": t3, "gflops": gf, "reps": R3}
-    except Exception as e:
-        details["spmv_512"] = {"error": str(e)[:200]}
-    _free_device()
-
-    try:
-        dt4, d4, its = _solve_bench(jax, 32, 3, 1)
-        details["cg_gmg_solve_p1"] = {"dofs": d4, "seconds": dt4,
-                                      "iterations": its}
-    except Exception as e:
-        details["cg_gmg_solve_p1"] = {"error": str(e)[:200]}
+    metric("p1_assembly_1024", _assembly_bench, 1024, 1)
+    metric("p1_assembly_512", _assembly_bench, 512, 1)
+    metric("p2_assembly_512", _assembly_bench, 512, 2)
+    metric("p1_assembly_gather_512", _assembly_bench, 512, 1,
+           stencil=False)
+    metric("spmv_1024", _matvec_bench, 1024)
+    metric("cg_gmg_solve_66k", _solve_bench, 32, 3, 1)
+    metric("cg_gmg_solve_1m", _solve_bench, 32, 5, 1)
 
     with open("/root/repo/BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)
-    print(json.dumps(details, indent=1), file=sys.stderr)
+
+    head = details.get("p1_assembly_1024", {})
+    headline = head.get("dofs_per_sec")
+    if headline is None:
+        headline = details.get("p1_assembly_512", {}).get(
+            "dofs_per_sec", 0.0)
 
     print(json.dumps({
         "metric": "p1_poisson_assembly_throughput",

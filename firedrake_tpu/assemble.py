@@ -67,10 +67,16 @@ class FormAssembler:
         # the whole Sparsity) are built lazily only if a consumer (the
         # distributed executor) asks for them.
         self._stencil = None
+        self._column = None
         if use_stencil and self.rank in (1, 2):
             from .assembly.stencil import build_stencil_plan
             self._stencil = build_stencil_plan(self)
-        if self._stencil is not None:
+            if self._stencil is None:
+                # extruded column fast path (assembly/columns.py): row
+                # gathers of whole dof columns + strided z-slices
+                from .assembly.columns import build_column_plan
+                self._column = build_column_plan(self)
+        if self._stencil is not None or self._column is not None:
             self._statics_list = None
             self._acc_args = None
             self._arg_statics = []
@@ -528,6 +534,8 @@ class FormAssembler:
         per-shard statics and must get the general gather program."""
         if self._stencil is not None and arg_statics is None:
             return self._run_stencil(coords_dat, coeff_dats, const_vals)
+        if self._column is not None and arg_statics is None:
+            return self._run_column(coords_dat, coeff_dats, const_vals)
         rank = self.rank
         statics = arg_statics if arg_statics is not None \
             else self._arg_statics
@@ -672,6 +680,21 @@ class FormAssembler:
                         extra, unique_indices=True)
         return total
 
+    def _run_column(self, coords_dat, coeff_dats, const_vals):
+        """Extruded-mesh device program: column row gathers + strided
+        z-slices in, row scatters out (assembly/columns.py)."""
+        plan = self._column
+        loc = None
+        for ci in self._compiled:
+            kb = ci.cell_kernel_batched()
+            consts = tuple(const_vals[c.count] for c in ci.constants)
+            ce, ws = plan.gather_cell_inputs(coords_dat, coeff_dats, ci)
+            li = kb(ce, ws, consts)                 # (ni, nj, C)
+            loc = li if loc is None else loc + li
+        if self.rank == 2:
+            return plan.accumulate_rank2(loc)
+        return plan.accumulate_rank1(loc)
+
     def _run_stencil(self, coords_dat, coeff_dats, const_vals):
         """Structured-mesh device program: static slices in, lax.pad
         accumulation out — zero gathers/scatters (assembly/stencil.py)."""
@@ -698,7 +721,8 @@ class FormAssembler:
                       for c in self.constants}
         out = self._jitted(
             coords_dat, coeff_dats, const_vals,
-            None if self._stencil is not None else self._arg_statics,
+            None if (self._stencil is not None
+                     or self._column is not None) else self._arg_statics,
             self._acc_args)
         return self._postprocess(out, tensor)
 
@@ -722,6 +746,10 @@ class FormAssembler:
             from .assembly.stencil import StencilMatrix
             mat = StencilMatrix(self._stencil, out, self.test.space,
                                 self.trial.space, self.bcs)
+        elif self._column is not None:
+            from .assembly.columns import ColumnMatrix
+            mat = ColumnMatrix(self._column, out, self.test.space,
+                               self.trial.space, self.bcs)
         else:
             mat = Matrix(self.sparsity, out, self.test.space,
                          self.trial.space, self.bcs)

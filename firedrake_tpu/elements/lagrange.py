@@ -175,7 +175,18 @@ class Lagrange(FiniteElement):
                     free = [ax for ax, w in enumerate(onwall) if w is None]
                     edim = len(free)
                     eid = self._tp_entity_id(onwall, free)
-                    key = tuple(mi[ax] for ax in free)
+                    if 0 < edim < d:
+                        # one weight per listed entity vertex (the tensor
+                        # analogue of barycentric keys) so orientation
+                        # permutations act by re-indexing components
+                        everts = cell.topology[edim][eid]
+                        key = tuple(
+                            int(np.prod([(k - mi[ax])
+                                         if cell.vertices[v][ax] < 0.5
+                                         else mi[ax] for ax in free]))
+                            for v in everts)
+                    else:
+                        key = tuple(mi[ax] for ax in free)
                     nodes.append(pt)
                     assoc.append((edim, eid, key))
         else:
@@ -326,6 +337,12 @@ class Lagrange(FiniteElement):
         for k in range(n):
             kk = keys[k]
             ck = tuple(kk[sigma[j]] for j in range(nv))
+            if ck not in canon_keys:
+                # geometrically unrealizable vertex permutation (e.g. a
+                # non-dihedral element of S4 on a quad face): the
+                # orientation table is built for all |S_nv| entries but
+                # meshes only index realizable ones
+                return np.arange(n, dtype=np.int32)
             p[k] = canon_keys[ck]
         return p
 

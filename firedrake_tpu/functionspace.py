@@ -100,6 +100,60 @@ class FunctionSpaceData:
         self.node_perm = None
         self.grid_numbered = False
         self._maybe_grid_renumber()
+        #: column renumbering on extruded meshes (assembly/columns.py):
+        #: node id == base_node * Hd + z, the O(base) column metadata of
+        #: the reference (extrusion_numbering.pyx:222) — makes the layer
+        #: axis a dense strided slice for the TPU fast path (SURVEY §5.7)
+        self.column = None
+        self.column_numbered = False
+        self._maybe_column_renumber()
+
+    def _maybe_column_renumber(self):
+        import os
+        if os.environ.get("FDTPU_NO_COLUMN_NUMBERING") == "1":
+            return
+        mesh, elem = self.mesh, self.element
+        if not getattr(mesh, "_extruded", False):
+            return
+        if getattr(elem, "family", None) != "Lagrange":
+            return
+        base = mesh._base_mesh
+        nlay = int(mesh._layers)
+        k = elem.degree
+        from .elements.lagrange import make_scalar_element
+        from .assembly.columns import column_factorization, ColumnLayout
+        try:
+            base_elem = make_scalar_element(base.cell.name, elem.family, k)
+        except Exception:
+            return
+        fac = column_factorization(elem, base_elem, k)
+        if fac is None:
+            return
+        sb, sz = fac
+        base_sdata = get_shared_data(base, base_elem)
+        Hd = k * nlay + 1
+        if self.num_nodes != base_sdata.num_nodes * Hd:
+            return
+        old = self.cell_node_map.astype(np.int64)
+        ncell_b = base_sdata.cell_node_map.shape[0]
+        if old.shape[0] != ncell_b * nlay:
+            return
+        bmap = base_sdata.cell_node_map.astype(np.int64)
+        c = np.arange(old.shape[0])
+        b, l = c // nlay, c % nlay               # cell id = b*nlay + l
+        pred = bmap[b][:, sb] * Hd + (l[:, None] * k + sz[None, :])
+        perm = np.full(self.num_nodes, -1, dtype=np.int64)
+        perm[old.ravel()] = pred.ravel()
+        # dofs are identified geometrically from every adjacent cell, so
+        # the old->new map must be a consistent bijection — verify fully
+        if (perm < 0).any() or not np.array_equal(perm[old], pred):
+            return
+        if np.unique(perm).size != self.num_nodes:
+            return
+        self.cell_node_map = pred.astype(_IDX)
+        self.node_perm = perm
+        self.column = ColumnLayout(base_sdata, sb, sz, k, nlay)
+        self.column_numbered = True
 
     def _maybe_grid_renumber(self):
         import os

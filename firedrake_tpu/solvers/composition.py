@@ -233,14 +233,14 @@ def _pc_lu(ctx, params, prefix):
     if n <= limit:
         if jax.default_backend() == "tpu" and hasattr(ctx.mat,
                                                       "to_dense_device"):
-            # device-side inverse: XLA:TPU has no f64 LU and the Pallas
-            # Gauss-Jordan is f32-only, but one f64 iterative-refinement
-            # step (flat-CSR matvec residual) restores coarse-solve
-            # accuracy; a host round-trip would poison the tunnel
-            # (PERF_NOTES round 2b)
-            from ..ops.batched_inverse import batched_inv
+            # device-side inverse: XLA:TPU has no f64 LU, but f32
+            # jnp.linalg.inv lowers natively (the Pallas Gauss-Jordan
+            # SIGABRTs the remote compile helper when nested inside
+            # while-loop programs — PERF_NOTES round 3); one f64
+            # iterative-refinement step restores coarse-solve accuracy;
+            # a host round-trip would poison the tunnel (round 2b)
             dense32 = ctx.mat.to_dense_device().astype(jnp.float32)
-            Ainv32 = batched_inv(dense32[None])[0]
+            Ainv32 = jnp.linalg.inv(dense32)
             mv = ctx.mat.matvec
 
             def pc(r):

@@ -54,7 +54,7 @@ def assembly_bench(n, degree=1, stencil=True):
     coords = jnp.asarray(mesh.coordinates.dat)
     ncd = coords.shape[0]
     if used_stencil:
-        st, ac = [], None
+        st, ac = None, None
     else:
         st, ac = asm._arg_statics, asm._acc_args
 
@@ -133,10 +133,11 @@ def solve_bench(nbase, levels, degree=1):
     b = jnp.asarray(assemble(L).dat) * jnp.asarray(mask)
     pc = GMGPreconditioner(a, [bc], V)
     params = {"ksp_type": "cg", "ksp_rtol": 1e-10}
-    res = _run_ksp(A.matvec, b, params, pc=pc)       # warm + compile
+    solver = jax.jit(lambda bb: _run_ksp(A.matvec, bb, params, pc=pc))
+    res = solver(b)                                  # warm + compile
     float(res.x[0])
     t0 = time.perf_counter()
-    res = _run_ksp(A.matvec, b, params, pc=pc)
+    res = solver(b)
     float(res.x[0])
     dt = time.perf_counter() - t0
     return dict(dofs=V.dim, seconds=dt, iterations=int(res.iterations),
