@@ -60,7 +60,9 @@ from .utils.ux import ProgressBar, Citations
 from .adapt import refine_marked, adapt
 from .language.external import point_expr, PointwiseOperator
 from .supermesh import assemble_mixed_mass_matrix
-from .mg.mesh import MeshHierarchy, HierarchyBase
+from .mg.mesh import (MeshHierarchy, HierarchyBase,
+                      ExtrudedMeshHierarchy,
+                      SemiCoarsenedExtrudedHierarchy)
 from .mg.transfer import prolong, restrict, inject, TransferManager
 from .solvers.pcs import (PCBase, AssembledPC, AuxiliaryOperatorPC,
                           MassInvPC, PCDPC)
@@ -111,6 +113,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "LinearVariationalProblem", "LinearVariationalSolver",
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
-    "MeshHierarchy", "HierarchyBase", "prolong", "restrict", "inject",
+    "MeshHierarchy", "HierarchyBase", "ExtrudedMeshHierarchy",
+    "SemiCoarsenedExtrudedHierarchy", "prolong", "restrict", "inject",
     "TransferManager",
 ])

@@ -16,7 +16,8 @@ import numpy as np
 from ..mesh.topology import MeshTopology, _IDX
 from ..mesh.geometry import Mesh
 
-__all__ = ["MeshHierarchy", "HierarchyBase", "refine_mesh"]
+__all__ = ["MeshHierarchy", "HierarchyBase", "refine_mesh",
+           "ExtrudedMeshHierarchy", "SemiCoarsenedExtrudedHierarchy"]
 
 
 def _refine_triangle(mesh: Mesh):
@@ -340,4 +341,89 @@ def MeshHierarchy(mesh: Mesh, refinement_levels: int, **kwargs):
     meshes = [mesh]
     for _ in range(refinement_levels):
         meshes.append(refine_mesh(meshes[-1]))
+    return HierarchyBase(meshes)
+
+
+# ------------------------------------------------------------- extruded
+def _link_extruded_levels(mc, mf, nlc, nlf):
+    """Attach coarse->fine cell maps + child reference maps between two
+    extruded levels (horizontal children x vertical sub-layers).
+    Reference: firedrake/mg/mesh.py:320 ExtrudedMeshHierarchy builds the
+    extruded levels from the base hierarchy's DMPlex refinements."""
+    bc_mesh, bf_mesh = mc._base_mesh, mf._base_mesh
+    rz = nlf // nlc
+    assert rz * nlc == nlf, "fine layers must be a multiple of coarse"
+    d = mc.geometric_dimension
+    if bf_mesh is bc_mesh:                      # semi-coarsened: z only
+        b_c2f = np.arange(bc_mesh.num_cells, dtype=np.int64)[:, None]
+        bcm = [[(np.eye(d - 1), np.zeros(d - 1))]]
+        btype_of = np.zeros(bc_mesh.num_cells, dtype=np.int64)
+    else:
+        assert getattr(bf_mesh, "_coarse_mesh", None) is bc_mesh, \
+            "base meshes are not consecutive hierarchy levels"
+        b_c2f = np.asarray(bf_mesh._c2f_cells, dtype=np.int64)
+        bcm = getattr(bf_mesh, "_child_maps", None)
+        if bcm is None:
+            bcm = [child_reference_maps(bc_mesh.cell.name)]
+        ntypes_b = len(bcm)
+        btype_of = np.arange(bc_mesh.num_cells) % ntypes_b
+    ncb, nchild_b = b_c2f.shape
+    lc = np.arange(nlc, dtype=np.int64)
+    jz = np.arange(rz, dtype=np.int64)
+    # coarse extruded cell (b, l) = b*nlc + l; fine child (bf, rz*l + j)
+    c2f = (b_c2f[:, None, :, None] * nlf
+           + lc[None, :, None, None] * rz + jz[None, None, None, :])
+    mf._coarse_mesh = mc
+    mf._c2f_cells = c2f.reshape(ncb * nlc, nchild_b * rz)
+    # child maps: X_coarse = blkdiag(A_b, 1/rz) @ X_fine + (b_b, j/rz)
+    cmaps = []
+    for maps_t in bcm:
+        mt = []
+        for (Ab, bb) in maps_t:
+            for j in range(rz):
+                A = np.zeros((d, d))
+                A[:d - 1, :d - 1] = Ab
+                A[d - 1, d - 1] = 1.0 / rz
+                b = np.append(np.asarray(bb, dtype=float), j / rz)
+                mt.append((A, b))
+        cmaps.append(mt)
+    mf._child_maps = cmaps
+    # extruded cell ordering is column-major, not type-interleaved
+    mf._c2f_type_of = np.repeat(btype_of, nlc)
+
+
+def ExtrudedMeshHierarchy(base_hierarchy, height=1.0, base_layer=None,
+                          refinement_ratio=2, layers=None, **kwargs):
+    """Hierarchy of extruded meshes over a base hierarchy: horizontal
+    refinement from the base levels, vertical refinement by
+    ``refinement_ratio`` starting at ``base_layer`` (or a constant
+    ``layers`` on every level).  Reference: firedrake/mg/mesh.py:320."""
+    from ..mesh.utility import ExtrudedMesh
+    bms = list(base_hierarchy.meshes)
+    if layers is not None:
+        lays = [int(layers)] * len(bms)
+    else:
+        if base_layer is None:
+            raise ValueError("give either layers= or base_layer=")
+        lays = [int(base_layer) * int(refinement_ratio) ** l
+                for l in range(len(bms))]
+    meshes = [ExtrudedMesh(bm, nl, layer_height=height / nl)
+              for bm, nl in zip(bms, lays)]
+    for mc, mf, nlc, nlf in zip(meshes, meshes[1:], lays, lays[1:]):
+        _link_extruded_levels(mc, mf, nlc, nlf)
+    return HierarchyBase(meshes)
+
+
+def SemiCoarsenedExtrudedHierarchy(base_mesh, height=1.0, nref=1,
+                                   base_layer=1, refinement_ratio=2,
+                                   **kwargs):
+    """Hierarchy refined ONLY in the extruded direction (same base mesh
+    on every level).  Reference: firedrake/mg/mesh.py:404."""
+    from ..mesh.utility import ExtrudedMesh
+    lays = [int(base_layer) * int(refinement_ratio) ** l
+            for l in range(nref + 1)]
+    meshes = [ExtrudedMesh(base_mesh, nl, layer_height=height / nl)
+              for nl in lays]
+    for mc, mf, nlc, nlf in zip(meshes, meshes[1:], lays, lays[1:]):
+        _link_extruded_levels(mc, mf, nlc, nlf)
     return HierarchyBase(meshes)

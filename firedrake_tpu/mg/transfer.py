@@ -70,9 +70,15 @@ class LevelTransfer:
         self.nd = nd
         cmap = np.asarray(Vc.cell_dof_map)
         fmap = np.asarray(Vf.cell_dof_map)
-        # per coarse type: coarse cells t::ntypes (cell = ntypes*q + t)
-        self.cmap_t = [jnp.asarray(cmap[t::ntypes]) for t in range(ntypes)]
-        self.fmap_t = [jnp.asarray(fmap[c2f[t::ntypes]])
+        # per coarse type: default ordering interleaves (cell=ntypes*q+t);
+        # extruded hierarchies order cells column-major and carry an
+        # explicit coarse-cell -> type map instead
+        type_of = getattr(mf, "_c2f_type_of", None)
+        if type_of is None:
+            type_of = np.arange(c2f.shape[0]) % ntypes
+        self.cmap_t = [jnp.asarray(cmap[type_of == t])
+                       for t in range(ntypes)]
+        self.fmap_t = [jnp.asarray(fmap[c2f[type_of == t]])
                        for t in range(ntypes)]   # (ncq, nchild, nd*bs)
         # fine dof multiplicity (for the cellwise transpose in restrict)
         mult = np.zeros(Vf.dim)

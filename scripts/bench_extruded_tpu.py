@@ -74,16 +74,17 @@ def form_bench(cell, n, nlay, degree=1, column=True, rank=2):
     ncd = coords.shape[0]
     st = None if used else asm._arg_statics
     ac = None if used else asm._acc_args
+    cv = {c.count: jnp.asarray(c.values()) for c in asm.constants}
 
     @jax.jit
     def run(r, c0, cds):
         def body(i, carry):
             c = cds + 1e-20 * carry.reshape(-1)[:ncd]
-            return asm._run(c, {}, {}, arg_statics=st, acc=ac)
+            return asm._run(c, {}, cv, arg_statics=st, acc=ac)
         return jax.lax.fori_loop(0, r, body, c0)
 
     spec = jax.eval_shape(
-        lambda c: asm._run(c, {}, {}, arg_statics=st, acc=ac), coords)
+        lambda c: asm._run(c, {}, cv, arg_statics=st, acc=ac), coords)
     z = jnp.zeros(spec.shape, spec.dtype)
 
     def call(r):
