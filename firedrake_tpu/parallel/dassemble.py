@@ -49,7 +49,8 @@ class DistributedForm:
     loops can fuse them); for rank 0 a per-shard partial sum.
     """
 
-    def __init__(self, form, mpart: MeshPartition, parts: dict):
+    def __init__(self, form, mpart: MeshPartition, parts: dict,
+                 diag=False):
         from ..assemble import FormAssembler
         # the batched (cell-last) layout is not localization-aware;
         # flat + cell-major cover everything.  use_stencil=False:
@@ -65,12 +66,16 @@ class DistributedForm:
                 os.environ.pop("FDTPU_NO_BATCHED", None)
             else:
                 os.environ["FDTPU_NO_BATCHED"] = old
-        if self.asm.rank != 1:
+        #: diag mode: a rank-2 form whose DIAGONAL is accumulated with
+        #: the rank-1 machinery (off-diagonal local entries route to the
+        #: trash segment) — the in-program Jacobi/Chebyshev diagonal
+        self.diag = bool(diag)
+        if self.asm.rank != 1 and not (self.diag and self.asm.rank == 2):
             raise NotImplementedError(
-                "distributed assembly is rank-1 (residuals/actions); "
-                "rank-2 goes matrix-free, rank-0 via local sums + psum")
+                "distributed assembly is rank-1 (residuals/actions) or "
+                "rank-2 diagonal; full rank-2 goes matrix-free")
         self.mpart = mpart
-        V = self.asm.test.space if self.asm.rank == 1 else None
+        V = self.asm.test.space if self.asm.rank >= 1 else None
         mesh = self.asm.mesh
         self.vpart = (get_space_partition(parts, V, mpart)
                       if V is not None else None)
@@ -120,12 +125,26 @@ class DistributedForm:
                         per_shard_pos[s].append(rl.T.reshape(-1))
                     else:                          # cell-major
                         per_shard_pos[s].append(rl.reshape(-1))
+                elif self.diag:
+                    # rank-2 local tensors flatten cell-major (C, ni,
+                    # nj); keep only i==j GLOBAL pairs, route the rest
+                    # (and padding) to the trash segment
+                    rows_g = np.asarray(st["rows"])[sels[s]]
+                    cols_g = np.asarray(st["cols"])[sels[s]]
+                    rl, ok = self.vpart.g2l(s, rows_g.reshape(-1))
+                    rl = rl.reshape(rows_g.shape).astype(np.int64)
+                    rl[~ok.reshape(rows_g.shape)] = nloc
+                    pos = np.where(
+                        rows_g[:, :, None] == cols_g[:, None, :],
+                        rl[:, :, None], nloc)
+                    pos[~valids[s]] = nloc
+                    per_shard_pos[s].append(pos.reshape(-1))
 
         # per-shard sorted accumulation plans (keep ALL entries so
         # shapes match across shards; padding sorts last into the
         # trash segment)
         self.acc = None
-        if self.asm.rank == 1:
+        if self.asm.rank == 1 or self.diag:
             perms, segs = [], []
             for s in range(nsh):
                 pos_all = np.concatenate(per_shard_pos[s])
@@ -187,6 +206,10 @@ class DistributedForm:
                 out[k] = tuple(np.asarray(c)[sel] for c in st[k])
         if self.asm.rank == 1 and "rows" in st:
             out["rows"] = remap_idx(st["rows"], self.vpart)
+        if self.diag:
+            # diag mode's _run path is rank-2 + acc: the trial-side maps
+            # still feed coefficient-style gathers only; nothing extra
+            pass
         return out
 
     # ---------------------------------------------------- device-side

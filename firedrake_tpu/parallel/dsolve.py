@@ -1,21 +1,29 @@
 """Distributed linear solves: one shard_map program containing the
 whole preconditioned CG loop over general partitions, with Dirichlet
-BCs and every integral type (cell/ds/dS).
+BCs, every integral type (cell/ds/dS), and Jacobi or geometric-
+multigrid preconditioning.
 
 Reference role: firedrake's `solve()` running on an MPI communicator —
 PETSc KSP with VecDot = allreduce over owned dofs, MatMult = halo
-exchange + local kernels (firedrake/halo.py, pyop2/parloop.py:245-260).
+exchange + local kernels (firedrake/halo.py, pyop2/parloop.py:245-260),
+PCMG over the distributed hierarchy (firedrake/mg/).
 
 TPU shape:
 - vectors live SHARDED as padded [owned | ghost] blocks; Krylov dot
-  products are `psum` of owned partials (O(1) collective payload — the
-  O(ndof) gather of the v1 strip path is gone);
+  products are `psum` of owned partials;
+- EVERY input to the jitted program is a per-shard block (coords,
+  coefficients, bc values, x0 are host-localized once per solve) —
+  no O(global) array enters the iteration program;
+- the Jacobi diagonal is assembled IN PROGRAM (DistributedForm diag
+  mode) — not from a serial host assembly;
 - the operator application is the serial assembler's own jitted
   program run per shard on localized statics (dassemble.py), wrapped in
   ghost-refresh (bcast) / ghost-sum (reduce) ppermute legs;
 - Dirichlet rows are identity through free/bc masks:
       A_c = P A P + (I - P),  b_c = P (b - A g) + (I - P) g
-  matching the serial `_constrained_op` (solving.py).
+  matching the serial `_constrained_op` (solving.py);
+- pc_type "mg" runs a per-shard V-cycle (parallel/dmg.py) whose levels
+  share the hierarchy-consistent partition;
 - the result is collected ONCE at the end (owned blocks out, host
   scatter to global numbering).
 """
@@ -35,30 +43,46 @@ def _specs_like(tree):
     return jax.tree_util.tree_map(lambda _: P("shards"), tree)
 
 
+def _localize(dat, sp):
+    """Host: global vector -> (nshards, max_local) padded blocks."""
+    return jnp.asarray(np.asarray(dat)[sp.local_global] * sp.local_mask)
+
+
 class DistributedLinearSolver:
-    """CG (+ Jacobi) over an n-device 'shards' mesh for a == L with
+    """CG (+ Jacobi/GMG) over an n-device 'shards' mesh for a == L with
     DirichletBCs.  Built once per (form, partition); solve() is one
     jitted shard_map call."""
 
     def __init__(self, a, L, V, bcs=(), nshards=None, devices=None,
                  rtol=1e-10, atol=1e-50, maxit=5000, pc_type="jacobi"):
         from ..solving import _action_cached, _bc_data
-        from ..assemble import assemble
 
         nshards = nshards or len(jax.devices())
         self.nshards = nshards
         mesh = V.mesh_obj
         self.V = V
-        self.mpart = MeshPartition(mesh, nshards)
+        self.pc_type = pc_type
         parts = {}
+        self.dmg = None
+        if pc_type == "mg":
+            from .dmg import DistributedGMG
+            self.dmg = DistributedGMG(a, bcs, V, nshards, parts)
+            self.mpart = self.dmg.mparts[-1]
+        elif pc_type in ("jacobi", "none"):
+            self.mpart = MeshPartition(mesh, nshards)
+        else:
+            raise NotImplementedError(
+                f"distributed pc_type {pc_type!r} (jacobi/none/mg)")
         af = _action_cached(a)
         self.xf = af._mf_coeff
         self.dact = DistributedForm(af, self.mpart, parts)
         self.dres = DistributedForm(L, self.mpart, parts) \
             if L is not None else None
+        self.ddiag = DistributedForm(a, self.mpart, parts, diag=True) \
+            if pc_type == "jacobi" else None
         vp = self.dact.vpart
         self.vpart = vp
-        cp = self.dact.cpart
+        self.cpart = self.dact.cpart
         self.rtol, self.atol, self.maxit = rtol, atol, maxit
 
         n = V.dim
@@ -66,7 +90,7 @@ class DistributedLinearSolver:
         g_glob = np.zeros(n)
         if len(bc_idx):
             g_glob = np.asarray(g)
-        # per-shard local bc mask + values
+        # per-shard local bc mask + values (host, setup-static)
         freemask = np.ones((nshards, vp.max_local))
         for s in range(nshards):
             if len(bc_idx):
@@ -74,30 +98,9 @@ class DistributedLinearSolver:
                 freemask[s, loc[ok]] = 0.0
             freemask[s] *= vp.local_mask[s]   # padding slots inert
         self.freemask = freemask
-        self.g_glob = g_glob
-
-        # Jacobi diagonal (host-assembled at setup; the iteration loop
-        # itself never touches global-length data)
-        if pc_type in ("jacobi", "none"):
-            if pc_type == "jacobi":
-                A = assemble(a, bcs=list(bcs or ()))
-                d = np.asarray(A.diagonal())
-                dinv = np.where(np.abs(d) > 0, 1.0 / d, 1.0)
-            else:
-                dinv = np.ones(n)
-        else:
-            raise NotImplementedError(
-                f"distributed pc_type {pc_type!r} (jacobi/none)")
-        self.dinv_glob = dinv
+        self.g_loc = _localize(g_glob, vp)
 
         self.ex = vp.exchange_arrays()
-        self.cex = cp.exchange_arrays()
-        self.coeff_ex = {
-            cnt: pp.exchange_arrays()
-            for cnt, pp in self.dact.coeff_parts.items()}
-        if self.dres is not None:
-            for cnt, pp in self.dres.coeff_parts.items():
-                self.coeff_ex.setdefault(cnt, pp.exchange_arrays())
 
         devices = devices if devices is not None \
             else jax.devices()[:nshards]
@@ -110,27 +113,23 @@ class DistributedLinearSolver:
         nsh = self.nshards
         hops = vp.hops
         maxit, rtol, atol = self.maxit, self.rtol, self.atol
-        dact, dres, xf = self.dact, self.dres, self.xf
+        dact, dres, ddiag, xf = self.dact, self.dres, self.ddiag, self.xf
         nloc, nown = vp.max_local, vp.max_owned
+        dmg = self.dmg
+        mg_fns = dmg.make() if dmg is not None else None
 
-        def body(coords_dat, odats, cvals, g_glob, dinv_glob, x0_glob,
-                 freemask_blk, ex, cex, coeff_ex, st_a, acc_a,
-                 st_L, acc_L):
+        def body(coords_blk, clocal_blks, cvals, dlocal_blks, g_blk,
+                 x0_blk, freemask_blk, ex, st_a, acc_a, st_L, acc_L,
+                 st_d, acc_d, mg_data):
             ex = jax.tree_util.tree_map(lambda a: a[0], ex)
-            cex = jax.tree_util.tree_map(lambda a: a[0], cex)
-            coeff_ex = jax.tree_util.tree_map(lambda a: a[0], coeff_ex)
             free = freemask_blk[0]
             own = ex["local_owned_mask"]
             bc = (1.0 - free) * ex["local_mask"]
 
-            coords_local = coords_dat[cex["local_global"]] \
-                * cex["local_mask"]
-            clocals = {}
-            for cnt, dat in odats.items():
-                ce = coeff_ex[cnt]
-                clocals[cnt] = dat[ce["local_global"]] * ce["local_mask"]
-            g_loc = g_glob[ex["local_global"]] * ex["local_mask"]
-            dinv = dinv_glob[ex["local_global"]] * ex["local_mask"]
+            coords_local = coords_blk[0]
+            clocals = {cnt: blk[0] for cnt, blk in clocal_blks.items()}
+            dlocals = {cnt: blk[0] for cnt, blk in dlocal_blks.items()}
+            g_loc = g_blk[0]
 
             def raw_apply(xl):
                 """A @ x from a ghost-complete local x."""
@@ -148,6 +147,26 @@ class DistributedLinearSolver:
             def pdot(u_, v_):
                 return jax.lax.psum(jnp.sum(u_ * v_ * own), "shards")
 
+            # preconditioner setup (once per solve, inside the program)
+            if dmg is not None:
+                lv_mg = mg_fns[0](mg_data)
+
+                def pc(r_):
+                    return mg_fns[1](r_, lv_mg, mg_data)
+            elif ddiag is not None:
+                d = ddiag.run_local(coords_local, dlocals, cvals,
+                                    st_d, acc_d)
+                d = halo_reduce(d, ex, hops, nsh)
+                dc = d * free + bc
+                dinv = jnp.where(jnp.abs(dc) > 0, 1.0 / dc, 1.0) \
+                    * own * ex["local_mask"]
+
+                def pc(r_):
+                    return r_ * dinv
+            else:
+                def pc(r_):
+                    return r_
+
             # rhs: P(b - A g) + g  on owned slots
             if dres is not None:
                 b = halo_reduce(
@@ -158,10 +177,9 @@ class DistributedLinearSolver:
             Ag = raw_apply(g_loc)     # g ghost-complete by construction
             b = (b - Ag) * free * own + g_loc * bc * own
 
-            x = x0_glob[ex["local_global"]] * ex["local_mask"] * free \
-                * own + g_loc * bc * own
+            x = x0_blk[0] * free * own + g_loc * bc * own
             r = (b - matvec(x)) * own
-            z = r * dinv
+            z = pc(r)
             p_ = z
             rz = pdot(r, z)
             r0 = jnp.sqrt(pdot(r, r))
@@ -177,7 +195,7 @@ class DistributedLinearSolver:
                 alpha = rz / pdot(p_, Ap)
                 x = x + alpha * p_
                 r = r - alpha * Ap
-                z = r * dinv
+                z = pc(r)
                 rz_new = pdot(r, z)
                 p_ = z + (rz_new / rz) * p_
                 return x, r, z, p_, rz_new, it + 1
@@ -186,51 +204,86 @@ class DistributedLinearSolver:
                 cond, step, (x, r, z, p_, rz, jnp.zeros((), jnp.int32)))
             return x[:nown], jax.lax.pmax(it, "shards")
 
-        in_specs = (P(), P(), P(), P(), P(), P(),
-                    P("shards"), _specs_like(self.ex),
-                    _specs_like(self.cex), _specs_like(self.coeff_ex),
+        S = P("shards")
+        mg_spec = self.dmg.in_specs() if self.dmg is not None else P()
+        in_specs = (S, _specs_like({c: 0 for c in self._act_coeffs()}),
+                    P(), _specs_like({c: 0 for c in self._diag_coeffs()}),
+                    S, S, S, _specs_like(self.ex),
                     _specs_like(self.dact.statics),
                     _specs_like(self.dact.acc),
                     _specs_like(self.dres.statics if self.dres else []),
                     _specs_like(self.dres.acc if self.dres else
-                                {"perm": 0, "seg": 0}))
+                                {"perm": 0, "seg": 0}),
+                    _specs_like(self.ddiag.statics if self.ddiag
+                                else []),
+                    _specs_like(self.ddiag.acc if self.ddiag else
+                                {"perm": 0, "seg": 0}),
+                    mg_spec)
         smapped = shard_map(body, mesh=self.jmesh,
                             in_specs=in_specs,
                             out_specs=(P("shards"), P()))
         return jax.jit(smapped)
 
+    def _act_coeffs(self):
+        out = [c.count for c in self.dact.asm.coefficients
+               if c is not self.xf]
+        if self.dres is not None:
+            out += [c.count for c in self.dres.asm.coefficients
+                    if c.count not in out]
+        return out
+
+    def _diag_coeffs(self):
+        if self.ddiag is None:
+            return []
+        return [c.count for c in self.ddiag.asm.coefficients]
+
     # --------------------------------------------------------- public
     def solve(self, u, x0=None):
-        from ..assemble import get_assembler
         if self._jitted is None:
             self._jitted = self._build()
         mesh = self.V.mesh_obj
-        coeffs = {}
+        vp = self.vpart
+        # host-localize per-solve inputs (numpy gathers, O(ndof) once)
+        clocals = {}
         for c in self.dact.asm.coefficients:
             if c is not self.xf:
-                coeffs[c.count] = jnp.asarray(c.dat)
+                clocals[c.count] = _localize(
+                    c.dat, self.dact.coeff_parts[c.count])
         if self.dres is not None:
             for c in self.dres.asm.coefficients:
-                coeffs.setdefault(c.count, jnp.asarray(c.dat))
+                clocals.setdefault(c.count, _localize(
+                    c.dat, self.dres.coeff_parts[c.count]))
+        dlocals = {}
+        if self.ddiag is not None:
+            for c in self.ddiag.asm.coefficients:
+                dlocals[c.count] = _localize(
+                    c.dat, self.ddiag.coeff_parts[c.count])
         cvals = {c.count: jnp.asarray(c.values())
                  for c in self.dact.asm.constants}
         if self.dres is not None:
             for c in self.dres.asm.constants:
                 cvals.setdefault(c.count, jnp.asarray(c.values()))
-        x0v = jnp.asarray(x0) if x0 is not None \
-            else jnp.zeros(self.V.dim)
+        if self.ddiag is not None:
+            for c in self.ddiag.asm.constants:
+                cvals.setdefault(c.count, jnp.asarray(c.values()))
+        x0_blk = (_localize(x0, vp) if x0 is not None
+                  else jnp.zeros((self.nshards, vp.max_local)))
+        coords_blk = _localize(mesh.coordinates.dat, self.cpart)
         dres_st = self.dres.statics if self.dres else []
         dres_acc = self.dres.acc if self.dres else \
             {"perm": jnp.zeros((self.nshards, 1), jnp.int32),
              "seg": jnp.zeros((self.nshards, 1), jnp.int32)}
+        ddiag_st = self.ddiag.statics if self.ddiag else []
+        ddiag_acc = self.ddiag.acc if self.ddiag else \
+            {"perm": jnp.zeros((self.nshards, 1), jnp.int32),
+             "seg": jnp.zeros((self.nshards, 1), jnp.int32)}
+        mg_data = self.dmg.data if self.dmg is not None else 0.0
         xowned, it = self._jitted(
-            jnp.asarray(mesh.coordinates.dat), coeffs, cvals,
-            jnp.asarray(self.g_glob), jnp.asarray(self.dinv_glob),
-            x0v, jnp.asarray(self.freemask), self.ex, self.cex,
-            self.coeff_ex, self.dact.statics, self.dact.acc,
-            dres_st, dres_acc)
+            coords_blk, clocals, cvals, dlocals, self.g_loc,
+            x0_blk, jnp.asarray(self.freemask), self.ex,
+            self.dact.statics, self.dact.acc, dres_st, dres_acc,
+            ddiag_st, ddiag_acc, mg_data)
         # host collect (once per solve)
-        vp = self.vpart
         xarr = np.asarray(xowned).reshape(self.nshards, vp.max_owned)
         out = np.zeros(self.V.dim)
         m = vp.owned_mask.astype(bool)
@@ -244,7 +297,7 @@ def distributed_solve(a, L, u, bcs=(), nshards=None, rtol=1e-10,
                       maxit=5000, pc_type="jacobi", x0=None):
     """solve(a == L, u, bcs=...) by SPMD preconditioned CG over an
     n-device mesh — general SFC partitions, all integral types,
-    Dirichlet BCs."""
+    Dirichlet BCs, Jacobi or distributed-GMG preconditioning."""
     V = u.function_space()
     solver = DistributedLinearSolver(a, L, V, bcs=bcs, nshards=nshards,
                                      rtol=rtol, maxit=maxit,

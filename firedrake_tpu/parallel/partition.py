@@ -54,16 +54,22 @@ class MeshPartition:
     facet_shard[f]  owner shard of facet f (shard of its first cell)
     """
 
-    def __init__(self, mesh, nshards, order=None):
+    def __init__(self, mesh, nshards, order=None, cell_shard=None):
         self.mesh = mesh
         self.nshards = nshards
         topo = mesh.topology
         ncell = topo.num_cells
-        order = sfc_cell_order(mesh) if order is None else order
-        bounds = np.linspace(0, ncell, nshards + 1).astype(np.int64)
-        self.cell_shard = np.empty(ncell, dtype=np.int64)
-        for s in range(nshards):
-            self.cell_shard[order[bounds[s]:bounds[s + 1]]] = s
+        if cell_shard is not None:
+            # explicit ownership (hierarchy levels inherit the coarse
+            # partition so parent/child cells stay on one shard)
+            self.cell_shard = np.asarray(cell_shard, dtype=np.int64)
+            assert self.cell_shard.shape == (ncell,)
+        else:
+            order = sfc_cell_order(mesh) if order is None else order
+            bounds = np.linspace(0, ncell, nshards + 1).astype(np.int64)
+            self.cell_shard = np.empty(ncell, dtype=np.int64)
+            for s in range(nshards):
+                self.cell_shard[order[bounds[s]:bounds[s + 1]]] = s
 
         fc = topo.facet_cells                      # (nf, 2), -1 ext
         interior = topo.interior_facets

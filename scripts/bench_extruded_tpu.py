@@ -79,7 +79,9 @@ def form_bench(cell, n, nlay, degree=1, column=True, rank=2):
     @jax.jit
     def run(r, c0, cds):
         def body(i, carry):
-            c = cds + 1e-20 * carry.reshape(-1)[:ncd]
+            # non-factorable carry->input dependency (PERF_NOTES 2b);
+            # scalar add so rank-1 outputs (shorter than coords) work
+            c = cds + 1e-20 * carry.reshape(-1)[0]
             return asm._run(c, {}, cv, arg_statics=st, acc=ac)
         return jax.lax.fori_loop(0, r, body, c0)
 
