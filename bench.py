@@ -29,7 +29,6 @@ BASELINE_DOFS_PER_SEC = 1.0e7
 
 def _setup():
     import os
-    os.environ.setdefault("FDTPU_NO_BATCHED", "1")
     import jax
     jax.config.update("jax_enable_x64", True)
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)

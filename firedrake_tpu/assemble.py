@@ -107,11 +107,6 @@ class FormAssembler:
             for st, pos in zip(self._statics_list,
                                self.sparsity.block_positions):
                 st["pos"] = np.asarray(pos)
-                if st.get("batched"):
-                    # slot-major positions matching (ni*nj, C) value order
-                    n = st["n"]
-                    st["pos_T"] = np.ascontiguousarray(
-                        np.asarray(pos).reshape(n, -1).T)
 
     @property
     def _statics(self):
@@ -211,15 +206,7 @@ class FormAssembler:
         host-precomputed permutation that sorts contributions by target
         nonzero, and finish with segment_sum(indices_are_sorted=True)."""
         nnz = self.sparsity.nnz
-        parts = []
-        for st in self._statics:
-            pos = np.asarray(st["pos"])
-            n = st["n"]
-            kk = pos.size // n
-            # value flat order: slot-major (k*C + c) on the batched
-            # cell-last path, cell-major (c*KK + k) otherwise
-            parts.append(pos.reshape(n, kk).T.reshape(-1)
-                         if st.get("batched") else pos)
+        parts = [np.asarray(st["pos"]) for st in self._statics]
         if not parts:
             return None
         pos_all = np.concatenate(parts)
@@ -235,13 +222,8 @@ class FormAssembler:
         permutation + segment_sum replaces the duplicate-index
         scatter-add (which XLA lowers serially, ~10 ms/Melem)."""
         ndof = self.test.space.dim
-        parts = []
-        for st in self._statics:
-            rows = np.asarray(st["rows"])
-            # value flat order matches the local tensor layout:
-            # batched (ni, C) -> rows.T ; cell-major (C, ni) -> rows
-            parts.append(rows.T.reshape(-1) if st.get("batched")
-                         else rows.reshape(-1))
+        parts = [np.asarray(st["rows"]).reshape(-1)
+                 for st in self._statics]
         if not parts:
             return None
         pos_all = np.concatenate(parts)
@@ -384,50 +366,6 @@ class FormAssembler:
                 st["cols"] = np.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
-            import os
-            # ---- cell-last (batched) fast path, if the lowering supports
-            # this form (see compiler/batched.py); validated by tracing
-            spaces_ = [a.space for a in (self.test, self.trial)
-                       if a is not None] + [c.space
-                                            for c in ci.coefficients]
-            if (os.environ.get("FDTPU_NO_BATCHED") == "1"
-                    or any(getattr(s, "has_dof_transforms", False)
-                           for s in spaces_)):
-                # the cell-last lowering does not apply matrix entity
-                # transforms — only the cell-major path does
-                st["batched"] = False
-                return st
-            try:
-                kb = ci.cell_kernel_batched()
-                C = len(cells)
-                g = mesh.geometric_dimension
-                cshape = (cmap3.shape[1], g, C)
-                cfshapes = tuple(
-                    jax.ShapeDtypeStruct(
-                        (c.space.cell_dof_map.shape[1], C), jnp.float64)
-                    for c in ci.coefficients)
-                cvals = tuple(jax.ShapeDtypeStruct(np.asarray(
-                    c.values()).shape, jnp.float64) for c in ci.constants)
-                jax.eval_shape(kb, jax.ShapeDtypeStruct(cshape,
-                                                        jnp.float64),
-                               cfshapes, cvals)
-                st["batched"] = True
-                # transposed index maps: gathers produce cell-minor output
-                st["coords_map_T"] = np.asarray(
-                    np.ascontiguousarray(cmap3[cells].transpose(1, 2, 0)))
-                st["coeff_maps_T"] = {
-                    c.count: np.asarray(np.ascontiguousarray(
-                        c.space.cell_dof_map[cells].T))
-                    for c in ci.coefficients}
-                st["coeff_signs_T"] = {
-                    k: np.ascontiguousarray(np.asarray(v).T)
-                    for k, v in st["coeff_signs"].items()}
-                for key in ("sign_rows", "sign_cols"):
-                    if st[key] is not None:
-                        st[key + "_T"] = np.ascontiguousarray(
-                            np.asarray(st[key]).T)
-            except NotImplementedError:
-                st["batched"] = False
         elif ci.integral_type == "exterior_facet":
             facets = mesh.boundary_facets(ci.subdomain_id)
             if len(facets) == 0:

@@ -386,19 +386,7 @@ class BatchedLowerer(Lowerer):
             f"batched grad of {type(base).__name__}")
 
     def _pullback_batched(self, T, elem, d, side):
-        g = self.ctx.geom(side or "+")
-        J, Jinv, detJ = g["J"], g["Jinv"], g["detJ"]   # (...,C)
-        mapping = getattr(elem, "mapping", "identity")
-        if mapping == "contravariant":
-            if d == 0:
-                return _small_einsum("qikc,qjk->qjic", J, T) \
-                    / detJ[:, None, None, :]
-            if d == 1:
-                P = _small_einsum("qikc,qjks,qsgc->qjigc", J, T, Jinv)
-                return P / detJ[:, None, None, None, :]
-        if mapping == "covariant":
-            if d == 0:
-                return _small_einsum("qkic,qjk->qjic", Jinv, T)
-            if d == 1:
-                return _small_einsum("qkic,qjks,qsgc->qjigc", Jinv, T, Jinv)
-        raise NotImplementedError(mapping)
+        # Piola-mapped elements never reach the cell-last plans (the
+        # stencil/column plan builders admit identity-mapped spaces
+        # only); the cell-major Lowerer handles H(div)/H(curl).
+        raise NotImplementedError(getattr(elem, "mapping", "identity"))

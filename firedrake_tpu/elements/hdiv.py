@@ -26,6 +26,21 @@ from .reference_cell import by_name
 from .quadrature import make_quadrature
 
 
+class _PtVecDual:
+    """Moment functional in quadrature form: ell(u) = sum_q
+    wvec[q] . u(pts[q]) (the FIAT pt_dict role, reference
+    FIAT/functional.py) — dual-evaluation interpolation consumes the
+    (pts, wvec) arrays directly."""
+
+    def __init__(self, pts, wvec):
+        self.pts = np.asarray(pts, dtype=float)      # (nq, tdim)
+        self.wvec = np.asarray(wvec, dtype=float)    # (nq, vdim)
+
+    def __call__(self, t):
+        vals = np.array([t(p) for p in self.pts])
+        return float(np.sum(self.wvec * vals))
+
+
 class _MomentElement(FiniteElement):
     """Vector-valued element defined by span + moment dofs."""
 
@@ -52,7 +67,26 @@ class _MomentElement(FiniteElement):
                 V[i, j] = ell(t)
         self._coeffs = np.linalg.inv(V)        # basis_i = sum_j C[j,i] t_j
         self._terms = terms
+        self._dofs = dofs
         self.nodes = np.zeros((n, self.cell.dim))   # (dof points n/a)
+
+    def dual_quadrature(self):
+        """Zero-padded quadrature representation of the dual basis:
+        (pts (ndof, nqmax, tdim), wvec (ndof, nqmax, vdim)) with
+        ell_i(u) = sum_q wvec[i,q,:] . u(pts[i,q,:]).  Feeds
+        dual-evaluation interpolation (reference: TSFC dual evaluation
+        over FIAT functional pt_dicts, interpolation.py:209)."""
+        dofs = self._dofs
+        assert all(isinstance(d, _PtVecDual) for d in dofs)
+        nq = max(len(d.pts) for d in dofs)
+        tdim = self.cell.dim
+        vdim = self.value_shape[0]
+        pts = np.zeros((len(dofs), nq, tdim))
+        wts = np.zeros((len(dofs), nq, vdim))
+        for i, d in enumerate(dofs):
+            pts[i, :len(d.pts)] = d.pts
+            wts[i, :len(d.wvec)] = d.wvec
+        return pts, wts
 
     @property
     def ndof(self):
@@ -159,7 +193,7 @@ def _face_quad3(cell, lf, deg):
 
 
 @lru_cache(maxsize=None)
-def _tri_face_transform_tables(k):
+def _tri_face_transform_tables(k, signed=True):
     """(6, m, m) dof-transform tables B for P_{k-1} moments on a
     triangular face under the 6 vertex-order permutations.
 
@@ -171,7 +205,10 @@ def _tri_face_transform_tables(k):
     phi_loc @ B with B = D^-1 — so LOCAL dof coefficients = B @ canonical
     coefficients, and local element tensors map A_can = B^T A_loc B.
     (Reference role: FIAT/FInAT entity_transformations for H(div) tet
-    faces, consumed by firedrake through TSFC.)"""
+    faces, consumed by firedrake through TSFC.)
+
+    signed=False drops the parity factor: SCALAR face moments (HDivTrace
+    on tet faces) see no normal flip, only the chart change."""
     import itertools
     mons = _monomials2(k - 1)
     m = len(mons)
@@ -191,11 +228,12 @@ def _tri_face_transform_tables(k):
         Mc = evalm(Sc)
         C = np.linalg.lstsq(Ml, Mc, rcond=None)[0].T   # m_i(can)=C_ij m_j
         par = 1.0
-        p = list(sigma)
-        for i in range(3):
-            for j in range(i + 1, 3):
-                if p[i] > p[j]:
-                    par = -par
+        if signed:
+            p = list(sigma)
+            for i in range(3):
+                for j in range(i + 1, 3):
+                    if p[i] > p[j]:
+                        par = -par
         out[o] = np.linalg.inv(par * C)
     return out
 
@@ -260,26 +298,20 @@ class RaviartThomas(_MomentElement):
             for lf in range(len(cell.facets)):
                 pts, wts, nref, s2 = _face_quad3(cell, lf, 2 * k + 2)
                 for (a, b) in fmons:
-                    def ell(t, pts=pts, wts=wts, nref=nref, s2=s2,
-                            a=a, b=b):
-                        vals = np.array([t(p) for p in pts])
-                        m = s2[:, 0] ** a * s2[:, 1] ** b
-                        return float(np.sum(wts * m * (vals @ nref)))
-                    out.append(ell)
+                    m = s2[:, 0] ** a * s2[:, 1] ** b
+                    out.append(_PtVecDual(
+                        pts, (wts * m)[:, None] * nref[None, :]))
             if k >= 2:
                 q = make_quadrature(cell.name, 2 * k + 2)
                 for (a, b, c) in _monomials3(k - 2):
+                    m = (q.points[:, 0] ** a * q.points[:, 1] ** b
+                         * q.points[:, 2] ** c)
                     for i in range(3):
                         e = np.zeros(3)
                         e[i] = 1.0
-
-                        def ell(t, q=q, e=e, a=a, b=b, c=c):
-                            vals = np.array([t(p) for p in q.points])
-                            m = (q.points[:, 0] ** a * q.points[:, 1] ** b
-                                 * q.points[:, 2] ** c)
-                            return float(np.sum(q.weights * m
-                                                * (vals @ e)))
-                        out.append(ell)
+                        out.append(_PtVecDual(
+                            q.points, (q.weights * m)[:, None]
+                            * e[None, :]))
             return out
         for lf in range(len(cell.facets)):
             pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
@@ -287,23 +319,19 @@ class RaviartThomas(_MomentElement):
             dvec = fverts[1] - fverts[0]
             s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
             for j in range(k):
-                def ell(t, pts=pts, wts=wts, nref=nref, s=s, j=j):
-                    vals = np.array([t(p) for p in pts])
-                    w = wts * _legendre01(j, s)
-                    return float(np.sum(w * (vals @ nref)))
-                out.append(ell)
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * nref[None, :]))
         if k >= 2:
             q = make_quadrature(cell.name, 2 * k + 2)
             for (a, b) in _monomials2(k - 2):
+                m = q.points[:, 0] ** a * q.points[:, 1] ** b
                 for i in range(2):
                     e = np.zeros(2)
                     e[i] = 1.0
-
-                    def ell(t, q=q, e=e, a=a, b=b):
-                        vals = np.array([t(p) for p in q.points])
-                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
-                        return float(np.sum(q.weights * m * (vals @ e)))
-                    out.append(ell)
+                    out.append(_PtVecDual(
+                        q.points,
+                        (q.weights * m)[:, None] * e[None, :]))
         return out
 
     @property
@@ -360,17 +388,25 @@ class RaviartThomas(_MomentElement):
 
 
 class BrezziDouglasMarini(_MomentElement):
-    """BDM_1 on triangle: span (P1)^2; two normal moments (against P1 on
-    the facet) per edge."""
+    """BDM_k: span (P_k)^d; facet normal moments against P_k(facet)
+    (Legendre on edges, local-chart monomials on tet faces with matrix
+    entity transforms), interior dofs by greedy rank completion over
+    (P_{k-1})^d moments."""
 
     family = "Brezzi-Douglas-Marini"
     continuity = "HDiv"
 
     def _span_terms(self):
-        if self.cell.dim != 2:
-            raise NotImplementedError("BDM on triangles only (for now)")
         k = self.degree
         terms = []
+        if self.cell.dim == 3:
+            for (a, b, c) in _monomials3(k):
+                for i in range(3):
+                    e = np.zeros(3)
+                    e[i] = 1.0
+                    terms.append(lambda x, e=e, a=a, b=b, c=c:
+                                 e * (x[0] ** a * x[1] ** b * x[2] ** c))
+            return terms
         for (a, b) in _monomials2(k):
             for i in range(2):
                 e = np.zeros(2)
@@ -379,68 +415,99 @@ class BrezziDouglasMarini(_MomentElement):
                              e * (x[0] ** a * x[1] ** b))
         return terms
 
+    def _greedy_complete(self, out, cands):
+        """Rank-complete the dual basis: any unisolvent completion spans
+        the same space (Galerkin solutions are basis-independent)."""
+        terms = self._span_terms()
+        rows = [np.array([ell(t) for t in terms]) for ell in out]
+        for ell in cands:
+            if len(rows) == len(terms):
+                break
+            r = np.array([ell(t) for t in terms])
+            trial = np.vstack(rows + [r])
+            if np.linalg.matrix_rank(trial, tol=1e-10) == len(trial):
+                rows.append(r)
+                out.append(ell)
+        assert len(out) == len(terms), "BDM completion failed"
+        return out
+
     def _dof_functionals(self):
-        """Edge normal moments vs Legendre P_{0..k}; the (k^2 - 1)
-        interior functionals complete the dual basis by GREEDY RANK
-        COMPLETION over (P_{k-1})^2 moment candidates — any unisolvent
-        completion spans the same space (Galerkin solutions are
-        basis-independent)."""
+        """Edge normal moments vs Legendre P_{0..k} (2D) / face normal
+        moments vs P_k(face) local-chart monomials (3D, consistency via
+        matrix entity transforms); interior completion by GREEDY RANK
+        COMPLETION over (P_{k-1})^d moment candidates."""
         cell = self.cell
         k = self.degree
         out = []
+        if cell.dim == 3:
+            fmons = _monomials2(k)
+            for lf in range(len(cell.facets)):
+                pts, wts, nref, s2 = _face_quad3(cell, lf, 2 * k + 2)
+                for (a, b) in fmons:
+                    m = s2[:, 0] ** a * s2[:, 1] ** b
+                    out.append(_PtVecDual(
+                        pts, (wts * m)[:, None] * nref[None, :]))
+            cands = []
+            q = make_quadrature(cell.name, 2 * k + 2)
+            for (a, b, c) in _monomials3(k - 1):
+                m = (q.points[:, 0] ** a * q.points[:, 1] ** b
+                     * q.points[:, 2] ** c)
+                for i in range(3):
+                    e = np.zeros(3)
+                    e[i] = 1.0
+                    cands.append(_PtVecDual(
+                        q.points, (q.weights * m)[:, None] * e[None, :]))
+            return self._greedy_complete(out, cands)
         for lf in range(len(cell.facets)):
             pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
             fverts = cell.vertices[list(cell.facets[lf])]
             dvec = fverts[1] - fverts[0]
             s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
             for j in range(k + 1):
-                def ell(t, pts=pts, wts=wts, nref=nref, s=s, j=j):
-                    vals = np.array([t(p) for p in pts])
-                    return float(np.sum(wts * _legendre01(j, s)
-                                        * (vals @ nref)))
-                out.append(ell)
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * nref[None, :]))
         n_int = (k + 1) * (k + 2) - 3 * (k + 1)
         if n_int:
             q = make_quadrature(cell.name, 2 * k + 2)
             cands = []
             for (a, b) in _monomials2(k - 1):
+                m = q.points[:, 0] ** a * q.points[:, 1] ** b
                 for i in range(2):
                     e = np.zeros(2)
                     e[i] = 1.0
-
-                    def ell(t, q=q, e=e, a=a, b=b):
-                        vals = np.array([t(p) for p in q.points])
-                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
-                        return float(np.sum(q.weights * m * (vals @ e)))
-                    cands.append(ell)
-            terms = self._span_terms()
-            rows = [np.array([ell(t) for t in terms]) for ell in out]
-            for ell in cands:
-                if len(rows) == len(terms):
-                    break
-                r = np.array([ell(t) for t in terms])
-                trial = np.vstack(rows + [r])
-                if np.linalg.matrix_rank(trial, tol=1e-10) == len(trial):
-                    rows.append(r)
-                    out.append(ell)
-            assert len(out) == len(terms), "BDM completion failed"
+                    cands.append(_PtVecDual(
+                        q.points, (q.weights * m)[:, None] * e[None, :]))
+            out = self._greedy_complete(out, cands)
         return out
 
     @property
     def entity_dofs(self):
         cell = self.cell
         k = self.degree
-        npe = k + 1
+        npe = ((k + 1) * (k + 2) // 2 if cell.dim == 3 else k + 1)
         ed = {d: {e: [] for e in range(len(cell.topology[d]))}
               for d in cell.topology}
         for lf in range(len(cell.facets)):
             ed[cell.dim - 1][lf] = list(range(npe * lf, npe * (lf + 1)))
-        ed[cell.dim][0] = list(range(3 * npe, self.ndof))
+        nfacet = npe * len(cell.facets)
+        ed[cell.dim][0] = list(range(nfacet, self.ndof))
         return ed
 
     @property
+    def has_dof_transforms(self):
+        """Tet faces always carry >= 3 P_k moments: matrix transforms."""
+        return self.cell.dim == 3
+
+    def entity_transforms(self, d):
+        if self.cell.dim == 3 and d == 2:
+            # P_k face moments = the (k+1)-parameter tables
+            return _tri_face_transform_tables(self.degree + 1)
+        return None
+
+    @property
     def facet_dof_sign_flip(self):
-        return True
+        return not self.has_dof_transforms
 
     def entity_permutation(self, dim, orientation):
         # Legendre moments: edge reversal changes SIGNS, never the order
@@ -493,25 +560,84 @@ class NedelecFirstKind2D(_MomentElement):
             dvec = fverts[1] - fverts[0]
             s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
             for j in range(k):
-                def ell(t, pts=pts, wts=wts, tang=tang, s=s, j=j):
-                    vals = np.array([t(p) for p in pts])
-                    return float(np.sum(wts * _legendre01(j, s)
-                                        * (vals @ tang)))
-                out.append(ell)
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * tang[None, :]))
         if k >= 2:
             q = make_quadrature(cell.name, 2 * k + 2)
             for (a, b) in _monomials2(k - 2):
+                m = q.points[:, 0] ** a * q.points[:, 1] ** b
                 for i in range(2):
                     e = np.zeros(2)
                     e[i] = 1.0
-
-                    def ell(t, q=q, e=e, a=a, b=b):
-                        vals = np.array([t(p) for p in q.points])
-                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
-                        return float(np.sum(q.weights * m * (vals @ e)))
-                    out.append(ell)
+                    out.append(_PtVecDual(
+                        q.points, (q.weights * m)[:, None] * e[None, :]))
         return out
 
     entity_dofs = RaviartThomas.entity_dofs
     facet_dof_signs = RaviartThomas.facet_dof_signs
     facet_dof_sign_flip = True
+
+
+class NedelecFirstKindTet(_MomentElement):
+    """N1curl_1 on tetrahedra (the Whitney edge element): span
+    (P_0)^3 + {A x : A skew}; one tangential moment per edge, oriented
+    by the edge's canonical (sorted global vertex) direction — a cell
+    whose listed edge runs the other way contributes with sign -1
+    (edge_dof_signs, the H(curl) analogue of facet flux signs)."""
+
+    family = "Nedelec 1st kind H(curl)"
+    continuity = "HCurl"
+    mapping = "covariant"
+
+    def __init__(self, cell, degree):
+        if int(degree) != 1:
+            raise NotImplementedError(
+                "N1curl on tets: degree 1 (Whitney) for now — higher "
+                "degrees need face/interior moments + face transforms")
+        super().__init__(cell, degree)
+
+    def _span_terms(self):
+        terms = []
+        for i in range(3):
+            e = np.zeros(3)
+            e[i] = 1.0
+            terms.append(lambda x, e=e: e)
+        skews = [np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 0]]),
+                 np.array([[0.0, 0, -1], [0, 0, 0], [1, 0, 0]]),
+                 np.array([[0.0, 0, 0], [0, 0, -1], [0, 1, 0]])]
+        for S in skews:
+            terms.append(lambda x, S=S: S @ np.asarray(x, dtype=float))
+        return terms
+
+    def _dof_functionals(self):
+        cell = self.cell
+        q = make_quadrature("interval", 4)
+        s = q.points[:, 0]
+        out = []
+        for (a, b) in cell.topology[1]:
+            va, vb = cell.vertices[int(a)], cell.vertices[int(b)]
+            pts = va[None, :] + s[:, None] * (vb - va)[None, :]
+            t = vb - va          # unnormalized: dof = int_0^1 u . t ds
+            out.append(_PtVecDual(pts, q.weights[:, None] * t[None, :]))
+        return out
+
+    @property
+    def entity_dofs(self):
+        cell = self.cell
+        ed = {d: {e: [] for e in range(len(cell.topology[d]))}
+              for d in cell.topology}
+        for le in range(len(cell.topology[1])):
+            ed[1][le] = [le]
+        return ed
+
+    facet_dof_sign_flip = False
+    edge_dof_sign_flip = True
+
+    def edge_dof_signs(self, orientation):
+        """Listed-order tangent vs canonical (sorted) direction."""
+        return (np.ones(1) if orientation == 0 else -np.ones(1))
+
+    def entity_permutation(self, dim, orientation):
+        n = 1 if dim == 1 else 0
+        return np.arange(n, dtype=np.int32)

@@ -443,7 +443,9 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
         from .hdiv import BrezziDouglasMarini
         return BrezziDouglasMarini(cell_name, degree)
     if family == "N1curl":
-        from .hdiv import NedelecFirstKind2D
+        from .hdiv import NedelecFirstKind2D, NedelecFirstKindTet
+        if by_name(cell_name).dim == 3:
+            return NedelecFirstKindTet(cell_name, degree)
         return NedelecFirstKind2D(cell_name, degree)
     if family in ("HDiv Trace", "HDivT", "DGT", "TraceElement"):
         from .trace import HDivTrace

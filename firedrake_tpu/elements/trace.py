@@ -32,22 +32,52 @@ class HDivTrace(FiniteElement):
     def __init__(self, cell, degree: int = 0):
         if isinstance(cell, str):
             cell = by_name(cell)
-        if degree != 0 and cell.dim != 2:
+        if degree != 0 and cell.dim == 3 and cell.name != "tetrahedron":
             raise NotImplementedError(
-                "HDivTrace degree >= 1 on 3D cells (facet orientation "
-                "matrices)")
+                "HDivTrace degree >= 1 in 3D: tetrahedra only")
         self.cell = cell
         self.degree = int(degree)
         self.value_shape = ()
-        nlf = len(cell.facets)
         self.nodes = np.repeat(np.stack(
             [cell.vertices[list(f[f >= 0])].mean(axis=0)
              if hasattr(f, "__len__") else None
-             for f in (np.asarray(cell.facets))]), self.degree + 1,
+             for f in (np.asarray(cell.facets))]), self.npe,
             axis=0)
+        if cell.dim == 3 and self.degree >= 0:
+            self._build_face_basis()
+
+    def _build_face_basis(self):
+        """Per-face P_k basis DUAL to local-chart monomial moments (same
+        moment convention as RT/BDM tet face dofs, hdiv.py
+        _face_quad3): phi_j = sum_i (G^-1)_{ji} m_i with
+        G_ij = int_face m_i m_j dA_ref.  Cross-cell consistency via the
+        UNSIGNED chart-change tables (scalar traces see no normal
+        flip)."""
+        from .hdiv import _monomials2
+        from .quadrature import make_quadrature
+        k = self.degree
+        self._fmons = _monomials2(k)
+        cell = self.cell
+        # UNSCALED chart measure: the dual basis must depend only on the
+        # 2D chart (the per-face embedding area scale differs between
+        # the two cells sharing a face; barycentric permutations are
+        # area-preserving, so the orientation tables then glue exactly)
+        q = make_quadrature("triangle", 2 * k + 2)
+        s2 = q.points
+        M = np.stack([s2[:, 0] ** a * s2[:, 1] ** b
+                      for (a, b) in self._fmons], axis=1)
+        G = M.T @ (q.weights[:, None] * M)
+        Ginv = np.linalg.inv(G)
+        self._chart = []
+        for lf in range(len(cell.facets)):
+            A, b = cell.facet_embedding(lf)
+            self._chart.append((np.linalg.pinv(A), b))
+        self._Ginv = [Ginv] * len(cell.facets)
 
     @property
     def npe(self):
+        if self.cell.dim == 3:
+            return (self.degree + 1) * (self.degree + 2) // 2
         return self.degree + 1
 
     @property
@@ -70,12 +100,20 @@ class HDivTrace(FiniteElement):
 
     def tabulate_facet(self, lf: int, points, order: int = 0):
         """Basis at facet-embedded points (CELL reference coords):
-        Legendre P_j of the local facet parameter on the owning facet,
-        zero on all others."""
+        Legendre P_j of the local facet parameter on the owning 2D edge
+        / moment-dual P_k in the local face chart on the owning tet
+        face, zero on all others."""
         pts = np.asarray(points, dtype=float)
         nq = len(pts)
         vals = np.zeros((nq, self.ndof))
-        if self.degree == 0:
+        if self.cell.dim == 3 and self.degree >= 1:
+            Ai, b = self._chart[lf]
+            s2 = (pts - b[None, :]) @ Ai.T               # (nq, 2)
+            M = np.stack([s2[:, 0] ** a * s2[:, 1] ** bb
+                          for (a, bb) in self._fmons], axis=1)
+            vals[:, lf * self.npe:(lf + 1) * self.npe] = \
+                M @ self._Ginv[lf].T
+        elif self.degree == 0:
             vals[:, lf] = 1.0
         else:
             fverts = self.cell.vertices[list(self.cell.facets[lf])]
@@ -95,8 +133,21 @@ class HDivTrace(FiniteElement):
         return np.arange(self.npe, dtype=np.int32)
 
     @property
+    def has_dof_transforms(self):
+        """Multi-moment tet faces need matrix chart-change transforms
+        (unsigned: scalar traces see no normal flip)."""
+        return self.cell.dim == 3 and self.degree >= 1
+
+    def entity_transforms(self, d):
+        if self.has_dof_transforms and d == 2:
+            from .hdiv import _tri_face_transform_tables
+            return _tri_face_transform_tables(self.degree + 1,
+                                              signed=False)
+        return None
+
+    @property
     def facet_dof_sign_flip(self):
-        return self.degree >= 1
+        return self.degree >= 1 and self.cell.dim == 2
 
     def facet_dof_signs(self, orientation):
         """Edge reversal: Legendre parity (-1)^j (no normal flip — trace

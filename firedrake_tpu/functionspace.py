@@ -277,12 +277,23 @@ class FunctionSpaceData:
                 local = elem.local_facet_sign(e) \
                     if hasattr(elem, "local_facet_sign") else 1.0
                 signs[:, slots] = local * table[co[:, e]]
+        if getattr(elem, "edge_dof_sign_flip", False):
+            # H(curl) tangential edge dofs in 3D: sign = does the cell's
+            # listed edge direction match the canonical (sorted global
+            # vertex) direction (the edge analogue of facet flux signs)
+            co = topo.cell_entity_orientations(1)
+            table = np.stack([elem.edge_dof_signs(o) for o in range(2)])
+            for e, slots in elem.entity_dofs[1].items():
+                if not slots:
+                    continue
+                signs[:, slots] = table[co[:, e]]
         self._signs = signs
         return signs
 
     @property
     def has_dof_signs(self):
-        return getattr(self.element, "facet_dof_sign_flip", False)
+        return (getattr(self.element, "facet_dof_sign_flip", False)
+                or getattr(self.element, "edge_dof_sign_flip", False))
 
     @property
     def has_dof_transforms(self):

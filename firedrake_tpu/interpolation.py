@@ -18,8 +18,104 @@ from .function import Function
 _interp_cache: dict = {}
 
 
+def _build_moment(expr: Expr, V):
+    """Dual-evaluation interpolation into Piola-mapped moment spaces
+    (RT/BDM/N1curl): dof_i = ell_i(Piola-pullback of expr) per cell,
+    contracted from the element's quadrature-form dual basis
+    (reference: TSFC dual evaluation over FIAT functional pt_dicts,
+    firedrake/interpolation.py:209 SameMeshInterpolator)."""
+    from .compiler.smallmat import det as _sdet, inv as _sinv
+    mesh = V.mesh_obj
+    gdim = mesh.geometric_dimension
+    elem = V.element
+    dpts, dwts = elem.dual_quadrature()   # (nd, nq, tdim), (nd, nq, vd)
+    nd, nq, tdim = dpts.shape
+    pts = dpts.reshape(nd * nq, tdim)
+    integrand = push_grad(expr)
+    from .language.core import Coefficient, ConstantBase
+    coeffs = tuple(sorted({t.count: t for t in integrand.traverse()
+                           if isinstance(t, Coefficient)}.values(),
+                          key=lambda c: c.count))
+    consts = tuple(sorted({t.count: t for t in integrand.traverse()
+                           if isinstance(t, ConstantBase)}.values(),
+                          key=lambda c: c.count))
+    if any(isinstance(t, Argument) for t in integrand.traverse()):
+        raise ValueError("cannot interpolate an expression with arguments")
+
+    def kern(coords_e, ws, cvs):
+        ctx = PointsContext(mesh, pts, coords_e)
+        low = Lowerer(ctx, None, None,
+                      {c.count: w for c, w in zip(coeffs, ws)},
+                      {c.count: v for c, v in zip(consts, cvs)})
+        v = low.eval(integrand, None)
+        return jnp.broadcast_to(v[0, 0], (len(pts),) + integrand.shape)
+
+    coords_space = mesh.coordinates.function_space()
+    cmap3 = jnp.asarray(coords_space.cell_dof_map.reshape(
+        mesh.num_cells, -1, gdim))
+    coeff_maps = {c.count: jnp.asarray(c.space.cell_dof_map)
+                  for c in coeffs}
+    coeff_signs = {c.count: jnp.asarray(c.space.cell_dof_signs)
+                   for c in coeffs
+                   if getattr(c.space, "has_dof_signs", False)}
+    coeff_T = {c.count: jnp.asarray(c.space.cell_dof_transforms)
+               for c in coeffs
+               if getattr(c.space, "has_dof_transforms", False)}
+    target_map = jnp.asarray(V.cell_dof_map)       # (ncell, nd)
+    dwts_j = jnp.asarray(dwts)
+    # canonical <- local maps of the TARGET space
+    tgt_signs = (jnp.asarray(V.cell_dof_signs)
+                 if getattr(V, "has_dof_signs", False) else None)
+    tgt_Binv = (jnp.asarray(np.linalg.inv(V.cell_dof_transforms))
+                if getattr(V, "has_dof_transforms", False) else None)
+    mapping = getattr(elem, "mapping", "identity")
+
+    def run(coords_dat, coeff_dats, const_vals):
+        ce = coords_dat[cmap3]                     # (ncell, nvert, gdim)
+        def localize(c):
+            w = coeff_dats[c.count][coeff_maps[c.count]]
+            if c.count in coeff_signs:
+                return w * coeff_signs[c.count]
+            if c.count in coeff_T:
+                return jnp.einsum("cij,cj->ci", coeff_T[c.count], w)
+            return w
+        ws = tuple(localize(c) for c in coeffs)
+        cvs = tuple(const_vals[c.count] for c in consts)
+        vals = jax.vmap(lambda c, *w: kern(c, w, cvs))(ce, *ws)
+        # vals: (ncell, nd*nq, vd) PHYSICAL values; pull back to
+        # reference (affine cells: constant J = [v_i - v_0])
+        J = jnp.stack([ce[:, i + 1] - ce[:, 0] for i in range(tdim)],
+                      axis=-1)                     # (ncell, gdim, tdim)
+        if mapping == "contravariant":
+            # u_ref = detJ * Jinv @ u_phys
+            dJ = _sdet(J)
+            Ji = _sinv(J)
+            uref = dJ[:, None, None] * jnp.einsum("cij,cqj->cqi",
+                                                  Ji, vals)
+        elif mapping == "covariant":
+            # u_ref = J^T @ u_phys
+            uref = jnp.einsum("cji,cqj->cqi", J, vals)
+        else:
+            uref = vals
+        uref = uref.reshape(uref.shape[0], nd, nq, -1)
+        dofs_loc = jnp.einsum("nqv,cnqv->cn", dwts_j, uref)
+        if tgt_signs is not None:
+            dofs_can = dofs_loc * tgt_signs        # signs^-1 == signs
+        elif tgt_Binv is not None:
+            dofs_can = jnp.einsum("cij,cj->ci", tgt_Binv, dofs_loc)
+        else:
+            dofs_can = dofs_loc
+        out = jnp.zeros(V.dim)
+        out = out.at[target_map.reshape(-1)].set(dofs_can.reshape(-1))
+        return out
+
+    return jax.jit(run), coeffs, consts
+
+
 def _build(expr: Expr, V):
     mesh = V.mesh_obj
+    if hasattr(V.element, "dual_quadrature"):
+        return _build_moment(expr, V)
     gdim = mesh.geometric_dimension
     scalar = V.scalar_element
     pts = scalar.nodes                       # (npts, tdim)
@@ -52,17 +148,23 @@ def _build(expr: Expr, V):
     coeff_signs = {c.count: jnp.asarray(c.space.cell_dof_signs)
                    for c in coeffs
                    if getattr(c.space, "has_dof_signs", False)}
+    # matrix entity transforms (RT_k/BDM tets): local = B @ canonical
+    coeff_T = {c.count: jnp.asarray(c.space.cell_dof_transforms)
+               for c in coeffs
+               if getattr(c.space, "has_dof_transforms", False)}
     target_map = jnp.asarray(V.cell_dof_map)     # (ncell, npts*bs)
     bs = V.block_size
 
     def run(coords_dat, coeff_dats, const_vals):
         ce = coords_dat[cmap3]
-        ws = tuple(
-            coeff_dats[c.count][coeff_maps[c.count]]
-            * coeff_signs[c.count]
-            if c.count in coeff_signs
-            else coeff_dats[c.count][coeff_maps[c.count]]
-            for c in coeffs)
+        def localize(c):
+            w = coeff_dats[c.count][coeff_maps[c.count]]
+            if c.count in coeff_signs:
+                return w * coeff_signs[c.count]
+            if c.count in coeff_T:
+                return jnp.einsum("cij,cj->ci", coeff_T[c.count], w)
+            return w
+        ws = tuple(localize(c) for c in coeffs)
         cvs = tuple(const_vals[c.count] for c in consts)
         vals = jax.vmap(lambda c, *w: kern(c, w, cvs))(ce, *ws)
         # vals: (ncell, npts) + value_shape; flatten components node-major

@@ -124,6 +124,8 @@ def eval_at_cells(function, cells, refs):
         w = dat[cmap[c]]
         if getattr(V, "has_dof_signs", False):
             w = w * V.cell_dof_signs[c]
+        elif getattr(V, "has_dof_transforms", False):
+            w = V.cell_dof_transforms[c] @ w    # local = B @ canonical
         mapping = getattr(elem, "mapping", "identity")
         if mapping == "identity":
             bs = V.block_size

@@ -272,25 +272,41 @@ def _one_sided_body(e):
 
 # ------------------------------------------------------- local evaluation
 def _gather_coeffs(ci, cells):
-    """Per-entity coefficient arrays for the given owning cells."""
+    """Per-entity coefficient arrays for the given owning cells (dof
+    signs / matrix entity transforms applied: local = B @ canonical)."""
     ws = []
     for c in ci.coefficients:
         w = jnp.asarray(c.dat)[jnp.asarray(c.space.cell_dof_map[cells])]
         if getattr(c.space, "has_dof_signs", False):
             w = w * jnp.asarray(c.space.cell_dof_signs[cells])
+        elif getattr(c.space, "has_dof_transforms", False):
+            T = jnp.asarray(c.space.cell_dof_transforms[cells])
+            w = jnp.einsum("cij,cj->ci", T, w)
         ws.append(w)
     return tuple(ws)
 
 
 def _apply_arg_signs(loc, ci, cells, rank):
-    if ci.test is not None and getattr(ci.test.space, "has_dof_signs",
-                                       False):
-        s = jnp.asarray(ci.test.space.cell_dof_signs[cells])
-        loc = loc * (s[:, :, None] if rank == 2 else s)
-    if ci.trial is not None and getattr(ci.trial.space, "has_dof_signs",
-                                        False):
-        s = jnp.asarray(ci.trial.space.cell_dof_signs[cells])
-        loc = loc * s[:, None, :]
+    """Map local tensors to CANONICAL dof indexing: diagonal signs or
+    matrix entity transforms (A_can = B_r^T A_loc B_c, matching
+    assemble.py's T_rows/T_cols path)."""
+    if ci.test is not None:
+        sp = ci.test.space
+        if getattr(sp, "has_dof_signs", False):
+            s = jnp.asarray(sp.cell_dof_signs[cells])
+            loc = loc * (s[:, :, None] if rank == 2 else s)
+        elif getattr(sp, "has_dof_transforms", False):
+            T = jnp.asarray(sp.cell_dof_transforms[cells])
+            loc = (jnp.einsum("cip,cij->cpj", T, loc) if rank == 2
+                   else jnp.einsum("cip,ci->cp", T, loc))
+    if ci.trial is not None:
+        sp = ci.trial.space
+        if getattr(sp, "has_dof_signs", False):
+            s = jnp.asarray(sp.cell_dof_signs[cells])
+            loc = loc * s[:, None, :]
+        elif getattr(sp, "has_dof_transforms", False):
+            T = jnp.asarray(sp.cell_dof_transforms[cells])
+            loc = jnp.einsum("cpj,cjq->cpq", loc, T)
     return loc
 
 

@@ -128,16 +128,24 @@ def solve_hybridization(problem, params):
     sigma_b = assemble_slate(x.blocks[0])
     u_co = assemble_slate(x.blocks[1])
 
-    # broken flux -> conforming RT: signed per-cell copy (normal
-    # continuity holds by construction; average to kill round-off)
+    # broken flux -> conforming RT: per-cell copy back to canonical dof
+    # convention (normal continuity holds by construction; average to
+    # kill round-off).  Broken dofs are raw LOCAL reference dofs; the
+    # conforming space stores CANONICAL dofs with local = B @ canonical,
+    # so invert diagonal signs or the matrix entity transforms.
     rt_map = Sigma.cell_dof_map
     sb_map = Sb.cell_dof_map
-    signs = (Sigma.cell_dof_signs
-             if getattr(Sigma, "has_dof_signs", False)
-             else np.ones_like(rt_map, dtype=float))
+    loc = np.asarray(sigma_b.dat)[sb_map]                   # (C, nd)
+    if getattr(Sigma, "has_dof_transforms", False):
+        B = Sigma.cell_dof_transforms                       # (C, nd, nd)
+        can = np.linalg.solve(B, loc[..., None])[..., 0]
+    elif getattr(Sigma, "has_dof_signs", False):
+        can = Sigma.cell_dof_signs * loc                    # signs^-1 = signs
+    else:
+        can = loc
     vals = np.zeros(Sigma.dim)
     counts = np.zeros(Sigma.dim)
-    np.add.at(vals, rt_map, signs * np.asarray(sigma_b.dat)[sb_map])
+    np.add.at(vals, rt_map, can)
     np.add.at(counts, rt_map, 1.0)
     p.u.subfunctions[0].dat = vals / np.maximum(counts, 1.0)
     p.u.subfunctions[1].dat = np.asarray(u_co.dat)

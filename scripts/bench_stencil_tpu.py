@@ -10,7 +10,6 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("FDTPU_NO_BATCHED", "1")
 
 import jax
 if os.environ.get("FDTPU_BENCH_CPU") == "1":
