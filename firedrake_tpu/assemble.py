@@ -366,6 +366,11 @@ class FormAssembler:
                 st["cols"] = np.asarray(
                     self.trial.space.cell_dof_map[cells])
             st["n"] = len(cells)
+            # sum-factorized (spectral) executor for Q_k on quad/hex
+            # cells (compiler/spectral.py; tsfc spectral-mode role)
+            from .compiler.spectral import build_spectral_plan
+            st["_spectral"] = build_spectral_plan(ci, self.test,
+                                                  self.trial)
         elif ci.integral_type == "exterior_facet":
             facets = mesh.boundary_facets(ci.subdomain_id)
             if len(facets) == 0:
@@ -548,8 +553,12 @@ class FormAssembler:
                         st["coeff_maps"][c.count]], st["coeff_signs"],
                         st.get("coeff_T"))
                     for c in ci.coefficients)
-                loc = jax.vmap(
-                    lambda c, *w: kern(c, w, consts))(ce, *coeffs)
+                sp = np_st.get("_spectral")
+                if sp is not None:
+                    loc = sp.local_tensors(ce, coeffs, consts)
+                else:
+                    loc = jax.vmap(
+                        lambda c, *w: kern(c, w, consts))(ce, *coeffs)
             elif ci.integral_type == "exterior_facet":
                 ce = coords_dat[st["coords_map"]]
                 coeffs = tuple(
