@@ -22,7 +22,15 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
-           "PCDPC"]
+           "PCDPC", "FDMPC", "P1PC"]
+
+
+def __getattr__(name):
+    # late-bound so fdm.py can import PCBase from here without a cycle
+    if name in ("FDMPC", "P1PC"):
+        from . import fdm
+        return getattr(fdm, name)
+    raise AttributeError(name)
 
 
 class PCBase:
