@@ -113,6 +113,15 @@ class MeshTopology:
             return np.arange(self.num_cells, dtype=_IDX)[:, None]
         return self._entity_data[d]["cell_entities"]
 
+    def entity_vertices(self, d: int) -> np.ndarray:
+        """(num_entities(d), nvpe) vertex ids per dim-d entity (-1 pads
+        for mixed-arity cells)."""
+        if d == 0:
+            return np.arange(self.num_vertices, dtype=np.int64)[:, None]
+        if d == self.dim:
+            return self.cell_vertices.astype(np.int64)
+        return self._entity_data[d]["entities"]
+
     def entity_class_counts(self, d: int) -> dict:
         """{arity: count} for dim-d entities (uniform cells: one class)."""
         if d == 0:

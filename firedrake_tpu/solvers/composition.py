@@ -304,6 +304,20 @@ def _pc_vanka(ctx, params, prefix):
     return make_vanka_patch(ctx.mat, ctx.space, exclude_field=exclude)
 
 
+def _pc_linesmooth(ctx, params, prefix):
+    from .asm import ASMLinesmoothPC
+    pc_obj = ASMLinesmoothPC()
+    pc_obj.initialize_ctx(ctx, params, prefix)
+    return pc_obj.apply
+
+
+def _pc_extruded_star(ctx, params, prefix):
+    from .asm import ASMExtrudedStarPC
+    pc_obj = ASMExtrudedStarPC()
+    pc_obj.initialize_ctx(ctx, params, prefix)
+    return pc_obj.apply
+
+
 def _pc_python(ctx, params, prefix):
     name = opt(params, prefix, "pc_python_type", "")
     cls = _resolve_python_pc(name)
@@ -572,6 +586,8 @@ _PC_BUILDERS = {
     "asm": _pc_patch,
     "star": _pc_patch,
     "vanka": _pc_vanka,
+    "linesmooth": _pc_linesmooth,
+    "extruded_star": _pc_extruded_star,
     "python": _pc_python,
     "composite": _pc_composite,
     "fieldsplit": _pc_fieldsplit,

@@ -22,14 +22,21 @@ import numpy as np
 import jax.numpy as jnp
 
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
-           "PCDPC", "FDMPC", "P1PC"]
+           "PCDPC", "FDMPC", "P1PC", "ASMLinesmoothPC",
+           "ASMExtrudedStarPC", "FacetSplitPC"]
+
+# late-bound so the submodules can import PCBase from here without cycles
+_LATE = {"FDMPC": "fdm", "P1PC": "fdm",
+         "ASMLinesmoothPC": "asm", "ASMExtrudedStarPC": "asm",
+         "FacetSplitPC": "facet_split"}
 
 
 def __getattr__(name):
-    # late-bound so fdm.py can import PCBase from here without a cycle
-    if name in ("FDMPC", "P1PC"):
-        from . import fdm
-        return getattr(fdm, name)
+    mod = _LATE.get(name)
+    if mod is not None:
+        import importlib
+        return getattr(importlib.import_module(f".{mod}", __package__),
+                       name)
     raise AttributeError(name)
 
 
