@@ -73,12 +73,16 @@ class DirichletBC:
         g = self.g
         if isinstance(g, (int, float)):
             out[idx] = float(g)
-        elif isinstance(g, ConstantBase):
-            v = np.asarray(g.values()).reshape(-1)
+        elif isinstance(g, ConstantBase) and (
+                v := np.asarray(g.values()).reshape(-1)) is not None and (
+                v.size == 1 or getattr(V.scalar_element, "mapping",
+                                       "identity") == "identity"):
             if v.size == 1:
                 out[idx] = float(v[0])
             else:
-                # per-component constant on a vector space
+                # per-component constant on an identity-mapped vector
+                # space (Piola-mapped spaces take the interpolation
+                # branch below: their dofs are moments, not components)
                 full = np.tile(v, V.num_nodes)
                 out[idx] = full[lidx]
         elif isinstance(g, Function):

@@ -112,6 +112,112 @@ def _build_moment(expr: Expr, V):
     return jax.jit(run), coeffs, consts
 
 
+def operator_matrix(expr: Expr, V):
+    """Sparse matrix of the linear interpolation operator u -> I_V(expr(u)),
+    where ``expr`` contains exactly ONE Argument (the source trial) and V
+    is a moment (dual-quadrature) space — e.g. the discrete gradient
+    G: CG_k -> N1curl_k with expr = grad(TrialFunction(CG)), the
+    exterior-derivative tabulation HiptmairPC needs (reference:
+    firedrake/preconditioners/fdm.py tabulate_exterior_derivative,
+    hiptmair.py:204 interpolate(dminus(trial), V)).
+
+    Per cell: lower expr at the target's dual points (trial axis kept),
+    pull back by the target's Piola map, contract with the dual weights
+    -> local (n_target, n_source) matrix; convert rows to the target's
+    canonical dof convention and columns from the source's; scatter with
+    target-multiplicity averaging (shared target dofs are single-valued
+    for conforming expr).  Returns an assembly.matrix.Matrix
+    (d2h-free: values stay on device)."""
+    from .compiler.smallmat import det as _sdet, inv as _sinv
+    from .compiler.smalldot import einsum as _small_einsum
+    from .assembly.sparsity import Sparsity
+    from .assembly.matrix import Matrix
+    from .language.core import Coefficient, ConstantBase
+
+    args = {t for t in expr.traverse() if isinstance(t, Argument)}
+    if len(args) != 1:
+        raise ValueError("operator_matrix needs exactly one Argument")
+    if any(isinstance(t, (Coefficient, ConstantBase))
+           for t in expr.traverse()):
+        raise NotImplementedError("operator_matrix with coefficients")
+    (arg,) = args
+    Vs = arg.function_space()
+    mesh = V.mesh_obj
+    assert Vs.mesh_obj is mesh
+    gdim = mesh.geometric_dimension
+    elem = V.element
+    dpts, dwts = elem.dual_quadrature()    # (nd, nq, tdim), (nd, nq, vd)
+    nd, nq, tdim = dpts.shape
+    pts = dpts.reshape(nd * nq, tdim)
+    integrand = push_grad(expr)
+    if Vs.block_size != 1:
+        raise NotImplementedError("operator_matrix vector sources")
+    nj = Vs.element.ndof
+    mapping = getattr(elem, "mapping", "identity")
+
+    def kern(coords_e):
+        ctx = PointsContext(mesh, pts, coords_e)
+        low = Lowerer(ctx, None, arg, {}, {})
+        v = low.eval(integrand, None)      # (1, nj, nd*nq) + shape
+        v = jnp.broadcast_to(v, (1, nj, len(pts)) + integrand.shape)[0]
+        return v.reshape((nj, len(pts), -1))   # (nj, nd*nq, vd)
+
+    coords_space = mesh.coordinates.function_space()
+    cmap3 = jnp.asarray(coords_space.cell_dof_map.reshape(
+        mesh.num_cells, -1, gdim))
+    dwts_j = jnp.asarray(dwts.reshape(nd, nq, -1))
+    tgt_signs = (jnp.asarray(V.cell_dof_signs)
+                 if getattr(V, "has_dof_signs", False) else None)
+    tgt_Binv = (jnp.asarray(np.linalg.inv(V.cell_dof_transforms))
+                if getattr(V, "has_dof_transforms", False) else None)
+    src_signs = (jnp.asarray(Vs.cell_dof_signs)
+                 if getattr(Vs, "has_dof_signs", False) else None)
+    src_T = (jnp.asarray(Vs.cell_dof_transforms)
+             if getattr(Vs, "has_dof_transforms", False) else None)
+
+    coords_dat = jnp.asarray(mesh.coordinates.dat)
+    ce = coords_dat[cmap3]                       # (ncell, nvert, gdim)
+    vals = jax.vmap(kern)(ce)                    # (nc, nj, nd*nq, vd)
+    # pull the PHYSICAL values back to the target's reference frame
+    # (affine cells: constant J = [v_i - v_0])
+    J = jnp.stack([ce[:, i + 1] - ce[:, 0] for i in range(tdim)],
+                  axis=-1)                       # (nc, gdim, tdim)
+    if mapping == "contravariant":
+        dJ = _sdet(J)
+        Ji = _sinv(J)
+        uref = dJ[:, None, None, None] * _small_einsum(
+            "cij,cnqj->cnqi", Ji, vals)
+    elif mapping == "covariant":
+        uref = _small_einsum("cji,cnqj->cnqi", J, vals)
+    else:
+        uref = vals
+    uref = uref.reshape(uref.shape[0], nj, nd, nq, -1)
+    loc = _small_einsum("nqv,cjnqv->cnj", dwts_j, uref)  # (nc, nd, nj)
+    if tgt_signs is not None:
+        loc = loc * tgt_signs[:, :, None]        # signs^-1 == signs
+    elif tgt_Binv is not None:
+        loc = _small_einsum("cij,cjk->cik", tgt_Binv, loc)
+    # source canonical -> local columns: w_loc = S w_can / T @ w_can
+    if src_signs is not None:
+        loc = loc * src_signs[:, None, :]
+    elif src_T is not None:
+        loc = _small_einsum("cnj,cjk->cnk", loc, src_T)
+    rows_sc = V.cell_dof_map.astype(np.int64)    # (nc, nd)
+    cols_sc = Vs.cell_dof_map.astype(np.int64)   # (nc, nj)
+    # shared target dofs are written by every adjacent cell: average
+    mult = np.zeros(V.dim)
+    np.add.at(mult, rows_sc.reshape(-1), 1.0)
+    loc = loc / jnp.asarray(mult)[jnp.asarray(rows_sc)][:, :, None]
+    nc = rows_sc.shape[0]
+    rows_e = np.broadcast_to(rows_sc[:, :, None], (nc, nd, nj))
+    cols_e = np.broadcast_to(cols_sc[:, None, :], (nc, nd, nj))
+    sp = Sparsity(V.dim, Vs.dim,
+                  [(rows_e.reshape(-1, 1), cols_e.reshape(-1, 1))])
+    data = jnp.zeros(sp.nnz).at[jnp.asarray(sp.block_positions[0])].add(
+        loc.reshape(-1))
+    return Matrix(sp, data, None, None)
+
+
 def _build(expr: Expr, V):
     mesh = V.mesh_obj
     if hasattr(V.element, "dual_quadrature"):

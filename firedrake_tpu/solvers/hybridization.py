@@ -69,10 +69,9 @@ def _broken_problem(a, L, W):
     return rebuild(a), rebuild(L), Wd, T
 
 
-def solve_hybridization(problem, params):
+def solve_hybridization(problem, params, appctx=None):
     """Solve problem.a == problem.L for problem.u on W = RT x DG."""
-    from ..solving import _run_ksp
-    from .preconditioners import make_pc, direct_solve
+    from .preconditioners import direct_solve
     from ..bcs import DirichletBC
 
     p = problem
@@ -110,16 +109,33 @@ def solve_hybridization(problem, params):
     rhs = jnp.asarray(assemble_slate(E).dat)
     rhs = rhs.at[jnp.asarray(bc.nodes)].set(0.0)
 
-    hp = dict(params.get("hybridization", {}))
-    ksp = hp.get("ksp_type", "preonly")
-    if ksp == "preonly":
+    # trace-solve options live under the hybridization_ prefix
+    # (nested-dict solver_parameters are flattened in solving.py);
+    # legacy nested access kept for direct callers
+    hp = {("hybridization_" + k): v
+          for k, v in dict(params.get("hybridization", {})).items()}
+    hp.update({k: v for k, v in params.items()
+               if k.startswith("hybridization_")})
+    pre = "hybridization_"
+    ksp = hp.get(pre + "ksp_type", "preonly")
+    if ksp == "preonly" and hp.get(pre + "pc_type", "lu") in (
+            "lu", "cholesky"):
         lam_dat = direct_solve(Smat, rhs)
         its = 1
     else:
-        pc = make_pc(hp.get("pc_type", "jacobi"), Smat, hp)
-        res = _run_ksp(Smat.matvec, rhs, hp, pc=pc,
-                       x0=jnp.zeros(T.dim))
-        lam_dat, its = res.x, int(res.iterations)
+        # full recursive composition on the trace operator (python PCs
+        # like GTMGPC read callbacks from the appctx)
+        from .composition import OpCtx, build_ksp
+        hp.setdefault(pre + "ksp_rtol", 1e-7)    # outer-level defaults:
+        hp.setdefault(pre + "ksp_max_it", 10000)  # this IS the solve
+        ictx = OpCtx(mat=Smat, space=T, form=None, bcs=[bc],
+                     appctx=appctx or {})
+        tsolve = build_ksp(ictx, hp, pre)
+        if ksp == "preonly":
+            lam_dat, its = tsolve(rhs), 1
+        else:
+            res = tsolve._full(rhs, x0=jnp.zeros(T.dim))
+            lam_dat, its = res.x, int(res.iterations)
     lam = Function(T)
     lam.dat = np.asarray(lam_dat)
 

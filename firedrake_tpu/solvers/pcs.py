@@ -23,12 +23,13 @@ import jax.numpy as jnp
 
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
            "PCDPC", "FDMPC", "P1PC", "ASMLinesmoothPC",
-           "ASMExtrudedStarPC", "FacetSplitPC"]
+           "ASMExtrudedStarPC", "FacetSplitPC", "HiptmairPC", "GTMGPC"]
 
 # late-bound so the submodules can import PCBase from here without cycles
 _LATE = {"FDMPC": "fdm", "P1PC": "fdm",
          "ASMLinesmoothPC": "asm", "ASMExtrudedStarPC": "asm",
-         "FacetSplitPC": "facet_split"}
+         "FacetSplitPC": "facet_split", "HiptmairPC": "hiptmair",
+         "GTMGPC": "gtmg"}
 
 
 def __getattr__(name):

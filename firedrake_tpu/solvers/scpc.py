@@ -18,13 +18,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
-def solve_scpc(problem, params):
+def solve_scpc(problem, params, appctx=None):
     from ..slate import _local_form_tensor
     from ..assembly.sparsity import Sparsity
     from ..assembly.matrix import Matrix
     from ..ops.batched_inverse import batched_inv
-    from .preconditioners import make_pc, direct_solve
-    from ..solving import _run_ksp
+    from .preconditioners import direct_solve
 
     p = problem
     V = p.u.function_space()
@@ -87,16 +86,31 @@ def solve_scpc(problem, params):
         rhs = rhs.at[rows].set(vals)
         S = S.with_dirichlet(rows, symmetric=True)
 
-    sub = dict(params.get("condensed_field", {}))
-    ksp = sub.get("ksp_type", "preonly")
-    if ksp == "preonly":
+    # condensed-system options under the condensed_field_ prefix
+    # (nested solver_parameters are flattened in solving.py; legacy
+    # nested access kept for direct callers)
+    pre = "condensed_field_"
+    sub = {(pre + k): v
+           for k, v in dict(params.get("condensed_field", {})).items()}
+    sub.update({k: v for k, v in params.items() if k.startswith(pre)})
+    ksp = sub.get(pre + "ksp_type", "preonly")
+    if ksp == "preonly" and sub.get(pre + "pc_type", "lu") in (
+            "lu", "cholesky"):
         uG = direct_solve(S, rhs)
         its = 1
     else:
-        pc = make_pc(sub.get("pc_type", "jacobi"), S, sub)
-        res = _run_ksp(S.matvec, rhs, sub, pc=pc,
-                       x0=jnp.zeros(ncond))
-        uG, its = res.x, int(res.iterations)
+        # full recursive composition on the condensed operator
+        from .composition import OpCtx, build_ksp
+        sub.setdefault(pre + "ksp_rtol", 1e-7)
+        sub.setdefault(pre + "ksp_max_it", 10000)
+        ictx = OpCtx(mat=S, space=None, form=None, bcs=(),
+                     appctx=appctx or {})
+        tsolve = build_ksp(ictx, sub, pre)
+        if ksp == "preonly":
+            uG, its = tsolve(rhs), 1
+        else:
+            res = tsolve._full(rhs, x0=jnp.zeros(ncond))
+            uG, its = res.x, int(res.iterations)
 
     # back-substitution of the interior dofs, per cell
     uG_loc = uG[jnp.asarray(gmap)]                        # (nc, nG)

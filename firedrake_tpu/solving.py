@@ -43,11 +43,27 @@ DEFAULT_SNES_PARAMS = {
 }
 
 
+def flatten_parameters(params, sep="_"):
+    """PETSc-style nested solver_parameters: a dict value is a subtree
+    whose keys get the parent key as prefix (reference:
+    petsctools/options flatten_parameters) — so
+    ``{"gt": {"mg_levels": {"ksp_type": "chebyshev"}}}`` becomes
+    ``{"gt_mg_levels_ksp_type": "chebyshev"}``."""
+    out = {}
+    for k, v in (params or {}).items():
+        if isinstance(v, dict):
+            for ik, iv in flatten_parameters(v, sep).items():
+                out[k + sep + ik] = iv
+        else:
+            out[k] = v
+    return out
+
+
 def _merged_params(solver_parameters, nonlinear=False):
     p = dict(DEFAULT_KSP_PARAMS)
     if nonlinear:
         p.update(DEFAULT_SNES_PARAMS)
-    p.update(solver_parameters or {})
+    p.update(flatten_parameters(solver_parameters))
     return p
 
 
@@ -122,12 +138,14 @@ class LinearVariationalSolver:
                 or params.get("pc_python_type", "").endswith(
                     "HybridizationPC")):
             from .solvers.hybridization import solve_hybridization
-            self.ksp_iterations = solve_hybridization(p, params)
+            self.ksp_iterations = solve_hybridization(
+                p, params, appctx=self.appctx)
             return
         if (params.get("pc_type") == "scpc"
                 or params.get("pc_python_type", "").endswith("SCPC")):
             from .solvers.scpc import solve_scpc
-            self.ksp_iterations = solve_scpc(p, params)
+            self.ksp_iterations = solve_scpc(p, params,
+                                             appctx=self.appctx)
             return
         if params.get("distributed"):
             # SPMD solve over the device mesh (reference: firedrake
