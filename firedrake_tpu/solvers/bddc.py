@@ -1,0 +1,244 @@
+"""BDDCPC: Balancing Domain Decomposition by Constraints.
+
+Reference surface: firedrake/preconditioners/bddc.py:27 BDDCPC — there a
+thin wrapper handing a MatIS to PETSc's PCBDDC (options ``bddc_*``,
+primal corner selection, Neumann/Dirichlet/coarse sub-solves).  Here the
+algorithm itself (Dohrmann 2003), built TPU-first: every per-subdomain
+operation is one BATCHED dense program (the MXU/VPU shape), and the
+whole application composes traceably inside jitted Krylov loops.
+
+Structure (exact-interior-solve BDDC on the interface Schur complement):
+  M^-1 r:  u1 = A_II^-1 r_I                 (batched interior solves)
+           g  = r - A u1                     (Schur residual on Gamma)
+           w  = E_D^T ( N(g) + Psi S_Pi^-1 Psi^T E_D g )   (interface)
+           z  = u1 + w - A_II^-1 (A w)_I     (harmonic extension)
+where per subdomain s the Neumann correction N solves the CONSTRAINED
+local problem  [A_s  C_s^T; C_s  -eps I] [v; lam] = [E_D g; 0]  (the
+primal dofs carry no dual correction) and Psi/S_Pi are the energy-
+minimal coarse basis / primal Schur complement, read directly off the
+same batched saddle inverses (S_Pi^s = -(K^-1)_{22}).
+
+Primal constraints: point constraints at subdomain corners (dofs whose
+subdomain multiplicity >= 3) plus one average per interface class (the
+set of dofs shared by the same subdomain pair) — the standard
+corner+edge-average space, condition O((1 + log(H/h))^2).
+
+Subdomains are contiguous chunks of the SFC cell order (the serial
+analogue of the reference's rank-per-subdomain MatIS decomposition);
+``bddc_subdomains`` overrides the count.  The local factorizations are
+batched Gauss-Jordan inverses (ops/batched_inverse) computed once at
+setup, entirely on device — no host round-trip.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .pcs import PCBase
+
+__all__ = ["BDDCPC"]
+
+
+def _dense_inv_gj(A):
+    """Pure-jnp Gauss-Jordan inverse of one SPD dense matrix via
+    lax.fori_loop (no pivoting).  Traceable and f64-safe on TPU: only
+    elementwise ops and dynamic slices, never a dot_general or an XLA
+    LuDecomposition (which has no f64 TPU lowering)."""
+    n = A.shape[0]
+    M0 = jnp.concatenate([A, jnp.eye(n, dtype=A.dtype)], axis=1)
+
+    def body(k, M):
+        piv = M[k] / M[k, k]
+        M = M - M[:, k, None] * piv[None, :]
+        return M.at[k].set(piv)
+
+    M = lax.fori_loop(0, n, body, M0)
+    return M[:, n:]
+
+
+class BDDCPC(PCBase):
+    """Balancing Domain Decomposition by Constraints (SPD problems).
+
+    Options: ``bddc_subdomains`` (int, default ~ncells/64).  appctx:
+    ``primal_markers`` — extra global dof indices forced into the
+    coarse (primal) space (the reference's setBDDCPrimalVerticesIS
+    route).  The reference's ``bddc_pc_bddc_{neumann,dirichlet,coarse}``
+    sub-KSP options are accepted but ignored: all three solves here are
+    exact batched dense inverses."""
+
+    _prefix = "bddc_"
+
+    def initialize_ctx(self, ctx, params, prefix):
+        from .composition import opt
+        from ..slate import _local_form_tensor
+        from ..parallel.partition import sfc_cell_order
+        from ..ops.batched_inverse import batched_inv
+
+        V, form = ctx.space, ctx.form
+        if V is None or form is None:
+            raise ValueError("BDDCPC needs the bilinear form and space")
+        self._matvec = ctx.matvec
+        mesh = V.mesh_obj
+        nc = mesh.num_cells
+        cmap = np.asarray(V.cell_dof_map, dtype=np.int64)
+        nd = cmap.shape[1]
+        ndof = V.dim
+
+        ns = opt(params, prefix, self._prefix + "subdomains", None)
+        ns = int(ns) if ns is not None else int(np.clip(nc // 64, 4, 512))
+        ns = max(2, min(ns, nc))
+        order = sfc_cell_order(mesh)
+        cell_sub = np.empty(nc, dtype=np.int64)
+        for s, chunk in enumerate(np.array_split(order, ns)):
+            cell_sub[chunk] = s
+
+        bc_mask = np.zeros(ndof, dtype=bool)
+        for b in ctx.bcs or ():
+            bc_mask[np.asarray(b.dof_indices, dtype=np.int64)] = True
+
+        # ---- dof -> set of touching subdomains
+        pairs = np.unique(np.stack([cmap.reshape(-1),
+                                    np.repeat(cell_sub, nd)], 1), axis=0)
+        mult = np.bincount(pairs[:, 0], minlength=ndof)
+        starts = np.searchsorted(pairs[:, 0], np.arange(ndof))
+        ends = np.searchsorted(pairs[:, 0], np.arange(ndof) + 1)
+
+        # ---- primal constraints
+        markers = (ctx.appctx or {}).get("primal_markers", None)
+        forced = set(np.asarray(markers, dtype=np.int64).tolist()
+                     if markers is not None else [])
+        corners = []          # global dof ids (point constraints)
+        classes = {}          # frozenset(subs) -> [dofs] (averages)
+        for d in np.flatnonzero((mult >= 2) & ~bc_mask):
+            subs = tuple(pairs[starts[d]:ends[d], 1])
+            if mult[d] >= 3 or d in forced:
+                corners.append((int(d), subs))
+            else:
+                classes.setdefault(subs, []).append(int(d))
+
+        # global constraint numbering: corners first, then classes
+        n_pi = len(corners) + len(classes)
+        if n_pi == 0:
+            raise ValueError("BDDCPC: no primal constraints — mesh too "
+                             "small for the subdomain count")
+        # per-subdomain constraint lists: (global_id, [(dof, weight)])
+        sub_cons = [[] for _ in range(ns)]
+        for gid, (d, subs) in enumerate(corners):
+            for s in subs:
+                sub_cons[s].append((gid, [(d, 1.0)]))
+        for cid, (subs, dofs) in enumerate(classes.items()):
+            gid = len(corners) + cid
+            w = 1.0 / len(dofs)
+            for s in subs:
+                sub_cons[s].append((gid, [(d, w) for d in dofs]))
+
+        # ---- per-subdomain local dof lists (padded)
+        sub_dofs = []
+        for s in range(ns):
+            sub_dofs.append(np.unique(cmap[cell_sub == s].reshape(-1)))
+        nmax = max(len(L) for L in sub_dofs)
+        mmax = max(len(c) for c in sub_cons)
+        Lpad = np.zeros((ns, nmax), dtype=np.int64)
+        valid = np.zeros((ns, nmax), dtype=bool)
+        for s, L in enumerate(sub_dofs):
+            Lpad[s, :len(L)] = L
+            valid[s, :len(L)] = True
+
+        free = valid & ~bc_mask[Lpad]
+        interior = free & (mult[Lpad] == 1)
+        gamma = free & (mult[Lpad] >= 2)
+        Dw = np.where(free, 1.0 / np.maximum(mult[Lpad], 1), 0.0)
+
+        # local constraint rows C (ns, mmax, nmax) + global ids
+        C = np.zeros((ns, mmax, nmax))
+        cpad = np.full((ns, mmax), n_pi, dtype=np.int64)  # pad -> dummy
+        con_valid = np.zeros((ns, mmax), dtype=bool)
+        for s, cons in enumerate(sub_cons):
+            l2g = {int(d): i for i, d in enumerate(sub_dofs[s])}
+            for m, (gid, entries) in enumerate(cons):
+                cpad[s, m] = gid
+                con_valid[s, m] = True
+                for d, w in entries:
+                    C[s, m, l2g[d]] = w
+
+        # ---- batched local Neumann matrices (device scatter of the
+        # canonical element tensors; values never leave the device)
+        A_loc = _local_form_tensor(form)               # (nc, nd, nd)
+        lidx = np.empty((nc, nd), dtype=np.int64)
+        for s in range(ns):
+            sel = cell_sub == s
+            lidx[sel] = np.searchsorted(sub_dofs[s], cmap[sel])
+        flat = (cell_sub[:, None, None] * (nmax * nmax)
+                + lidx[:, :, None] * nmax + lidx[:, None, :])
+        Apad = jnp.zeros(ns * nmax * nmax).at[
+            jnp.asarray(flat.reshape(-1))].add(
+            A_loc.reshape(-1)).reshape(ns, nmax, nmax)
+
+        fmask = jnp.asarray(free.astype(np.float64))
+        eyegap = jax.vmap(jnp.diag)(1.0 - fmask)       # identity filler
+        Apad = Apad * fmask[:, :, None] * fmask[:, None, :] + eyegap
+
+        imask = jnp.asarray(interior.astype(np.float64))
+        M_int = (Apad * imask[:, :, None] * imask[:, None, :]
+                 + jax.vmap(jnp.diag)(1.0 - imask))
+        self._Binv = batched_inv(M_int)
+
+        # saddle systems: [[A, C^T], [C, -eps I]]; padded constraint
+        # rows get a unit diagonal (zero C row) so K stays invertible
+        Cd = jnp.asarray(C)
+        scale = jnp.mean(jax.vmap(jnp.diag)(Apad), axis=(0, 1))
+        cv = jnp.asarray(con_valid.astype(np.float64))
+        reg = jax.vmap(jnp.diag)(jnp.where(cv > 0, -1e-10 * scale, 1.0))
+        K = jnp.concatenate([
+            jnp.concatenate([Apad, jnp.swapaxes(Cd, 1, 2)], axis=2),
+            jnp.concatenate([Cd, reg], axis=2)], axis=1)
+        Kinv = batched_inv(K)
+        self._T = Kinv[:, :nmax, :nmax]                # Neumann solve
+        self._Psi = Kinv[:, :nmax, nmax:]              # coarse basis
+        S_loc = -Kinv[:, nmax:, nmax:]                 # primal Schur
+
+        # global primal Schur (tiny dense) and its inverse, on device
+        gi = cpad[:, :, None] * (n_pi + 1) + cpad[:, None, :]
+        S_pi = jnp.zeros((n_pi + 1) * (n_pi + 1)).at[
+            jnp.asarray(gi.reshape(-1))].add(
+            (S_loc * cv[:, :, None] * cv[:, None, :]).reshape(-1))
+        S_pi = S_pi.reshape(n_pi + 1, n_pi + 1)[:n_pi, :n_pi]
+        self._SPinv = _dense_inv_gj(S_pi)
+
+        self._Lpad = jnp.asarray(Lpad)
+        self._Dw = jnp.asarray(Dw)
+        self._imaskf = imask
+        self._gmaskf = jnp.asarray(gamma.astype(np.float64))
+        self._cpad = jnp.asarray(cpad)
+        self._freeg = jnp.asarray((~bc_mask).astype(np.float64))
+        self._ndof = ndof
+        self._npi = n_pi
+
+    def _interior(self, r):
+        """Batched exact interior solves; zero outside interiors."""
+        rloc = r[self._Lpad] * self._imaskf
+        u = jnp.einsum("snm,sm->sn", self._Binv, rloc) * self._imaskf
+        return jnp.zeros(self._ndof).at[self._Lpad.reshape(-1)].add(
+            u.reshape(-1))
+
+    def apply(self, r):
+        rf = r * self._freeg
+        u1 = self._interior(rf)
+        g = (rf - self._matvec(u1)) * self._freeg
+        gloc = g[self._Lpad] * self._Dw
+        # dual (constrained-Neumann) corrections
+        v = jnp.einsum("snm,sm->sn", self._T, gloc)
+        # primal coarse correction
+        rpi = jnp.zeros(self._npi + 1).at[self._cpad.reshape(-1)].add(
+            jnp.einsum("snm,sn->sm", self._Psi, gloc).reshape(-1))
+        xpi = self._SPinv @ rpi[:self._npi]
+        xpi = jnp.concatenate([xpi, jnp.zeros(1)])     # dummy pad slot
+        vc = jnp.einsum("snm,sm->sn", self._Psi, xpi[self._cpad])
+        w = jnp.zeros(self._ndof).at[self._Lpad.reshape(-1)].add(
+            ((v + vc) * self._Dw * self._gmaskf).reshape(-1))
+        # harmonic extension of the interface correction
+        u2 = self._interior(self._matvec(w))
+        z = u1 + w - u2
+        return z * self._freeg + r * (1.0 - self._freeg)

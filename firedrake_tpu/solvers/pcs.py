@@ -23,13 +23,14 @@ import jax.numpy as jnp
 
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
            "PCDPC", "FDMPC", "P1PC", "ASMLinesmoothPC",
-           "ASMExtrudedStarPC", "FacetSplitPC", "HiptmairPC", "GTMGPC"]
+           "ASMExtrudedStarPC", "FacetSplitPC", "HiptmairPC", "GTMGPC",
+           "BDDCPC"]
 
 # late-bound so the submodules can import PCBase from here without cycles
 _LATE = {"FDMPC": "fdm", "P1PC": "fdm",
          "ASMLinesmoothPC": "asm", "ASMExtrudedStarPC": "asm",
          "FacetSplitPC": "facet_split", "HiptmairPC": "hiptmair",
-         "GTMGPC": "gtmg"}
+         "GTMGPC": "gtmg", "BDDCPC": "bddc"}
 
 
 def __getattr__(name):
