@@ -1,14 +1,17 @@
 """Supermesh: mixed mass matrices between non-matching meshes.
 
 Reference: firedrake/supermeshing.py:70 assemble_mixed_mass_matrix
-(backed by libsupermesh's C triangle-intersection kernels + rtree);
+(backed by libsupermesh's C triangle/tet-intersection kernels + rtree);
 used for conservative (Galerkin) projection between meshes.
 
 Here the supermesh is built host-side in numpy: candidate cell pairs
-from a KD-tree over centroids, Sutherland–Hodgman clipping of triangle
-against triangle, fan triangulation of each intersection polygon, and a
-quadrature loop that evaluates BOTH spaces' bases at the common physical
-points (affine reference inversion per mesh).  2D triangle meshes.
+from a KD-tree over centroids; Sutherland–Hodgman clipping of triangle
+against triangle (2D) or convex-intersection vertex enumeration + hull
+tetrahedralization (3D); and a quadrature loop that evaluates BOTH
+spaces' bases at the common physical points (affine reference inversion
+per mesh).  Vector spaces (matching block sizes) expand the scalar
+kernel over components — the mixed mass matrix is the scalar one kron
+the identity.
 """
 from __future__ import annotations
 
@@ -50,10 +53,75 @@ def _ccw(tri):
     return tri if u[0] * w[1] - u[1] * w[0] > 0 else tri[[0, 2, 1]]
 
 
+# ------------------------------------------------------------------ 3D
+def _tet_planes(tet):
+    """Inward-pointing (n, d) halfspace data: n @ x + d >= 0 inside."""
+    faces = ((1, 2, 3, 0), (0, 2, 3, 1), (0, 1, 3, 2), (0, 1, 2, 3))
+    planes = []
+    for i, j, k, opp in faces:
+        n = np.cross(tet[j] - tet[i], tet[k] - tet[i])
+        d = -np.dot(n, tet[i])
+        if np.dot(n, tet[opp]) + d < 0:      # orient inward
+            n, d = -n, -d
+        s = np.linalg.norm(n)
+        planes.append((n / s, d / s))
+    return planes
+
+
+def _inside(planes, p, tol):
+    return all(np.dot(n, p) + d >= -tol for n, d in planes)
+
+
+def intersect_tets(tetA, tetB, tol=1e-12):
+    """Vertices of the convex intersection of two tets (may be [])::
+    vertices of A in B, vertices of B in A, and every edge-face
+    crossing, deduplicated."""
+    pA, pB = _tet_planes(tetA), _tet_planes(tetB)
+    pts = [v for v in tetA if _inside(pB, v, tol)]
+    pts += [v for v in tetB if _inside(pA, v, tol)]
+    edges = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    for verts, planes, other in ((tetA, pB, pA), (tetB, pA, pB)):
+        for i, j in edges:
+            a, b = verts[i], verts[j]
+            u = b - a
+            for n, d in planes:
+                den = np.dot(n, u)
+                if abs(den) < 1e-15:
+                    continue
+                t = -(np.dot(n, a) + d) / den
+                if tol < t < 1 - tol:
+                    p = a + t * u
+                    if _inside(pA, p, tol) and _inside(pB, p, tol):
+                        pts.append(p)
+    if len(pts) < 4:
+        return []
+    pts = np.asarray(pts)
+    keep = []
+    for p in pts:                  # dedup (tiny point sets)
+        if not any(np.linalg.norm(p - q) < 1e-12 for q in keep):
+            keep.append(p)
+    return keep
+
+
+def _hull_tets(pts):
+    """Tetrahedralize the convex hull of `pts` by fanning hull triangles
+    from the centroid; yields (4, 3) vertex arrays."""
+    from scipy.spatial import QhullError, ConvexHull
+    pts = np.asarray(pts)
+    try:
+        hull = ConvexHull(pts, qhull_options="QJ")
+    except QhullError:
+        return
+    c = pts[hull.vertices].mean(axis=0)
+    for simplex in hull.simplices:
+        yield np.vstack([pts[simplex], c])
+
+
 def assemble_mixed_mass_matrix(V_A, V_B):
     """M[i, j] = integral phi_i^A psi_j^B over the supermesh
     (reference: supermeshing.py:70).  Returns a Matrix mapping V_B
-    coefficients to V_A duals."""
+    coefficients to V_A duals.  Scalar and vector Lagrange-type spaces
+    on triangle (2D) or tetrahedron (3D) meshes."""
     from .assembly.sparsity import Sparsity
     from .assembly.matrix import Matrix
     from .elements.quadrature import make_quadrature
@@ -61,14 +129,21 @@ def assemble_mixed_mass_matrix(V_A, V_B):
     from scipy.spatial import cKDTree
 
     mesh_A, mesh_B = V_A.mesh_obj, V_B.mesh_obj
-    for m in (mesh_A, mesh_B):
-        if m.cell.name != "triangle":
-            raise NotImplementedError("supermesh: 2D triangle meshes")
-    if V_A.block_size != 1 or V_B.block_size != 1:
-        raise NotImplementedError("supermesh: scalar spaces (vector via "
-                                  "components)")
+    cell = mesh_A.cell.name
+    if cell != mesh_B.cell.name or cell not in ("triangle",
+                                                "tetrahedron"):
+        raise NotImplementedError(
+            "supermesh: both meshes must be triangles or tetrahedra")
+    bs = V_A.block_size
+    if V_B.block_size != bs:
+        raise NotImplementedError("supermesh: matching block sizes")
+    for V in (V_A, V_B):
+        if getattr(V.scalar_element, "mapping", "identity") != "identity":
+            raise NotImplementedError("supermesh: nodal (identity-"
+                                      "mapped) spaces")
+    tdim = 2 if cell == "triangle" else 3
     deg = V_A.scalar_element.degree + V_B.scalar_element.degree
-    quad = make_quadrature("triangle", max(deg, 1))
+    quad = make_quadrature(cell, max(deg, 1))
 
     xA = mesh_A._vertex_coords[mesh_A.topology.cell_vertices]
     xB = mesh_B._vertex_coords[mesh_B.topology.cell_vertices]
@@ -80,24 +155,31 @@ def assemble_mixed_mass_matrix(V_A, V_B):
     pairs = tree.query_ball_point(cA, r=rA + rB.max())
 
     elA, elB = V_A.scalar_element, V_B.scalar_element
-    mapA, mapB = V_A.cell_dof_map, V_B.cell_dof_map
+    mapA, mapB = V_A.cell_node_map, V_B.cell_node_map
 
-    def inv_affine(tri, pts):
-        A = np.stack([tri[1] - tri[0], tri[2] - tri[0]], axis=1)
-        return np.linalg.solve(A, (pts - tri[0]).T).T
+    def inv_affine(cellx, pts):
+        A = np.stack([cellx[k + 1] - cellx[0] for k in range(tdim)],
+                     axis=1)
+        return np.linalg.solve(A, (pts - cellx[0]).T).T
 
+    def _pieces_2d(a, b):
+        poly = intersect_triangles(_ccw(xA[a]), _ccw(xB[b]))
+        p0 = poly[0] if len(poly) >= 3 else None
+        for k in range(1, len(poly) - 1):
+            yield np.stack([p0, poly[k], poly[k + 1]])
+
+    def _pieces_3d(a, b):
+        pts = intersect_tets(xA[a], xB[b])
+        if len(pts) >= 4:
+            yield from _hull_tets(pts)
+
+    pieces = _pieces_2d if tdim == 2 else _pieces_3d
     rows, cols, vals = [], [], []
-    ref = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
     for a, cands in enumerate(pairs):
-        triA = _ccw(xA[a])
         for b in cands:
-            poly = intersect_triangles(triA, _ccw(xB[b]))
-            if len(poly) < 3:
-                continue
-            p0 = poly[0]
-            for k in range(1, len(poly) - 1):
-                sub = np.stack([p0, poly[k], poly[k + 1]])
-                J = np.stack([sub[1] - sub[0], sub[2] - sub[0]], axis=1)
+            for sub in pieces(a, b):
+                J = np.stack([sub[k + 1] - sub[0] for k in range(tdim)],
+                             axis=1)
                 detJ = abs(np.linalg.det(J))
                 if detJ < 1e-16:
                     continue
@@ -113,9 +195,14 @@ def assemble_mixed_mass_matrix(V_A, V_B):
                 cols.append(np.broadcast_to(mapB[b][None, :],
                                             loc.shape).reshape(-1))
                 vals.append(loc.reshape(-1))
-    rows = np.concatenate(rows)
-    cols = np.concatenate(cols)
+    rows = np.concatenate(rows).astype(np.int64)
+    cols = np.concatenate(cols).astype(np.int64)
     vals = np.concatenate(vals)
+    if bs > 1:                 # kron with I_bs over components
+        comp = np.arange(bs)
+        rows = (rows[:, None] * bs + comp).reshape(-1)
+        cols = (cols[:, None] * bs + comp).reshape(-1)
+        vals = np.repeat(vals, bs)
     sp = Sparsity(V_A.dim, V_B.dim,
                   [(rows[:, None], cols[:, None])])
     data = jnp.zeros(sp.nnz).at[jnp.asarray(

@@ -31,3 +31,44 @@ def test_conservative_projection():
     f2 = Function(VB).interpolate(sin(XB[0]) * XB[1] ** 2)
     u2 = supermesh_project(f2, VA)
     assert abs(assemble(u2 * dx) - assemble(f2 * dx)) < 1e-12
+
+
+def test_mixed_mass_3d_partition_of_unity():
+    from firedrake_tpu import UnitCubeMesh
+    VA = FunctionSpace(UnitCubeMesh(3, 3, 3), "CG", 1)
+    VB = FunctionSpace(UnitCubeMesh(4, 4, 4), "CG", 1)
+    M = assemble_mixed_mass_matrix(VA, VB)
+    total = float(np.ones(VA.dim) @ (M.to_scipy() @ np.ones(VB.dim)))
+    assert abs(total - 1.0) < 1e-10
+
+
+def test_conservative_projection_3d():
+    from firedrake_tpu import UnitCubeMesh
+    mA, mB = UnitCubeMesh(3, 3, 3), UnitCubeMesh(2, 4, 3)
+    VA = FunctionSpace(mA, "CG", 1)
+    VB = FunctionSpace(mB, "CG", 2)
+    XB = SpatialCoordinate(mB)
+    XA = SpatialCoordinate(mA)
+    f = Function(VB).interpolate(1 + XB[0] - 2 * XB[1] + 0.5 * XB[2])
+    u = supermesh_project(f, VA)
+    assert errornorm(1 + XA[0] - 2 * XA[1] + 0.5 * XA[2], u) < 1e-10
+    f2 = Function(VB).interpolate(sin(XB[0]) * XB[2] ** 2)
+    u2 = supermesh_project(f2, VA)
+    assert abs(assemble(u2 * dx) - assemble(f2 * dx)) < 1e-11
+
+
+def test_supermesh_vector_spaces():
+    from firedrake_tpu import VectorFunctionSpace, as_vector
+    mA, mB = UnitSquareMesh(6, 6), UnitSquareMesh(4, 5)
+    WA = VectorFunctionSpace(mA, "CG", 1)
+    WB = VectorFunctionSpace(mB, "CG", 2)
+    XB = SpatialCoordinate(mB)
+    XA = SpatialCoordinate(mA)
+    f = Function(WB).interpolate(as_vector([XB[0] + XB[1], 2 - XB[1]]))
+    u = supermesh_project(f, WA)
+    assert errornorm(as_vector([XA[0] + XA[1], 2 - XA[1]]), u) < 1e-10
+    # componentwise conservation
+    f2 = Function(WB).interpolate(as_vector([sin(XB[0]), XB[1] ** 3]))
+    u2 = supermesh_project(f2, WA)
+    for c in range(2):
+        assert abs(assemble(u2[c] * dx) - assemble(f2[c] * dx)) < 1e-12
