@@ -7,8 +7,15 @@ hanging nodes, shape-regular descendants (at most 4 similarity classes
 per initial triangle).
 
 Host-side numpy (mesh surgery is irregular by nature); the refined mesh
-re-enters the standard static-shape compiled pipeline.  Triangles only
-(tet bisection: round 2).
+re-enters the standard static-shape compiled pipeline.  Triangles use
+Mitchell/Sewell NVB; tetrahedra use Rivara-style marked-edge longest-
+edge bisection: mark each refined tet's longest edge, close the marking
+(any tet with a marked edge marks its own longest edge — edge lengths
+strictly increase along the propagation, so this terminates), then
+bisect every tet through ALL of its marked edges, always splitting the
+globally-longest marked edge first.  Faces shared by two tets see the
+same sub-edge bisection sequence (same marked edges, same global
+order), so the refined mesh is conforming with no hanging nodes.
 
 Convention: element stored as (p, a, b) — p is the NEWEST vertex, (a, b)
 is the refinement edge.  Bisection at midpoint m of (a, b) yields
@@ -34,6 +41,75 @@ def _initial_nvb_order(cells, coords):
     return out
 
 
+_TET_EDGES = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _refine_marked_tets(mesh, markers):
+    """Marked-edge longest-edge bisection for tetrahedra (see module
+    docstring).  Returns a NEW conforming Mesh."""
+    from .mesh.topology import MeshTopology
+    from .mesh.geometry import Mesh
+    coords = [np.asarray(p) for p in mesh._vertex_coords]
+    cells = np.asarray(mesh.topology.cell_vertices)
+
+    def _key(a, b):
+        return (a, b) if a < b else (b, a)
+
+    def _elen(k):
+        return float(np.linalg.norm(coords[k[0]] - coords[k[1]]))
+
+    def _longest(verts):
+        """Longest edge of a tet, ties broken by the vertex-id key so
+        every tet sharing the edge agrees."""
+        ks = [_key(verts[i], verts[j]) for i, j in _TET_EDGES]
+        return max(ks, key=lambda k: (_elen(k), k))
+
+    # marking closure: a tet with any marked edge marks its longest
+    marked = {_longest(c) for c in cells[markers]}
+    changed = True
+    while changed:
+        changed = False
+        for c in cells:
+            ks = [_key(c[i], c[j]) for i, j in _TET_EDGES]
+            if any(k in marked for k in ks):
+                lk = _longest(c)
+                if lk not in marked:
+                    marked.add(lk)
+                    changed = True
+
+    midpoint = {}
+
+    def _mid(k):
+        if k not in midpoint:
+            midpoint[k] = len(coords)
+            coords.append((coords[k[0]] + coords[k[1]]) / 2)
+        return midpoint[k]
+
+    out_cells, out_parent = [], []
+    work = [(tuple(int(v) for v in c), i) for i, c in enumerate(cells)]
+    while work:
+        verts, par = work.pop()
+        mk = [_key(verts[i], verts[j]) for i, j in _TET_EDGES]
+        mk = [k for k in mk if k in marked]
+        if not mk:
+            out_cells.append(verts)
+            out_parent.append(par)
+            continue
+        a, b = max(mk, key=lambda k: (_elen(k), k))
+        m = _mid((a, b))
+        work.append((tuple(m if v == a else v for v in verts), par))
+        work.append((tuple(m if v == b else v for v in verts), par))
+
+    new_cells = np.asarray(out_cells, dtype=np.int32)
+    nt = MeshTopology(new_cells, len(coords), "tetrahedron",
+                      mesh.name + "_refined")
+    out = Mesh(nt, np.asarray(coords), name=mesh.name + "_refined")
+    out.parent_cells = np.asarray(out_parent)
+    if getattr(mesh, "cell_markers", None) is not None:
+        out.cell_markers = np.asarray(mesh.cell_markers)[out.parent_cells]
+    return out
+
+
 def refine_marked(mesh, markers):
     """Bisect the marked cells (+ closure); returns a NEW conforming Mesh.
 
@@ -46,8 +122,11 @@ def refine_marked(mesh, markers):
         markers = np.asarray(markers.dat) != 0
     markers = np.asarray(markers).astype(bool)
     topo = mesh.topology
+    if topo.cell.name == "tetrahedron":
+        return _refine_marked_tets(mesh, markers)
     if topo.cell.name != "triangle":
-        raise NotImplementedError("NVB refinement: triangles only")
+        raise NotImplementedError("NVB refinement: triangles and "
+                                  "tetrahedra only")
     coords = [np.asarray(p) for p in mesh._vertex_coords]
     cells = _initial_nvb_order(np.asarray(topo.cell_vertices),
                                mesh._vertex_coords)
