@@ -88,15 +88,16 @@ class VTKFile:
                                    (0, 3), (1, 3), (2, 3)]}
 
     def _try_write_highorder(self, path, functions):
-        """Per-cell point blocks: quadratic VTK cells for degree >= 2
-        fields and exact (non-averaged) DG output (reference: firedrake
-        VTK DG embedding + Lagrange cells).  Returns False when a
-        function's space cannot be sampled this way (falls back to the
-        vertex-sampled linear writer)."""
+        """Per-cell point blocks: quadratic VTK cells for degree-2
+        simplex fields, arbitrary-order VTK Lagrange cells (types 68-72,
+        io/vtk_lagrange.py) for everything else of degree >= 2, and
+        exact (non-averaged) DG output (reference: firedrake VTK DG
+        embedding + output/paraview_reordering.py).  Returns False when
+        a function's space cannot be sampled this way (falls back to
+        the vertex-sampled linear writer)."""
+        from .vtk_lagrange import vtk_lattice, VTK_LAGRANGE_TYPE
         mesh = functions[0].function_space().mesh_obj
         cellname = mesh.cell.name
-        if cellname not in self._QUAD_TYPE:
-            return False
         degs = []
         for f in functions:
             V = f.function_space()
@@ -109,23 +110,34 @@ class VTKFile:
             degs.append(el.degree)
         if max(degs) < 2:
             return False
-        # output nodes: vertices + VTK-ordered edge midpoints, per cell
-        verts = mesh.cell.vertices
-        edges = self._QUAD_EDGES[cellname]
-        ref = np.vstack([verts] + [(verts[a] + verts[b]) / 2
-                                   for (a, b) in edges])
-        cv = mesh.topology.cell_vertices
-        x = mesh._vertex_coords[cv]                     # (nc, nv, g)
-        J = np.stack([x[:, i + 1] - x[:, 0]
-                      for i in range(mesh.cell.dim)], axis=-1)
-        pts = x[:, :1] + np.einsum("cgd,nd->cng", J, ref)
+        deg = max(degs)
+        if deg == 2 and cellname in self._QUAD_TYPE:
+            # quadratic VTK cells: vertices + VTK-ordered edge midpoints
+            verts = mesh.cell.vertices
+            edges = self._QUAD_EDGES[cellname]
+            ref = np.vstack([verts] + [(verts[a] + verts[b]) / 2
+                                       for (a, b) in edges])
+            vtk_type = self._QUAD_TYPE[cellname]
+        elif cellname in VTK_LAGRANGE_TYPE:
+            ref = vtk_lattice(cellname, deg)
+            vtk_type = VTK_LAGRANGE_TYPE[cellname]
+        else:
+            return False
+        # physical points through the mesh coordinate element (exact
+        # for affine AND bilinear/trilinear cells)
+        cspace = mesh.coordinates.function_space()
+        ctab = cspace.scalar_element.tabulate(ref, 0)[0]   # (nn, ndc)
+        gdim = mesh.geometric_dimension
+        cdofs = np.asarray(mesh.coordinates.dat)[
+            cspace.cell_dof_map].reshape(mesh.num_cells, -1, gdim)
+        pts = np.einsum("ni,cig->cng", ctab, cdofs)
         nc, nn = pts.shape[:2]
         pts = pts.reshape(-1, pts.shape[-1])
         if pts.shape[1] < 3:
             pts = np.hstack([pts, np.zeros((len(pts), 3 - pts.shape[1]))])
         cells = np.arange(nc * nn, dtype=np.int64).reshape(nc, nn)
         offsets = np.arange(1, nc + 1, dtype=np.int64) * nn
-        types = np.full(nc, self._QUAD_TYPE[cellname], dtype=np.uint8)
+        types = np.full(nc, vtk_type, dtype=np.uint8)
         arrays = []
         for f in functions:
             V = f.function_space()
