@@ -278,11 +278,22 @@ class DistributedLinearSolver:
             {"perm": jnp.zeros((self.nshards, 1), jnp.int32),
              "seg": jnp.zeros((self.nshards, 1), jnp.int32)}
         mg_data = self.dmg.data if self.dmg is not None else 0.0
-        xowned, it = self._jitted(
-            coords_blk, clocals, cvals, dlocals, self.g_loc,
-            x0_blk, jnp.asarray(self.freemask), self.ex,
-            self.dact.statics, self.dact.acc, dres_st, dres_acc,
-            ddiag_st, ddiag_acc, mg_data)
+        args = (coords_blk, clocals, cvals, dlocals, self.g_loc,
+                x0_blk, jnp.asarray(self.freemask), self.ex,
+                self.dact.statics, self.dact.acc, dres_st, dres_acc,
+                ddiag_st, ddiag_acc, mg_data)
+        xowned, it = self._jitted(*args)
+        from ..utils.guards import spmd_strict
+        if spmd_strict():
+            # SPMD-strict (SURVEY §5.2, pyop2 PYOP2_SPMD_STRICT role):
+            # the collective program must be bitwise deterministic
+            x2, it2 = self._jitted(*args)
+            if not (np.array_equal(np.asarray(xowned), np.asarray(x2))
+                    and int(it) == int(it2)):
+                raise RuntimeError(
+                    "FDTPU_SPMD_STRICT: nondeterministic distributed "
+                    "solve (two executions of the same program "
+                    "disagree bitwise)")
         # host collect (once per solve)
         xarr = np.asarray(xowned).reshape(self.nshards, vp.max_owned)
         out = np.zeros(self.V.dim)
