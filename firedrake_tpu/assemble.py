@@ -27,10 +27,11 @@ __all__ = ["assemble", "FormAssembler", "get_assembler"]
 _assembler_cache: dict = {}
 
 
-def _perm_index_map(cell):
+def _perm_index_map(cell, nfv=None):
     """permutation tuple -> orientation index (itertools order)."""
     import itertools
-    nfv = cell.facets.shape[1]
+    if nfv is None:
+        nfv = cell.facets.shape[1]
     perms = list(itertools.permutations(range(nfv)))
     return {p: i for i, p in enumerate(perms)}, nfv
 
@@ -58,9 +59,21 @@ class FormAssembler:
         self.coefficients = form.coefficients()
         self.constants = form.constants()
 
-        self._compiled = [
-            CompiledIntegral(integral, self.test, self.trial, self.mesh)
-            for integral in form.integrals()]
+        self._compiled = []
+        for integral in form.integrals():
+            mixed_facets = (self.mesh.cell.facet_cell_name is None
+                            and integral.integral_type in
+                            ("exterior_facet", "interior_facet"))
+            if mixed_facets:
+                # prism: one compiled program per facet class (the
+                # triangle and quad facets carry different quadrature)
+                for ft in sorted(set(self.mesh.cell.facet_types)):
+                    self._compiled.append(CompiledIntegral(
+                        integral, self.test, self.trial, self.mesh,
+                        ftype=ft))
+            else:
+                self._compiled.append(CompiledIntegral(
+                    integral, self.test, self.trial, self.mesh))
         # ---- structured-mesh stencil fast path (assembly/stencil.py):
         # zero index arrays, zero gathers — slices + lax.pad only.  When
         # it applies, the big per-integral index statics (and for rank 2
@@ -373,6 +386,10 @@ class FormAssembler:
                                                   self.trial)
         elif ci.integral_type == "exterior_facet":
             facets = mesh.boundary_facets(ci.subdomain_id)
+            if getattr(ci, "ftype", None) is not None:
+                ftypes = np.asarray(mesh.cell.facet_types)
+                facets = facets[
+                    ftypes[topo.facet_local_id[facets, 0]] == ci.ftype]
             if len(facets) == 0:
                 return None
             cells = topo.facet_cells[facets, 0]
@@ -403,6 +420,10 @@ class FormAssembler:
                     sd = (int(sd),)
                 facets = facets[np.isin(
                     mesh.facet_markers[facets], np.asarray(sd))]
+            if getattr(ci, "ftype", None) is not None:
+                ftypes = np.asarray(mesh.cell.facet_types)
+                facets = facets[
+                    ftypes[topo.facet_local_id[facets, 0]] == ci.ftype]
             if len(facets) == 0:
                 return None
             cp = topo.facet_cells[facets, 0]
@@ -412,8 +433,13 @@ class FormAssembler:
             lfm = topo.facet_local_id[facets, 1]
             # relative orientation of the minus side:
             # pos[i'] = index of minus-vertex i' in the plus vertex list
-            pidx, nfv = _perm_index_map(mesh.cell)
-            cellfacets = mesh.cell.facets
+            if getattr(ci, "ftype", None) is not None:
+                from .elements.reference_cell import by_name
+                pidx, nfv = _perm_index_map(
+                    mesh.cell, by_name(ci.ftype).num_vertices)
+            else:
+                pidx, nfv = _perm_index_map(mesh.cell)
+            cellfacets = mesh.cell.facets[:, :nfv]
             vp = topo.cell_vertices[cp[:, None], cellfacets[lfp]]
             vm = topo.cell_vertices[cm[:, None], cellfacets[lfm]]
             # vectorized position lookup

@@ -146,13 +146,16 @@ class BatchedLowerer(Lowerer):
 
     # -------------------------------------------------- shape conventions
     def eval(self, e, side):
+        # identity-checked strong-ref memo (see Lowerer.eval: a bare
+        # id() key can be recycled onto a later temporary node)
         key = (id(e), side)
-        if key in self.memo:
-            return self.memo[key]
+        hit = self.memo.get(key)
+        if hit is not None and hit[0] is e:
+            return hit[1]
         v = self._eval(e, side)
         expect = 4 + len(e.shape)
         assert v.ndim == expect, (type(e).__name__, v.shape, e.shape)
-        self.memo[key] = v
+        self.memo[key] = (e, v)
         return v
 
     def run(self, integrand):

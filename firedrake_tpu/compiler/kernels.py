@@ -21,9 +21,13 @@ from .lowering import (CellContext, ExteriorFacetContext,
 
 
 class CompiledIntegral:
-    def __init__(self, integral: Integral, test, trial, mesh):
+    def __init__(self, integral: Integral, test, trial, mesh,
+                 ftype=None):
         self.integral_type = integral.integral_type
         self.subdomain_id = integral.subdomain_id
+        # facet-cell class on mixed-facet cells (prism: facet integrals
+        # are split into a triangle-facet and a quad-facet program)
+        self.ftype = ftype
         self.test = test
         self.trial = trial
         self.mesh = mesh
@@ -68,7 +72,8 @@ class CompiledIntegral:
         mesh, deg = self.mesh, self.degree
 
         def fn(coords_e, lf, coeffs, consts):
-            ctx = ExteriorFacetContext(mesh, deg, coords_e, lf)
+            ctx = ExteriorFacetContext(mesh, deg, coords_e, lf,
+                                       ftype=self.ftype)
             low = Lowerer(ctx, self.test, self.trial,
                           {c.count: w for c, w in zip(self.coefficients,
                                                       coeffs)},
@@ -86,7 +91,8 @@ class CompiledIntegral:
         def fn(coords_p, coords_m, lf_p, lf_m, o_rel, coeffs_p, coeffs_m,
                consts):
             ctx = InteriorFacetContext(mesh, deg, coords_p, coords_m,
-                                       lf_p, lf_m, o_rel)
+                                       lf_p, lf_m, o_rel,
+                                       ftype=self.ftype)
             cd = {}
             for c, wp, wm in zip(self.coefficients, coeffs_p, coeffs_m):
                 cd[c.count] = {"+": wp, "-": wm}

@@ -58,16 +58,25 @@ def _tables_at(element, points, order):
     return element_tables(element, points, order)
 
 
-def _facet_points(cell, qf_pts):
-    """(nlf, nq, tdim): facet-rule points embedded in each local facet."""
+def _facet_points(cell, qf_pts, ftype=None):
+    """(nlf, nq, tdim): facet-rule points embedded in each local facet.
+
+    On mixed-facet cells (prism) `ftype` names the facet class this
+    quadrature rule belongs to; other facets get zero blocks — the
+    per-facet gather never selects them (the assembler splits facet
+    integrals by type)."""
     out = []
+    types = cell.facet_types
     for lf in range(len(cell.facets)):
+        if ftype is not None and types[lf] != ftype:
+            out.append(np.zeros((len(qf_pts), cell.dim)))
+            continue
         A, b = cell.facet_embedding(lf)
         out.append(qf_pts @ A.T + b[None, :])
     return np.stack(out)
 
 
-def _minus_facet_points(cell, qf_pts, facet_cell):
+def _minus_facet_points(cell, qf_pts, facet_cell, ftype=None):
     """(nlf, n_ori, nq, tdim): minus-side points matching the plus-side
     quadrature order under each relative vertex permutation."""
     import itertools, math
@@ -83,7 +92,10 @@ def _minus_facet_points(cell, qf_pts, facet_cell):
         P = np.hstack([qf_pts, np.ones((len(qf_pts), 1))]).T
         bary = np.linalg.lstsq(M, P, rcond=None)[0].T   # (nq, nfv)
     out = np.zeros((len(cell.facets), len(perms), len(qf_pts), cell.dim))
+    types = cell.facet_types
     for lf in range(len(cell.facets)):
+        if ftype is not None and types[lf] != ftype:
+            continue
         A, b = cell.facet_embedding(lf)
         for oi, pi in enumerate(perms):
             # minus-side facet-local bary: b~[i'] = bary[pos] where
@@ -215,12 +227,14 @@ class PointsContext(BaseContext):
 class ExteriorFacetContext(BaseContext):
     kind = "exterior_facet"
 
-    def __init__(self, mesh, degree, coords_e, lf):
+    def __init__(self, mesh, degree, coords_e, lf, ftype=None):
         super().__init__(mesh, degree)
-        fc = self.cell.facet_cell
+        from ..elements.reference_cell import by_name
+        fc = by_name(ftype) if ftype else self.cell.facet_cell
         qf = make_quadrature(fc.name, degree)
         self.qf_pts, self.qwts = qf.points, qf.weights
-        self.fpts = _facet_points(self.cell, self.qf_pts)  # (nlf, nq, tdim)
+        self.fpts = _facet_points(self.cell, self.qf_pts,
+                                  ftype)             # (nlf, nq, tdim)
         self._coords = coords_e
         self.lf = lf
         self.fdim = fc.dim
@@ -280,13 +294,16 @@ class ExteriorFacetContext(BaseContext):
 class InteriorFacetContext(BaseContext):
     kind = "interior_facet"
 
-    def __init__(self, mesh, degree, coords_p, coords_m, lf_p, lf_m, o_rel):
+    def __init__(self, mesh, degree, coords_p, coords_m, lf_p, lf_m,
+                 o_rel, ftype=None):
         super().__init__(mesh, degree)
-        fc = self.cell.facet_cell
+        from ..elements.reference_cell import by_name
+        fc = by_name(ftype) if ftype else self.cell.facet_cell
         qf = make_quadrature(fc.name, degree)
         self.qf_pts, self.qwts = qf.points, qf.weights
-        self.fpts = _facet_points(self.cell, self.qf_pts)
-        self.mpts = _minus_facet_points(self.cell, self.qf_pts, fc)
+        self.fpts = _facet_points(self.cell, self.qf_pts, ftype)
+        self.mpts = _minus_facet_points(self.cell, self.qf_pts, fc,
+                                        ftype)
         self._coords = {"+": coords_p, "-": coords_m}
         self.lf = {"+": lf_p, "-": lf_m}
         self.o_rel = o_rel
@@ -425,13 +442,19 @@ class Lowerer:
         return v
 
     def eval(self, e, side):
+        # memo holds a STRONG ref to the node and verifies identity:
+        # lowering creates temporary Expr nodes, and a bare id() key can
+        # be recycled by CPython onto a later temporary — a stale hit
+        # then splices one argument's value into another's (seen as a
+        # per-build coin flip assembling an asymmetric curl-curl matrix)
         key = (id(e), side)
-        if key in self.memo:
-            return self.memo[key]
+        hit = self.memo.get(key)
+        if hit is not None and hit[0] is e:
+            return hit[1]
         v = self._eval(e, side)
         expect = 3 + len(e.shape)
         assert v.ndim == expect, (type(e).__name__, v.shape, e.shape)
-        self.memo[key] = v
+        self.memo[key] = (e, v)
         return v
 
     def _eval(self, e, side):

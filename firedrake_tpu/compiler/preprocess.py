@@ -28,10 +28,11 @@ def estimate_degree(e: Expr, coord_degree: int = 1, memo=None) -> int:
     if memo is None:
         memo = {}
     k = id(e)
-    if k in memo:
-        return memo[k]
+    hit = memo.get(k)
+    if hit is not None and hit[0] is e:
+        return hit[1]
     d = _estimate(e, coord_degree, memo)
-    memo[k] = d
+    memo[k] = (e, d)
     return d
 
 
@@ -94,8 +95,9 @@ def push_grad(e: Expr, memo=None) -> Expr:
     if memo is None:
         memo = {}
     k = id(e)
-    if k in memo:
-        return memo[k]
+    hit = memo.get(k)
+    if hit is not None and hit[0] is e:
+        return hit[1]
     if isinstance(e, Grad):
         out = _push_one_grad(push_grad(e.operands[0], memo))
     elif isinstance(e, Terminal):
@@ -104,7 +106,7 @@ def push_grad(e: Expr, memo=None) -> Expr:
         ops = [push_grad(o, memo) for o in e.operands]
         out = e if all(a is b for a, b in zip(ops, e.operands)) \
             else reconstruct(e, ops)
-    memo[k] = out
+    memo[k] = (e, out)
     return out
 
 

@@ -146,10 +146,6 @@ class Lagrange(FiniteElement):
             if k == 0:
                 nodes.append(cell.vertices.mean(axis=0))
                 assoc.append((d, 0, ()))
-            elif self.continuous and k > 2:
-                raise NotImplementedError(
-                    "CG degree >= 3 on prisms needs quad-face orientation "
-                    "permutations; CG1/CG2 and any-degree DG are supported")
             else:
                 # tensor lattice: tri barycentric x interval
                 for mi in _simplex_multiindices(2, k):
@@ -218,14 +214,22 @@ class Lagrange(FiniteElement):
             # vertical edge above tri vertex ts[0]: edges 6,7,8
             return 1, 6 + ts[0], (k - mz, mz)
         if len(ts) == 3 and zpos is not None:
-            return 2, zpos, (mi[1], mi[2])
+            # triangle face (id == zpos): full barycentric key per listed
+            # face vertex so S3 orientations act by component re-indexing
+            fvs = cell.topology[2][zpos]
+            return 2, zpos, tuple(int(mi[int(v) % 3])
+                                  for v in fvs if v >= 0)
         if len(ts) == 2 and zpos is None:
-            # quad side face above tri edge
+            # quad side face above tri edge: hex-style product weights
+            # (edge barycentric x layer weight), one per listed vertex,
+            # so S4's realizable (dihedral) orientations permute them
             want = {ts[0], ts[1], ts[0] + 3, ts[1] + 3}
             for fid, fvs in enumerate(cell.topology[2]):
                 if set(int(x) for x in fvs if x >= 0) == want:
-                    return 2, fid, (mi[1 + ts[0]] if ts[0] < 2 else mi[0],
-                                    mz)
+                    key = tuple(int(mi[int(v) % 3]
+                                    * (k - mz if v < 3 else mz))
+                                for v in fvs if v >= 0)
+                    return 2, fid, key
             raise RuntimeError("face not found")
         return 3, 0, (mi[1], mi[2], mz)
 
@@ -307,7 +311,7 @@ class Lagrange(FiniteElement):
 
     # ------------------------------------------------- orientation algebra
     @lru_cache(maxsize=None)
-    def entity_permutation(self, dim: int, orientation: int):
+    def entity_permutation(self, dim: int, orientation: int, entity=0):
         """Permutation p of an entity's internal dofs under orientation.
 
         ``orientation`` indexes the permutation sigma of the entity's
@@ -317,18 +321,26 @@ class Lagrange(FiniteElement):
         kappa_t (w.r.t. canonical vertex order), then the cell-local slot k
         whose key (w.r.t. the cell's local vertex order) equals kappa_t
         permuted by sigma maps to t:  p[k] = t.
-        """
+
+        ``entity`` selects the representative entity — needed on cells
+        with heterogeneous entity classes (a prism's dim-2 entities are
+        two triangles and three quads, with different dof counts AND
+        different symmetric groups)."""
         if not self.continuous:
             return np.arange(0)
-        # representative entity 0 of this dim
         cell = self.cell
-        dofs = self.entity_dofs[dim][0] if self.entity_dofs[dim] else []
+        dofs = (self.entity_dofs[dim][entity]
+                if self.entity_dofs[dim] else [])
         n = len(dofs)
         if n == 0:
             return np.arange(0)
-        nv = cell.topology[dim][0].shape[0] if dim > 0 else 1
+        if dim > 0:
+            row = np.asarray(cell.topology[dim][entity])
+            nv = int((row >= 0).sum())
+        else:
+            nv = 1
         sigma = list(itertools.permutations(range(nv)))[orientation]
-        keys = self._entity_internal_keys[(dim, 0)]
+        keys = self._entity_internal_keys[(dim, entity)]
         # local slot k has key keys[k] in local vertex order; its key in
         # canonical order is keys[k] re-indexed by sigma:
         # canonical component j = local component sigma[j]

@@ -59,6 +59,19 @@ class ReferenceCell:
     def facet_cell(self) -> "ReferenceCell":
         return by_name(self.facet_cell_name)
 
+    @property
+    def facet_types(self):
+        """Per-local-facet facet-cell names.  Homogeneous cells repeat
+        facet_cell_name; mixed cells (prism) carry facet_cell_names."""
+        names = getattr(self, "facet_cell_names", None)
+        if names is not None:
+            return names
+        return [self.facet_cell_name] * len(self.facets)
+
+    def facet_vertices(self, lf: int):
+        """Valid (un-padded) vertex ids of local facet lf."""
+        return [int(v) for v in self.facets[lf] if v >= 0]
+
     @cached_property
     def facet_reference_normals(self) -> np.ndarray:
         """(nfacet, dim) outward unit normals of each facet in ref coords."""
@@ -88,8 +101,8 @@ class ReferenceCell:
         The facet reference vertices map to the cell-local vertices of the
         facet, in the order listed in ``self.facets[lf]``.
         """
-        fverts = self.vertices[list(self.facets[lf])]   # (nfv, dim)
-        fc = self.facet_cell
+        fverts = self.vertices[self.facet_vertices(lf)]  # (nfv, dim)
+        fc = by_name(self.facet_types[lf])
         rv = fc.vertices                                 # (nfv, dim-1)
         b = fverts[0]
         if fc.dim == 0:

@@ -222,9 +222,19 @@ class FunctionSpaceData:
                     import math
                     nvpe = a
                     n_ori = math.factorial(nvpe)
+
+                    def _perm(o):
+                        # heterogeneous entity classes (prism tri/quad
+                        # faces) need the per-entity representative;
+                        # older element types only take (dim, o)
+                        try:
+                            return elem.entity_permutation(d, o,
+                                                           entity=e)
+                        except TypeError:
+                            return elem.entity_permutation(d, o)
+
                     perm_table = np.stack(
-                        [np.asarray(elem.entity_permutation(d, o))
-                         for o in range(n_ori)])
+                        [np.asarray(_perm(o)) for o in range(n_ori)])
                 g = ce[:, e].astype(np.int64)
                 gc = cidx[g]                             # within-class idx
                 base = self.offsets[(d, a)] + gc * npe

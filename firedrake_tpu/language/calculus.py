@@ -66,8 +66,9 @@ def map_expr(e: Expr, mapping: dict, memo=None) -> Expr:
     if memo is None:
         memo = {}
     key = id(e)
-    if key in memo:
-        return memo[key]
+    hit = memo.get(key)
+    if hit is not None and hit[0] is e:
+        return hit[1]
     r = mapping.get(e)
     if r is not None:
         out = as_expr(r)
@@ -79,7 +80,7 @@ def map_expr(e: Expr, mapping: dict, memo=None) -> Expr:
             out = e
         else:
             out = reconstruct(e, ops)
-    memo[key] = out
+    memo[key] = (e, out)
     return out
 
 
@@ -133,11 +134,12 @@ _CHAIN = {
 
 def _gateaux(e: Expr, u, du, memo) -> Expr:
     key = id(e)
-    if key in memo:
-        return memo[key]
+    hit = memo.get(key)
+    if hit is not None and hit[0] is e:
+        return hit[1]
     out = _gateaux_impl(e, u, du, memo)
     assert out.shape == e.shape, (type(e).__name__, out.shape, e.shape)
-    memo[key] = out
+    memo[key] = (e, out)
     return out
 
 

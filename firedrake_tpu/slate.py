@@ -391,11 +391,14 @@ def _axis_dims(parts):
 
 def _eval_local(expr, cache):
     """-> jnp array (ncell, ...) of per-cell dense values."""
+    # identity-checked strong-ref memo: bare id() keys can be recycled
+    # by CPython onto later temporaries (see compiler/lowering.py eval)
     key = id(expr)
-    if key in cache:
-        return cache[key]
+    hit = cache.get(key)
+    if hit is not None and hit[0] is expr:
+        return hit[1]
     v = _eval_local_impl(expr, cache)
-    cache[key] = v
+    cache[key] = (expr, v)
     return v
 
 

@@ -52,7 +52,7 @@ def test_curl_curl_convergence():
     the natural BC n x curl u = 0 automatically): N1curl_1 converges at
     O(h) in L2."""
     errs = []
-    for n in (2, 4, 8):
+    for n in (4, 8, 16):
         mesh = UnitCubeMesh(n, n, n)
         V = FunctionSpace(mesh, "N1curl", 1)
         x, y, z = SpatialCoordinate(mesh)
