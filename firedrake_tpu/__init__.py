@@ -82,6 +82,11 @@ def Mesh(arg, name=None, **kwargs):
             from .mesh.io_msh import read_msh
             return read_msh(arg, name=name)
         raise NotImplementedError(f"mesh format of {arg!r} (only .msh)")
+    if hasattr(arg, "Coordinates") and (hasattr(arg, "Elements2D")
+                                        or hasattr(arg, "Elements3D")):
+        # netgen/NGSolve mesh (reference: firedrake/netgen.py)
+        from .netgen_mesh import mesh_from_netgen
+        return mesh_from_netgen(arg, name=name or "netgenmesh")
     raise TypeError(type(arg))
 
 
