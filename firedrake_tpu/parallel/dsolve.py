@@ -105,6 +105,10 @@ class DistributedLinearSolver:
         devices = devices if devices is not None \
             else jax.devices()[:nshards]
         self.jmesh = JMesh(np.array(devices), ("shards",))
+        # ensemble (2-axis mesh) hooks: subclass sets _ens = n_members
+        # and the member-varying coefficient counts
+        self._ens = None
+        self._var_counts = set()
         self._jitted = None
 
     # -------------------------------------------------------- program
@@ -202,13 +206,22 @@ class DistributedLinearSolver:
 
             x, r, z, p_, rz, it = jax.lax.while_loop(
                 cond, step, (x, r, z, p_, rz, jnp.zeros((), jnp.int32)))
-            return x[:nown], jax.lax.pmax(it, "shards")
+            it_axes = ("ens", "shards") if self._ens else "shards"
+            return x[:nown], jax.lax.pmax(it, it_axes)
 
         S = P("shards")
+        # member-varying inputs are stacked member-major over a single
+        # leading axis sharded jointly over (ens, shards)
+        EN = P(("ens", "shards")) if self._ens else S
+
+        def cspec(counts):
+            return {c: (EN if c in self._var_counts else S)
+                    for c in counts}
+
         mg_spec = self.dmg.in_specs() if self.dmg is not None else P()
-        in_specs = (S, _specs_like({c: 0 for c in self._act_coeffs()}),
-                    P(), _specs_like({c: 0 for c in self._diag_coeffs()}),
-                    S, S, S, _specs_like(self.ex),
+        in_specs = (S, cspec(self._act_coeffs()),
+                    P(), cspec(self._diag_coeffs()),
+                    S, EN, S, _specs_like(self.ex),
                     _specs_like(self.dact.statics),
                     _specs_like(self.dact.acc),
                     _specs_like(self.dres.statics if self.dres else []),
@@ -221,7 +234,7 @@ class DistributedLinearSolver:
                     mg_spec)
         smapped = shard_map(body, mesh=self.jmesh,
                             in_specs=in_specs,
-                            out_specs=(P("shards"), P()))
+                            out_specs=(EN, P()))
         return jax.jit(smapped)
 
     def _act_coeffs(self):
