@@ -60,6 +60,7 @@ from .utils.ux import ProgressBar, Citations
 from .adapt import refine_marked, adapt
 from .language.external import point_expr, PointwiseOperator
 from .supermesh import assemble_mixed_mass_matrix
+from .mg.adaptive import AdaptiveMeshHierarchy
 from .mg.mesh import (MeshHierarchy, HierarchyBase,
                       ExtrudedMeshHierarchy,
                       SemiCoarsenedExtrudedHierarchy)
@@ -119,6 +120,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
     "MeshHierarchy", "HierarchyBase", "ExtrudedMeshHierarchy",
+    "AdaptiveMeshHierarchy",
     "SemiCoarsenedExtrudedHierarchy", "prolong", "restrict", "inject",
     "TransferManager",
 ])

@@ -254,6 +254,13 @@ def get_transfer(Vc, Vf) -> LevelTransfer:
     if key not in _transfer_cache:
         if _structured_ok(Vc, Vf):
             _transfer_cache[key] = StructuredTransfer(Vc, Vf)
+        elif (getattr(Vf.mesh_obj, "_c2f_cells", None) is None
+                and getattr(Vf.mesh_obj, "parent_cells", None)
+                is not None):
+            # NVB-bisected level (AdaptiveMeshHierarchy): variable
+            # children per parent -> sparse interpolation transfer
+            from .adaptive import AdaptiveTransfer
+            _transfer_cache[key] = AdaptiveTransfer(Vc, Vf)
         else:
             _transfer_cache[key] = LevelTransfer(Vc, Vf)
     return _transfer_cache[key]
