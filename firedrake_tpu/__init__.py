@@ -75,9 +75,13 @@ from .solving import (solve, LinearVariationalProblem,
 
 def Mesh(arg, name=None, **kwargs):
     """Mesh factory (reference: firedrake/mesh.py:3275): pass a mesh
-    object, or a gmsh .msh file path (ASCII v2.2/v4.1)."""
+    object, a vector coordinate Function (curved / higher-order
+    geometry), or a gmsh .msh file path (ASCII v2.2/v4.1)."""
     if isinstance(arg, _MeshClass):
         return arg
+    if isinstance(arg, Function):
+        from .mesh.geometry import make_mesh_from_coordinates
+        return make_mesh_from_coordinates(arg, name=name)
     if isinstance(arg, str):
         if arg.endswith(".msh"):
             from .mesh.io_msh import read_msh

@@ -42,13 +42,16 @@ class CompiledIntegral:
             {t.count: t for t in integrand.traverse()
              if isinstance(t, ConstantBase)}.values(),
             key=lambda c: c.count))
-        cd = 1   # coordinate degree (P1/Q1 coords for now)
+        cd = getattr(mesh, "_coord_degree", 1)  # coordinate degree
         md = integral.metadata or {}
         deg = md.get("quadrature_degree")
         if deg is None or deg == "auto":
             deg = estimate_degree(integrand, cd)
             if mesh.cell.name in ("quadrilateral", "hexahedron", "prism"):
                 deg += cd   # non-affine Jacobian factors
+            if cd > 1:
+                # curved cells: detJ is degree tdim*(cd-1), Jinv rational
+                deg += mesh.topological_dimension * (cd - 1)
         self.degree = max(int(deg), 1)
 
     # ------------------------------------------------------- kernel build

@@ -120,7 +120,8 @@ class BaseContext:
         self.gdim = mesh.geometric_dimension
         from ..elements import make_scalar_element
         self.coord_elem = make_scalar_element(
-            self.cell.name, getattr(mesh, "_coord_family", "Lagrange"), 1)
+            self.cell.name, getattr(mesh, "_coord_family", "Lagrange"),
+            getattr(mesh, "_coord_degree", 1))
         self._cache = {}
 
     # -- overridden: returns ref tables (possibly lf-gathered jnp arrays)
@@ -167,8 +168,10 @@ class BaseContext:
         return jnp.sqrt(jnp.max(d2))
 
     def cell_volume(self, side="+"):
-        # integrate 1 over the cell with a cell rule
-        pts, wts = _cell_rule(self.cell.name, 2)
+        # integrate 1 over the cell with a cell rule (degree bumped for
+        # curved cells: detJ has degree tdim*(cd-1))
+        pts, wts = _cell_rule(self.cell.name,
+                              max(2, 2 * self.coord_elem.degree))
         e = self.coord_elem
         t1 = jnp.asarray(e.tabulate(pts, 1)[1])       # (nq, ndofc, tdim)
         coords = self.coords_of(side)

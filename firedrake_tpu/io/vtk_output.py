@@ -108,9 +108,11 @@ class VTKFile:
                                          "Discontinuous Lagrange")):
                 return False
             degs.append(el.degree)
-        if max(degs) < 2:
+        # curved meshes always take the high-order path so the geometry
+        # (not just the fields) renders curved
+        deg = max(degs + [getattr(mesh, "_coord_degree", 1)])
+        if deg < 2:
             return False
-        deg = max(degs)
         if deg == 2 and cellname in self._QUAD_TYPE:
             # quadratic VTK cells: vertices + VTK-ordered edge midpoints
             verts = mesh.cell.vertices

@@ -84,13 +84,18 @@ class Mesh:
     #: meshes whose coordinates must be discontinuous across the seam —
     #: same trick as the reference's periodic DG coordinates)
     _coord_family = "Lagrange"
+    #: degree of the coordinate element (>1 = curved cells; every
+    #: downstream geometry quantity — J, detJ, normals, facet measures —
+    #: is evaluated per quadrature point through this element)
+    _coord_degree = 1
 
     @cached_property
     def coordinates(self):
         """Vector P1/Q1 (or DG1) Function holding coordinates."""
         from ..functionspace import VectorFunctionSpace
         from ..function import Function
-        V = VectorFunctionSpace(self, self._coord_family, 1,
+        V = VectorFunctionSpace(self, self._coord_family,
+                                self._coord_degree,
                                 dim=self.geometric_dimension)
         f = Function(V, name=f"{self.name}_coordinates")
         if self._coord_family == "Lagrange":
@@ -207,3 +212,60 @@ class Mesh:
     def __repr__(self):
         return (f"Mesh({self.name!r}, {self.cell.name}, "
                 f"{self.num_cells} cells, {self.num_vertices} vertices)")
+
+
+def make_mesh_from_coordinates(coord_fn, name=None):
+    """Curved (higher-order geometry) mesh from a vector Lagrange/DG
+    coordinate Function — the reference's ``Mesh(coordinates)`` factory
+    path (firedrake/mesh.py:3275 -> make_mesh_from_coordinates
+    mesh.py:3085).
+
+    The new mesh SHARES topology with the coordinate function's mesh;
+    the coordinate Function is re-homed onto it (the global numbering is
+    a pure function of topology + element, so the dof vector transfers
+    verbatim).  Every downstream geometry quantity (J, detJ, normals,
+    facet measures, CellVolume) is evaluated per quadrature point
+    through the coordinate element, so any degree works; quadrature
+    degrees are bumped for the non-affine detJ (compiler/kernels.py).
+    """
+    from ..functionspace import VectorFunctionSpace
+    from ..function import Function
+    from ..elements.finite_element import VectorElement
+
+    V = coord_fn.function_space()
+    elem = V.element
+    if not isinstance(elem, VectorElement):
+        raise TypeError("coordinates must live in a VectorFunctionSpace")
+    old = V.mesh()
+    gdim = elem.ncomp
+    fam = elem.sub.family
+    fam = "DG" if "Discontinuous" in fam else "Lagrange"
+    degree = elem.sub.degree
+    nodes = np.array(np.asarray(coord_fn.dat),
+                     dtype=np.float64).reshape(-1, gdim)
+    m = Mesh(old.topology, np.asarray(old._vertex_coords),
+             np.asarray(old.facet_markers),
+             name=name or f"{old.name}_curved")
+    m.cell_markers = np.asarray(old.cell_markers).copy()
+    m._coord_family = fam
+    m._coord_degree = degree
+    Vnew = VectorFunctionSpace(m, fam, degree, dim=gdim)
+    # the donor numbering may differ (structured meshes grid-renumber
+    # their dofs, functionspace.py _maybe_grid_renumber); the local cell
+    # orderings are identical (shared topology + identical element), so
+    # the scalar cell-node maps define the node permutation
+    old_map = np.asarray(V.sdata.cell_node_map).ravel()
+    new_map = np.asarray(Vnew.sdata.cell_node_map).ravel()
+    perm = np.empty(Vnew.sdata.num_nodes, dtype=np.int64)
+    perm[new_map] = old_map
+    new_nodes = nodes[perm]
+    g = Function(Vnew, name=f"{m.name}_coordinates")
+    g.dat = new_nodes.reshape(-1)
+    if fam == "Lagrange":
+        # in the (unrenumbered) new numbering vertex dofs come first and
+        # are numbered by vertex id, so the P1 proxy (markers, point
+        # location, plotting) is the vertex sub-lattice
+        m._vertex_coords = np.ascontiguousarray(
+            new_nodes[:old.num_vertices])
+    m.__dict__["coordinates"] = g
+    return m

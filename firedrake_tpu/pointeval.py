@@ -64,16 +64,50 @@ def _invert(mesh, c, p, newton_its=20):
         if resid > 0.2 * size:
             return None
         return ref
+    cd = getattr(mesh, "_coord_degree", 1)
     if cell.name in ("interval", "triangle", "tetrahedron"):
         A = np.stack([coords[i + 1] - coords[0] for i in range(d)], axis=1)
         try:
-            return np.linalg.solve(A, p - coords[0])
+            x = np.linalg.solve(A, p - coords[0])
         except np.linalg.LinAlgError:
             return None
-    # Newton for bi/tri-linear cells
+        if cd == 1:
+            return x
+        return _newton_invert(mesh, c, p, x, newton_its)
+    # Newton for bi/tri-linear (and curved) cells
+    x = cell.vertices.mean(axis=0).copy()
+    if cd > 1:
+        return _newton_invert(mesh, c, p, x, newton_its)
     from .elements import make_scalar_element
     e = make_scalar_element(cell.name, "Lagrange", 1)
-    x = cell.vertices.mean(axis=0).copy()
+    for _ in range(newton_its):
+        t = e.tabulate(x[None], 1)
+        X = t[0][0] @ coords
+        J = np.einsum("jt,jg->gt", t[1][0], coords)
+        try:
+            dx = np.linalg.solve(J, p - X)
+        except np.linalg.LinAlgError:
+            return None
+        x = x + dx
+        if np.linalg.norm(dx) < 1e-13:
+            break
+    return x
+
+
+def _newton_invert(mesh, c, p, x0, newton_its=25):
+    """Newton inversion of the (curved) coordinate map of cell c,
+    starting from the affine estimate (reference: the generated
+    to_reference_coords Newton loop, firedrake/pointquery_utils.py:38)."""
+    from .elements import make_scalar_element
+    cell = mesh.cell
+    e = make_scalar_element(cell.name,
+                            getattr(mesh, "_coord_family", "Lagrange"),
+                            getattr(mesh, "_coord_degree", 1))
+    Vc = mesh.coordinate_space
+    g = mesh.geometric_dimension
+    nodes = np.asarray(mesh.coordinates.dat).reshape(-1, g)
+    coords = nodes[np.asarray(Vc.sdata.cell_node_map[c])]  # (ndofc, g)
+    x = np.asarray(x0, dtype=float).copy()
     for _ in range(newton_its):
         t = e.tabulate(x[None], 1)
         X = t[0][0] @ coords
