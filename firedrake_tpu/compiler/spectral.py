@@ -58,12 +58,14 @@ def _is_tp_scalar_lagrange(space):
             and space.element.cell.name in _TP_CELLS)
 
 
-def _lagrange_1d(k, pts):
-    """Nodal 1D Lagrange basis on the lattice {0, 1/k, .., 1} (k=0: the
-    single constant): values and derivatives at pts."""
+def _lagrange_1d(k, pts, variant=None):
+    """Nodal 1D Lagrange basis on the degree-k lattice (equispaced, or
+    GLL for variant='spectral'; k=0: the single constant): values and
+    derivatives at pts."""
     if k == 0:
         return (np.ones((len(pts), 1)), np.zeros((len(pts), 1)))
-    nodes = np.arange(k + 1) / k
+    from ..elements.lagrange import _lattice_1d
+    nodes = _lattice_1d(k, variant)
     V = np.vander(nodes, k + 1, increasing=True)       # (k+1, k+1)
     C = np.linalg.inv(V)                               # mono -> nodal
     P = np.vander(np.asarray(pts), k + 1, increasing=True)
@@ -73,12 +75,17 @@ def _lagrange_1d(k, pts):
 
 
 def _slot_lattice(elem):
-    """(nslot, d) lattice multi-index of each element dof slot."""
+    """(nslot, d) lattice multi-index of each element dof slot (matched
+    against the element's own 1D lattice, so GLL variants factor too)."""
+    from ..elements.lagrange import _lattice_1d
     k = max(elem.degree, 1) if elem.degree > 0 else 0
-    mi = np.rint(np.asarray(elem.nodes) * max(elem.degree, 1))
-    mi = mi.astype(np.int64)
+    g1 = _lattice_1d(k, getattr(elem, "variant", None))
+    nodes = np.asarray(elem.nodes)                 # (nslot, d)
+    d2 = np.abs(nodes[:, :, None] - g1[None, None, :])
+    mi = d2.argmin(axis=2).astype(np.int64)        # (nslot, d)
+    assert np.take_along_axis(d2, mi[:, :, None], 2).max() < 1e-9, \
+        "not a TP lattice"
     n1 = elem.degree + 1
-    assert mi.min() >= 0 and mi.max() < max(n1, 1), "not a TP lattice"
     return mi, n1
 
 
@@ -128,7 +135,8 @@ class SpectralPlan:
             lattice position of each element slot (slot i of the local
             tensor gathers lattice flat index lat[i])."""
             elem = space.element
-            V, D = _lagrange_1d(elem.degree, pts1)
+            V, D = _lagrange_1d(elem.degree, pts1,
+                                getattr(elem, "variant", None))
             out = []
             for m in range(d):
                 Em = np.repeat(V[:, :, None], d + 1, axis=2)

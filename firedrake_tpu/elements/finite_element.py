@@ -69,7 +69,10 @@ class FiniteElement:
         return n_cell == self.ndof
 
     def __repr__(self):
-        return f"{type(self).__name__}({self.family!r}, {self.cell.name!r}, {self.degree})"
+        var = getattr(self, "variant", None)
+        v = f", variant={var!r}" if var else ""
+        return (f"{type(self).__name__}({self.family!r}, "
+                f"{self.cell.name!r}, {self.degree}{v})")
 
     # hashing for caches
     def __eq__(self, other):
@@ -77,11 +80,14 @@ class FiniteElement:
                 and self.family == other.family
                 and self.cell.name == other.cell.name
                 and self.degree == other.degree
-                and self.value_shape == other.value_shape)
+                and self.value_shape == other.value_shape
+                and getattr(self, "variant", None)
+                == getattr(other, "variant", None))
 
     def __hash__(self):
         return hash((type(self).__name__, self.family, self.cell.name,
-                     self.degree, self.value_shape))
+                     self.degree, self.value_shape,
+                     getattr(self, "variant", None)))
 
 
 class VectorElement(FiniteElement):

@@ -92,6 +92,27 @@ class _PolySet:
         return tabs
 
 
+
+def _normalize_variant(variant):
+    if variant in (None, "equispaced", "default"):
+        return None
+    if variant in ("spectral", "gll", "GLL"):
+        return "spectral"
+    raise ValueError(f"unknown Lagrange variant {variant!r}")
+
+
+def _lattice_1d(k, variant):
+    """k+1 points on [0,1]: equispaced, or Gauss-Lobatto-Legendre for
+    variant='spectral' (the reference's FIAT GaussLobattoLegendre
+    variant; fixes the ~1.5-orders-per-degree conditioning loss of the
+    equispaced lattice at degree >= 5)."""
+    if variant != "spectral" or k < 3:
+        return np.linspace(0.0, 1.0, k + 1)
+    from scipy.special import roots_jacobi
+    interior, _ = roots_jacobi(k - 1, 1.0, 1.0)   # roots of P_k'
+    return np.concatenate([[0.0], (interior + 1.0) / 2.0, [1.0]])
+
+
 class Lagrange(FiniteElement):
     """Continuous Lagrange on simplices (P_k) and tensor cells (Q_k)."""
 
@@ -106,13 +127,14 @@ class Lagrange(FiniteElement):
                      "prism": 2}.get(self.cell.name, 1)
         return self.degree * n_factors
 
-    def __init__(self, cell, degree: int):
+    def __init__(self, cell, degree: int, variant=None):
         if isinstance(cell, str):
             cell = by_name(cell)
         if degree < 1 and self.continuous:
             raise ValueError("CG requires degree >= 1")
         self.cell = cell
         self.degree = int(degree)
+        self.variant = _normalize_variant(variant)
         self.family = ("Lagrange" if self.continuous
                        else "Discontinuous Lagrange")
         self._build()
@@ -130,9 +152,13 @@ class Lagrange(FiniteElement):
                 nodes.append(cell.vertices.mean(axis=0))
                 assoc.append((d, 0, ()))
             else:
+                g1 = _lattice_1d(k, getattr(self, "variant", None))
                 for mi in mis:
-                    pt = (np.array(mi, dtype=float)[None, :] @ cell.vertices
-                          ).ravel() / k
+                    # warped barycentric lattice: on every sub-entity this
+                    # restricts to the (normalized, symmetric) 1D rule, so
+                    # neighbouring cells agree on shared-entity nodes
+                    b = g1[np.array(mi)]
+                    pt = ((b / b.sum())[None, :] @ cell.vertices).ravel()
                     support = _entity_of_simplex_mi(mi)
                     edim, eid = self._find_entity(support)
                     # internal key: barycentric weights restricted to the
@@ -148,9 +174,12 @@ class Lagrange(FiniteElement):
                 assoc.append((d, 0, ()))
             else:
                 # tensor lattice: tri barycentric x interval
+                g1 = _lattice_1d(k, getattr(self, "variant", None))
                 for mi in _simplex_multiindices(2, k):
+                    b = g1[np.array(mi)]
+                    b = b / b.sum()
                     for mz in range(k + 1):
-                        pt = np.array([mi[1] / k, mi[2] / k, mz / k])
+                        pt = np.array([b[1], b[2], g1[mz]])
                         tri_support = _entity_of_simplex_mi(mi)
                         zpos = (0 if mz == 0 else
                                 (1 if mz == k else None))
@@ -163,8 +192,9 @@ class Lagrange(FiniteElement):
                 nodes.append(cell.vertices.mean(axis=0))
                 assoc.append((d, 0, ()))
             else:
+                g1 = _lattice_1d(k, getattr(self, "variant", None))
                 for mi in _tp_multiindices(d, k):
-                    pt = np.array(mi, dtype=float) / k
+                    pt = g1[np.array(mi)]
                     # which sub-entity: per-axis, is coordinate on a wall?
                     onwall = [0 if m == 0 else (1 if m == k else None)
                               for m in mi]
@@ -367,11 +397,12 @@ class Lagrange(FiniteElement):
 class DiscontinuousLagrange(Lagrange):
     continuous = False
 
-    def __init__(self, cell, degree):
+    def __init__(self, cell, degree, variant=None):
         if isinstance(cell, str):
             cell = by_name(cell)
         self.cell = cell
         self.degree = int(degree)
+        self.variant = _normalize_variant(variant)
         self.family = "Discontinuous Lagrange"
         self._build()
 
@@ -431,7 +462,8 @@ class Real(FiniteElement):
 
 
 @lru_cache(maxsize=None)
-def make_scalar_element(cell_name: str, family: str, degree: int):
+def make_scalar_element(cell_name: str, family: str, degree: int,
+                        variant=None):
     family = {
         "CG": "Lagrange", "P": "Lagrange", "Lagrange": "Lagrange",
         "Q": "Lagrange",
@@ -443,9 +475,9 @@ def make_scalar_element(cell_name: str, family: str, degree: int):
         "N1curl": "N1curl", "Nedelec 1st kind H(curl)": "N1curl",
     }.get(family, family)
     if family == "Lagrange":
-        return Lagrange(cell_name, degree)
+        return Lagrange(cell_name, degree, variant=variant)
     if family == "DG":
-        return DiscontinuousLagrange(cell_name, degree)
+        return DiscontinuousLagrange(cell_name, degree, variant=variant)
     if family == "Real":
         return Real(cell_name, degree)
     if family == "RT":

@@ -414,7 +414,8 @@ class FunctionSpace:
             elem = family
             scalar = elem.sub if isinstance(elem, VectorElement) else elem
         else:
-            scalar = make_scalar_element(mesh.cell.name, family, degree)
+            scalar = make_scalar_element(mesh.cell.name, family, degree,
+                                         variant=variant)
             if tensor_shape is not None:
                 elem = TensorElement(scalar, tensor_shape)
             elif vector_dim is not None:
@@ -565,14 +566,16 @@ class ComponentFunctionSpace:
 def VectorFunctionSpace(mesh, family, degree=None, dim=None, name=None,
                         variant=None):
     d = dim if dim is not None else mesh.geometric_dimension
-    return FunctionSpace(mesh, family, degree, name=name, vector_dim=d)
+    return FunctionSpace(mesh, family, degree, name=name, vector_dim=d,
+                         variant=variant)
 
 
 def TensorFunctionSpace(mesh, family, degree=None, shape=None, name=None,
                         variant=None):
     g = mesh.geometric_dimension
     shape = shape if shape is not None else (g, g)
-    return FunctionSpace(mesh, family, degree, name=name, tensor_shape=shape)
+    return FunctionSpace(mesh, family, degree, name=name, tensor_shape=shape,
+                         variant=variant)
 
 
 class RestrictedFunctionSpace(FunctionSpace):

@@ -47,23 +47,23 @@ __all__ = ["FDMPC", "P1PC"]
 _TP_CELLS = {"interval": 1, "quadrilateral": 2, "hexahedron": 3}
 
 
-def _lagrange_1d_matrices(k):
-    """1D mass/stiffness on [0,1] for the equispaced degree-k nodal
-    Lagrange basis (the Q_k factor basis)."""
+def _lagrange_1d_matrices(k, variant=None):
+    """1D mass/stiffness on [0,1] for the degree-k nodal Lagrange basis
+    (equispaced or GLL lattice — the Q_k factor basis)."""
     from ..compiler.spectral import _lagrange_1d
     q, w = np.polynomial.legendre.leggauss(k + 2)
     q = 0.5 * (q + 1.0)
     w = 0.5 * w
-    P, dP = _lagrange_1d(k, q)                   # (nq, k+1)
+    P, dP = _lagrange_1d(k, q, variant)          # (nq, k+1)
     M = (P * w[:, None]).T @ P
     K = (dP * w[:, None]).T @ dP
     return M, K
 
 
-def _fdm_eigenbasis(k):
+def _fdm_eigenbasis(k, variant=None):
     """S, lam with  Khat S = Mhat S diag(lam),  S^T Mhat S = I."""
     import scipy.linalg
-    M, K = _lagrange_1d_matrices(k)
+    M, K = _lagrange_1d_matrices(k, variant)
     lam, S = scipy.linalg.eigh(K, M)
     return S, lam
 
@@ -124,7 +124,7 @@ class FDMPC(PCBase):
         mesh = V.mesh_obj
 
         # ---------------- 1D eigenbasis and per-cell eigen-denominators
-        S, lam = _fdm_eigenbasis(k)
+        S, lam = _fdm_eigenbasis(k, getattr(elem, 'variant', None))
         St = jnp.asarray(S.T)
         Sj = jnp.asarray(S)
 

@@ -1,0 +1,59 @@
+"""Lagrange variant="spectral" (GLL lattice).
+
+Reference: FIAT's GaussLobattoLegendre variant, selected via
+FunctionSpace(..., variant="spectral") — fixes the equispaced-lattice
+conditioning blowup at degree >= 5 (CLAUDE.md round-2 known gap).
+"""
+import numpy as np
+
+from firedrake_tpu import *
+
+pi = np.pi
+
+
+def test_gll_points_1d():
+    from firedrake_tpu.elements.lagrange import _lattice_1d
+    g = _lattice_1d(6, "spectral")
+    assert g[0] == 0.0 and g[-1] == 1.0
+    assert np.all(np.diff(g) > 0)
+    # symmetric
+    assert np.allclose(g + g[::-1], 1.0)
+    # degree-3 GLL interior points are +-1/sqrt(5) on [-1,1]
+    g3 = _lattice_1d(3, "spectral")
+    assert abs(g3[1] - (1 - 1 / np.sqrt(5)) / 2) < 1e-14
+
+
+def test_conditioning_improves():
+    m = UnitSquareMesh(2, 2)
+    conds = {}
+    for var in (None, "spectral"):
+        V = FunctionSpace(m, "CG", 8, variant=var)
+        u, v = TrialFunction(V), TestFunction(V)
+        A = np.asarray(assemble(u * v * dx).to_dense())
+        conds[var] = np.linalg.cond(A)
+    assert conds["spectral"] < conds[None] / 2
+
+
+def test_interp_exact_unstructured():
+    # shared-entity node consistency across arbitrarily oriented cells:
+    # a global degree-k polynomial interpolates exactly
+    m = UnitDiskMesh(1)
+    for var in (None, "spectral"):
+        V = FunctionSpace(m, "CG", 5, variant=var)
+        x, y = SpatialCoordinate(m)
+        expr = x**5 - 3 * x**2 * y**3 + y * x + 1
+        f = interpolate(expr, V)
+        assert errornorm(expr, f) < 1e-10
+
+
+def test_solve_spectral_quads():
+    m = UnitSquareMesh(4, 4, quadrilateral=True)
+    V = FunctionSpace(m, "CG", 4, variant="spectral")
+    u, v = TrialFunction(V), TestFunction(V)
+    x, y = SpatialCoordinate(m)
+    exact = sin(pi * x) * sin(pi * y)
+    fsrc = 2 * pi**2 * exact
+    sol = Function(V)
+    solve(inner(grad(u), grad(v)) * dx == fsrc * v * dx, sol,
+          bcs=[DirichletBC(V, 0.0, "on_boundary")])
+    assert errornorm(exact, sol) < 5e-6
