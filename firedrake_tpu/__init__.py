@@ -62,6 +62,7 @@ from .language.external import point_expr, PointwiseOperator
 from .supermesh import assemble_mixed_mass_matrix
 from .mg.adaptive import AdaptiveMeshHierarchy
 from .mg.mesh import (MeshHierarchy, HierarchyBase,
+                      NonNestedHierarchy,
                       ExtrudedMeshHierarchy,
                       SemiCoarsenedExtrudedHierarchy)
 from .mg.transfer import prolong, restrict, inject, TransferManager
@@ -124,6 +125,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
     "MeshHierarchy", "HierarchyBase", "ExtrudedMeshHierarchy",
+    "NonNestedHierarchy",
     "AdaptiveMeshHierarchy",
     "SemiCoarsenedExtrudedHierarchy", "prolong", "restrict", "inject",
     "TransferManager",

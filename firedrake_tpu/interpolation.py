@@ -381,6 +381,79 @@ def interpolate(expr, V, **kwargs):
     return interpolate_onto(expr, f)
 
 
+def scalar_node_positions(V):
+    """(num_nodes, gdim) physical positions of a nodal space's scalar
+    nodes, evaluated through the mesh coordinate element (curved-mesh
+    aware)."""
+    mesh = V.mesh_obj
+    cspace = mesh.coordinate_space
+    g = mesh.geometric_dimension
+    ctab = cspace.scalar_element.tabulate(
+        np.asarray(V.scalar_element.nodes), 0)[0]        # (nd, ndc)
+    cdofs = np.asarray(mesh.coordinates.dat)[
+        np.asarray(cspace.cell_dof_map)].reshape(mesh.num_cells, -1, g)
+    pos_cells = np.einsum("ni,cig->cng", ctab, cdofs)    # (nc, nd, g)
+    pos = np.zeros((V.sdata.num_nodes, g))
+    pos[np.asarray(V.sdata.cell_node_map)] = pos_cells
+    return pos
+
+
+def _locate_robust(mesh, pts):
+    """Point location that tolerates nodes marginally outside the mesh
+    (non-matching boundaries of non-nested hierarchies): widen the
+    containment tolerance, then fall back to the nearest cell."""
+    from .pointeval import _locate, _invert
+    cells, refs = _locate(mesh, pts, tol=1e-10)
+    for tol in (1e-6, 1e-2):
+        missing = cells < 0
+        if not missing.any():
+            return cells, refs
+        c2, r2 = _locate(mesh, pts[missing], tol=tol)
+        idx = np.nonzero(missing)[0]
+        cells[idx], refs[idx] = c2, r2
+    missing = np.nonzero(cells < 0)[0]
+    if len(missing):
+        cents = mesh._vertex_coords[mesh.topology.cell_vertices].mean(1)
+        for i in missing:
+            c = int(np.argmin(np.sum((cents - pts[i]) ** 2, axis=1)))
+            r = _invert(mesh, c, pts[i])
+            if r is None:
+                raise ValueError(f"point {pts[i]} not locatable")
+            cells[i], refs[i] = c, r
+    return cells, refs
+
+
+def cross_mesh_entries(Vs, Vd):
+    """Per-target-scalar-node interpolation entries between nodal spaces
+    on DIFFERENT meshes: rows_sc (nn, 1), cols_sc (nn, nsrc),
+    loc (nn, 1, nsrc) with loc[i, 0, j] = phi_j^s at target node i."""
+    src = Vs.scalar_element
+    pos = scalar_node_positions(Vd)
+    cells, refs = _locate_robust(Vs.mesh_obj, pos)
+    loc = np.stack([src.tabulate(r[None], 0)[0][0] for r in refs])
+    rows_sc = np.arange(len(pos), dtype=np.int64)[:, None]
+    cols_sc = np.asarray(Vs.cell_node_map, dtype=np.int64)[cells]
+    return rows_sc, cols_sc, loc[:, None, :]
+
+
+def cross_mesh_scalar_matrix(Vs, Vd):
+    """The cross-mesh interpolation operator over SCALAR node
+    numberings as a device Matrix (NonNestedHierarchy transfers)."""
+    from .assembly.sparsity import Sparsity
+    from .assembly.matrix import Matrix
+    import jax.numpy as _jnp
+    rows_sc, cols_sc, loc = cross_mesh_entries(Vs, Vd)
+    nsrc = cols_sc.shape[1]
+    rows = np.repeat(rows_sc.ravel(), nsrc)
+    cols = cols_sc.ravel()
+    vals = loc[:, 0, :].ravel()
+    sp = Sparsity(Vd.sdata.num_nodes, Vs.sdata.num_nodes,
+                  [(rows[:, None], cols[:, None])])
+    data = _jnp.zeros(sp.nnz).at[_jnp.asarray(
+        sp.block_positions[0])].add(_jnp.asarray(vals))
+    return Matrix(sp, data, None, None)
+
+
 class Interpolator:
     """Reusable interpolator (reference: interpolation.py Interpolator).
 
@@ -428,9 +501,13 @@ class Interpolator:
             rows_sc = np.arange(len(mesh_d.cells))[:, None]
             cols_sc = Vs.cell_node_map[mesh_d.cells]
             n_rownodes = len(mesh_d.cells)
+        elif Vd.mesh_obj is not Vs.mesh_obj:
+            # cross-mesh: one row per target scalar node, located in the
+            # source mesh (reference: interpolation.py cross-mesh
+            # interpolation via VertexOnlyMesh composition)
+            rows_sc, cols_sc, loc = cross_mesh_entries(Vs, Vd)
+            n_rownodes = Vd.num_nodes
         else:
-            assert Vd.mesh_obj is Vs.mesh_obj, \
-                "cross-mesh interpolation matrices: round 2"
             tab = src.tabulate(Vd.scalar_element.nodes, 0)[0]
             loc = np.broadcast_to(
                 tab, (Vs.mesh_obj.num_cells,) + tab.shape).copy()

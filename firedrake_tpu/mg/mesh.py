@@ -16,7 +16,8 @@ import numpy as np
 from ..mesh.topology import MeshTopology, _IDX
 from ..mesh.geometry import Mesh
 
-__all__ = ["MeshHierarchy", "HierarchyBase", "refine_mesh",
+__all__ = ["MeshHierarchy", "HierarchyBase", "NonNestedHierarchy",
+           "refine_mesh",
            "ExtrudedMeshHierarchy", "SemiCoarsenedExtrudedHierarchy"]
 
 
@@ -454,3 +455,15 @@ def SemiCoarsenedExtrudedHierarchy(base_mesh, height=1.0, nref=1,
     for mc, mf, nlc, nlf in zip(meshes, meshes[1:], lays, lays[1:]):
         _link_extruded_levels(mc, mf, nlc, nlf)
     return HierarchyBase(meshes)
+
+
+def NonNestedHierarchy(*meshes):
+    """Hierarchy over arbitrary (non-nested) meshes of the same domain;
+    transfers go through cross-mesh node interpolation
+    (mg/transfer.py NonNestedTransfer).  Reference:
+    firedrake/mg/mesh.py:442 NonNestedHierarchy (supermesh-backed
+    transfers)."""
+    ms = list(meshes)
+    for mc, mf in zip(ms, ms[1:]):
+        mf._nonnested_coarse = mc
+    return HierarchyBase(ms)

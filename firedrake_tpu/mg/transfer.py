@@ -300,10 +300,45 @@ def _structured_ok(Vc, Vf):
 _transfer_cache = {}
 
 
+class NonNestedTransfer:
+    """Transfers between levels of a NonNestedHierarchy: prolongation is
+    cross-mesh node interpolation (fine nodes evaluate the coarse
+    function wherever they land), restriction its transpose, injection
+    the reverse interpolation.  Reference: firedrake/mg/mesh.py:442
+    (non-nested hierarchies; the reference uses supermesh projection,
+    here nodal interpolation — exact on shared polynomial content)."""
+
+    def __init__(self, Vc, Vf):
+        from ..interpolation import cross_mesh_scalar_matrix
+        if getattr(Vc.scalar_element, "mapping", "identity") != "identity":
+            raise NotImplementedError("non-nested transfer: nodal spaces")
+        self.bs = Vc.block_size
+        self._P = cross_mesh_scalar_matrix(Vc, Vf)   # fine <- coarse
+        self._I = cross_mesh_scalar_matrix(Vf, Vc)   # coarse <- fine
+        bs = self.bs
+        if bs == 1:
+            self.prolong_fn = self._P.matvec
+            self.restrict_fn = self._P.transpose_matvec
+            self.inject_fn = self._I.matvec
+        else:
+            def _blocked(op):
+                def run(x):
+                    xm = x.reshape(-1, bs)
+                    return jnp.stack([op(xm[:, k]) for k in range(bs)],
+                                     axis=1).reshape(-1)
+                return run
+            self.prolong_fn = _blocked(self._P.matvec)
+            self.restrict_fn = _blocked(self._P.transpose_matvec)
+            self.inject_fn = _blocked(self._I.matvec)
+
+
 def get_transfer(Vc, Vf) -> LevelTransfer:
     key = (id(Vc.mesh_obj), id(Vf.mesh_obj), hash(Vc.element))
     if key not in _transfer_cache:
-        if _structured_ok(Vc, Vf):
+        if getattr(Vf.mesh_obj, "_nonnested_coarse", None) \
+                is Vc.mesh_obj:
+            _transfer_cache[key] = NonNestedTransfer(Vc, Vf)
+        elif _structured_ok(Vc, Vf):
             _transfer_cache[key] = StructuredTransfer(Vc, Vf)
         elif (getattr(Vf.mesh_obj, "_c2f_cells", None) is None
                 and getattr(Vf.mesh_obj, "parent_cells", None)
