@@ -156,6 +156,22 @@ class BaseContext:
     def jinv(self, side="+"):
         return self.geom(side)["Jinv"]
 
+    def xi_hessian(self, side="+"):
+        """d2(xi_s)/dx_a dx_b as (nq, g, g, t) — the inverse-map Hessian
+        of a curved (degree >= 2) coordinate field, zero on affine cells.
+        K[q,a,b,s] = -Jinv[s,c] H[c,d,e] Jinv[d,a] Jinv[e,b] with
+        H = coordinate-map reference Hessian."""
+        key = ("xihess", side)
+        if key in self._cache:
+            return self._cache[key]
+        coords = self.coords_of(side)                  # (ndofc, g)
+        t2 = self.ref_table(self.coord_elem, 2, side)  # (nq, ndofc, t, t)
+        H = _small_einsum("jg,qjde->qgde", coords, t2)
+        Jinv = self.geom(side)["Jinv"]                 # (nq, t, g)
+        K = -_small_einsum("qsc,qcde,qda,qeb->qabs", Jinv, H, Jinv, Jinv)
+        self._cache[key] = K
+        return K
+
     def spatial_x(self):
         return self.geom("+")["X"]
 
@@ -170,8 +186,9 @@ class BaseContext:
     def cell_volume(self, side="+"):
         # integrate 1 over the cell with a cell rule (degree bumped for
         # curved cells: detJ has degree tdim*(cd-1))
+        cd = self.coord_elem.degree
         pts, wts = _cell_rule(self.cell.name,
-                              max(2, 2 * self.coord_elem.degree))
+                              max(2, self.cell.dim * (cd - 1), 2 * cd))
         e = self.coord_elem
         t1 = jnp.asarray(e.tabulate(pts, 1)[1])       # (nq, ndofc, tdim)
         coords = self.coords_of(side)
@@ -427,15 +444,34 @@ class Lowerer:
             return jnp.concatenate([Z, T], axis=1)
         return self.ctx.ref_table(elem, order, side or "+")
 
-    def _to_phys(self, T, d, side):
-        """Contract the trailing d reference-derivative axes with Jinv."""
+    def _to_phys(self, T, d, side, T1=None):
+        """Contract the trailing d reference-derivative axes with Jinv.
+
+        For second derivatives on curved cells (coordinate degree >= 2)
+        the chain rule adds the coordinate-map curvature term
+        d2u/dxa dxb = u_ref_st Jinv[s,a] Jinv[t,b]
+                    + u_ref_s * d2(xi_s)/dxa dxb,
+        with the xi-Hessian from the inverse function theorem
+        (reference: tsfc/fem.py:472-671 FInAT physical geometry).
+        ``T1`` is the order-1 reference table of the same terminal."""
         if d == 0:
             return T
         Jinv = self.ctx.jinv(side or "+")              # (nq, t, g)
         if d == 1:
             return _small_einsum("q...t,qtg->q...g", T, Jinv)
         if d == 2:
-            return _small_einsum("q...st,qsa,qtb->q...ab", T, Jinv, Jinv)
+            P = _small_einsum("q...st,qsa,qtb->q...ab", T, Jinv, Jinv)
+            if self.ctx.coord_elem.degree > 1:
+                if self.ctx.gdim != self.ctx.tdim:
+                    raise NotImplementedError(
+                        "second derivatives on curved manifold meshes")
+                if T1 is None:
+                    raise NotImplementedError(
+                        "second derivative of this terminal on a curved "
+                        "mesh")
+                K = self.ctx.xi_hessian(side or "+")   # (nq, g, g, t)
+                P = P + _small_einsum("q...s,qabs->q...ab", T1, K)
+            return P
         raise NotImplementedError("derivatives beyond order 2")
 
     # -------------------------------------------------------------- eval
@@ -654,12 +690,15 @@ class Lowerer:
                 return ctx.geom(side or "+")["X"][None, None]
             if d == 1:
                 return ctx.geom(side or "+")["J"][None, None]
-            # second derivative of affine map is zero
+            # grad(grad(x)) is identically zero in physical space
+            # (curved cells included: x is the identity map of x)
             return jnp.zeros((1, 1, ctx.num_q()) + out_shape)
         if isinstance(base, Argument):
             elem = base.space.element
             T = self.arg_table(base, d, side)          # (nq, nslot, vs, t^d)
-            P = self._pullback(T, elem, d, side)
+            T1 = (self.arg_table(base, 1, side)
+                  if d == 2 and ctx.coord_elem.degree > 1 else None)
+            P = self._pullback(T, elem, d, side, T1)
             P = jnp.moveaxis(P, 1, 0)                  # (nslot, nq, ...)
             if base.number == 0:
                 return P[:, None]                      # (ni, 1, nq, ...)
@@ -674,13 +713,15 @@ class Lowerer:
                 dat = dat[side or "+"]
             elem = base.space.element
             T = ctx.ref_table(elem, d, side or "+")
-            P = self._pullback(T, elem, d, side)
+            T1 = (ctx.ref_table(elem, 1, side or "+")
+                  if d == 2 and ctx.coord_elem.degree > 1 else None)
+            P = self._pullback(T, elem, d, side, T1)
             v = _small_einsum("j,qj...->q...", dat, P)
             return v[None, None]
         raise NotImplementedError(
             f"grad of {type(base).__name__} terminal")
 
-    def _pullback(self, T, elem, d, side):
+    def _pullback(self, T, elem, d, side, T1=None):
         """Apply the element's reference->physical mapping.
 
         identity: contract derivative axes with Jinv (Lagrange pullback).
@@ -690,7 +731,14 @@ class Lowerer:
         """
         mapping = getattr(elem, "mapping", "identity")
         if mapping == "identity":
-            return self._to_phys(T, d, side)
+            return self._to_phys(T, d, side, T1)
+        if d >= 1 and self.ctx.coord_elem.degree > 1:
+            # Piola pullback derivatives below assume an affine J; a
+            # curved J would need its own derivative terms — raise
+            # rather than silently drop them
+            raise NotImplementedError(
+                f"derivatives of {mapping}-mapped elements on curved "
+                "meshes")
         g = self.ctx.geom(side or "+")
         J, Jinv, detJ = g["J"], g["Jinv"], g["detJ"]
         if mapping == "contravariant":

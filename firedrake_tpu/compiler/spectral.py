@@ -78,9 +78,12 @@ def _slot_lattice(elem):
     """(nslot, d) lattice multi-index of each element dof slot (matched
     against the element's own 1D lattice, so GLL variants factor too)."""
     from ..elements.lagrange import _lattice_1d
-    k = max(elem.degree, 1) if elem.degree > 0 else 0
-    g1 = _lattice_1d(k, getattr(elem, "variant", None))
     nodes = np.asarray(elem.nodes)                 # (nslot, d)
+    if elem.degree == 0:
+        # DG0: the single node is the centroid, not a lattice point —
+        # it factors trivially as the constant slot in every axis
+        return np.zeros((len(nodes), nodes.shape[1]), dtype=np.int64), 1
+    g1 = _lattice_1d(elem.degree, getattr(elem, "variant", None))
     d2 = np.abs(nodes[:, :, None] - g1[None, None, :])
     mi = d2.argmin(axis=2).astype(np.int64)        # (nslot, d)
     assert np.take_along_axis(d2, mi[:, :, None], 2).max() < 1e-9, \
@@ -270,5 +273,7 @@ def build_spectral_plan(ci, test, trial):
         return None                     # rank-0 forms: generic path
     try:
         return SpectralPlan(ci, test_space, trial_space)
-    except NotImplementedError:
+    except (NotImplementedError, AssertionError):
+        # AssertionError: a coefficient/argument element whose nodes do
+        # not factor as a TP lattice — fall back to the generic path
         return None

@@ -398,11 +398,32 @@ def scalar_node_positions(V):
     return pos
 
 
-def _locate_robust(mesh, pts):
+def _ref_inside(cellname, r, tol):
+    """Is reference coordinate r inside the reference cell within tol?"""
+    r = np.asarray(r, dtype=np.float64)
+    if cellname in ("interval", "triangle", "tetrahedron"):
+        return r.min() >= -tol and r.sum() <= 1.0 + tol
+    if cellname in ("quadrilateral", "hexahedron"):
+        return r.min() >= -tol and r.max() <= 1.0 + tol
+    if cellname == "prism":
+        return (r[:2].min() >= -tol and r[:2].sum() <= 1.0 + tol
+                and -tol <= r[2] <= 1.0 + tol)
+    return True
+
+
+def _locate_robust(mesh, pts, allow_extrapolate=False, tol_inside=5e-2):
     """Point location that tolerates nodes marginally outside the mesh
     (non-matching boundaries of non-nested hierarchies): widen the
-    containment tolerance, then fall back to the nearest cell."""
-    from .pointeval import _locate, _invert
+    containment tolerance, then fall back to the nearest cell.
+
+    The nearest-cell fallback is BOUNDED by default: a point whose
+    Newton-inverted reference coordinates land far outside the nearest
+    cell is genuinely outside the mesh, and extrapolating there would
+    return silently wrong values (the reference raises unless
+    allow_missing_dofs=True — interpolation.py CrossMeshInterpolator).
+    Pass allow_extrapolate=True for the NonNestedTransfer path, whose
+    marginally-non-matching hierarchy boundaries rely on it."""
+    from .pointeval import _locate, _invert, PointNotInDomainError
     cells, refs = _locate(mesh, pts, tol=1e-10)
     for tol in (1e-6, 1e-2):
         missing = cells < 0
@@ -414,22 +435,30 @@ def _locate_robust(mesh, pts):
     missing = np.nonzero(cells < 0)[0]
     if len(missing):
         cents = mesh._vertex_coords[mesh.topology.cell_vertices].mean(1)
+        cellname = mesh.cell.name
         for i in missing:
             c = int(np.argmin(np.sum((cents - pts[i]) ** 2, axis=1)))
             r = _invert(mesh, c, pts[i])
             if r is None:
                 raise ValueError(f"point {pts[i]} not locatable")
+            if not allow_extrapolate and not _ref_inside(cellname, r,
+                                                         tol_inside):
+                raise PointNotInDomainError(
+                    f"point {pts[i]} is outside the source mesh "
+                    "(pass allow_missing_dofs=True to extrapolate from "
+                    "the nearest cell)")
             cells[i], refs[i] = c, r
     return cells, refs
 
 
-def cross_mesh_entries(Vs, Vd):
+def cross_mesh_entries(Vs, Vd, allow_extrapolate=False):
     """Per-target-scalar-node interpolation entries between nodal spaces
     on DIFFERENT meshes: rows_sc (nn, 1), cols_sc (nn, nsrc),
     loc (nn, 1, nsrc) with loc[i, 0, j] = phi_j^s at target node i."""
     src = Vs.scalar_element
     pos = scalar_node_positions(Vd)
-    cells, refs = _locate_robust(Vs.mesh_obj, pos)
+    cells, refs = _locate_robust(Vs.mesh_obj, pos,
+                                 allow_extrapolate=allow_extrapolate)
     loc = np.stack([src.tabulate(r[None], 0)[0][0] for r in refs])
     rows_sc = np.arange(len(pos), dtype=np.int64)[:, None]
     cols_sc = np.asarray(Vs.cell_node_map, dtype=np.int64)[cells]
@@ -438,11 +467,14 @@ def cross_mesh_entries(Vs, Vd):
 
 def cross_mesh_scalar_matrix(Vs, Vd):
     """The cross-mesh interpolation operator over SCALAR node
-    numberings as a device Matrix (NonNestedHierarchy transfers)."""
+    numberings as a device Matrix (NonNestedHierarchy transfers).
+    Extrapolation from the nearest cell is allowed here: non-nested
+    hierarchy levels have marginally non-matching boundaries."""
     from .assembly.sparsity import Sparsity
     from .assembly.matrix import Matrix
     import jax.numpy as _jnp
-    rows_sc, cols_sc, loc = cross_mesh_entries(Vs, Vd)
+    rows_sc, cols_sc, loc = cross_mesh_entries(Vs, Vd,
+                                               allow_extrapolate=True)
     nsrc = cols_sc.shape[1]
     rows = np.repeat(rows_sc.ravel(), nsrc)
     cols = cols_sc.ravel()
@@ -465,9 +497,10 @@ class Interpolator:
     transpose=True).  Identity-mapped (Lagrange-family) sources; targets
     are same-mesh nodal spaces or a VertexOnlyMesh P0DG space."""
 
-    def __init__(self, expr, V):
+    def __init__(self, expr, V, allow_missing_dofs=False):
         self.expr = expr
         self.V = V
+        self.allow_missing_dofs = allow_missing_dofs
         self._mat = None
 
     def _source_space(self):
@@ -505,7 +538,8 @@ class Interpolator:
             # cross-mesh: one row per target scalar node, located in the
             # source mesh (reference: interpolation.py cross-mesh
             # interpolation via VertexOnlyMesh composition)
-            rows_sc, cols_sc, loc = cross_mesh_entries(Vs, Vd)
+            rows_sc, cols_sc, loc = cross_mesh_entries(
+                Vs, Vd, allow_extrapolate=self.allow_missing_dofs)
             n_rownodes = Vd.num_nodes
         else:
             tab = src.tabulate(Vd.scalar_element.nodes, 0)[0]

@@ -268,4 +268,36 @@ def make_mesh_from_coordinates(coord_fn, name=None):
         m._vertex_coords = np.ascontiguousarray(
             new_nodes[:old.num_vertices])
     m.__dict__["coordinates"] = g
+    # NOTE: donor fast-path metadata (_structured, _extruded) is
+    # intentionally NOT copied — those paths assume affine P1/Q1
+    # coordinates; a curved mesh must take the generic gather path.
+    # Validate the curved map: _fix_simplex_orientation only saw the
+    # donor's straight-edge vertices, so a coordinate Function folding a
+    # cell over (detJ <= 0 somewhere) would otherwise yield silently
+    # wrong signed measures and normals.
+    _validate_positive_jacobian(m, Vnew, new_nodes)
     return m
+
+
+def _validate_positive_jacobian(mesh, Vcoord, nodes):
+    """Raise if det(J) of the coordinate map is non-positive at any
+    quadrature point of any cell (gdim == tdim meshes only; manifold
+    meshes keep their given orientation, as in _fix_simplex_orientation)."""
+    tdim = mesh.topology.dim
+    gdim = nodes.shape[1]
+    if gdim != tdim:
+        return
+    from ..elements.quadrature import make_quadrature
+    elem = Vcoord.scalar_element
+    q = make_quadrature(mesh.cell.name, max(2, 2 * elem.degree))
+    t1 = np.asarray(elem.tabulate(np.asarray(q.points), 1)[1])
+    # (nq, ndofc, tdim); cell coords (ncell, ndofc, gdim)
+    cdofs = nodes[np.asarray(Vcoord.cell_node_map)]
+    J = np.einsum("cjg,qjt->cqgt", cdofs, t1)
+    det = np.linalg.det(J)
+    if det.min() <= 0.0:
+        bad = int(np.argwhere(det.min(axis=1) <= 0.0)[0, 0])
+        raise ValueError(
+            f"coordinate field is not orientation-preserving: det(J) = "
+            f"{det.min():.3e} <= 0 in cell {bad}; curved meshes require "
+            "an everywhere-positive Jacobian")

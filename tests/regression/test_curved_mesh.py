@@ -118,3 +118,54 @@ def test_vtk_curved(tmp_path):
     assert vtu
     txt = open(tmp_path / vtu[0], "rb").read()
     assert txt  # non-empty high-order output
+
+
+# ---------------------------------------------------- curved Hessians
+# Coordinate-map curvature terms in second-derivative pullbacks
+# (reference: tsfc/fem.py:472-671 FInAT physical geometry).
+
+def _quadratic_mesh():
+    m = UnitSquareMesh(4, 4)
+    V = VectorFunctionSpace(m, "CG", 2)
+    x, y = SpatialCoordinate(m)
+    f = interpolate(as_vector([x + 0.1 * y * y, y * (1 + 0.2 * x)]), V)
+    return Mesh(f)
+
+
+def test_curved_hessian_of_linear_is_zero():
+    # u == X[0] lives exactly in P2 on a P2-coordinate mesh; its
+    # PHYSICAL Hessian is identically zero.  Without the xi-Hessian
+    # correction the reference Hessian (nonzero: u_ref is quadratic)
+    # leaks through and this integral is O(1).
+    mc = _quadratic_mesh()
+    V = FunctionSpace(mc, "CG", 2)
+    u = interpolate(SpatialCoordinate(mc)[0], V)
+    h2 = assemble(inner(grad(grad(u)), grad(grad(u))) * dx(degree=8))
+    assert abs(h2) < 1e-20
+
+
+def test_curved_hessian_divergence_theorem():
+    # Per-cell divergence theorem for a piecewise-smooth C0 function:
+    # int div(grad u) dx == int_ext grad(u).n ds + int_int jump(grad u, n) dS.
+    # The lhs runs through the new curved second-derivative path, the
+    # rhs only through (verified) first derivatives and curved normals.
+    mc = _quadratic_mesh()
+    V = FunctionSpace(mc, "CG", 3)
+    X, Y = SpatialCoordinate(mc)
+    u = interpolate(X * X * Y + 0.5 * Y * Y, V)
+    lhs = assemble(div(grad(u)) * dx(degree=12, domain=mc))
+    n = FacetNormal(mc)
+    rhs = assemble(dot(grad(u), n) * ds(degree=12, domain=mc)) \
+        + assemble(jump(grad(u), n) * dS(degree=12, domain=mc))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_curved_negative_jacobian_raises():
+    # A coordinate field that folds cells over must be rejected at
+    # Mesh() build time (silently wrong signed measures otherwise).
+    m = UnitSquareMesh(4, 4)
+    V = VectorFunctionSpace(m, "CG", 2)
+    x, y = SpatialCoordinate(m)
+    f = interpolate(as_vector([x * (1 - x) * 4, y]), V)   # x-fold at 0.5
+    with pytest.raises(ValueError):
+        Mesh(f)

@@ -65,3 +65,27 @@ def test_interp_matrix_vector_and_vom():
     lhs = float(np.asarray(wc.dat) @ np.asarray(g.dat))
     rhs = float(np.asarray(adj.dat) @ np.asarray(u.dat))
     assert abs(lhs - rhs) < 1e-12
+
+
+def test_cross_mesh_outside_points_raise():
+    # Cross-mesh interpolation onto a mesh that extends beyond the
+    # source domain must raise PointNotInDomainError unless
+    # allow_missing_dofs=True permits nearest-cell extrapolation
+    # (reference: interpolation.py CrossMeshInterpolator).
+    import pytest
+    import numpy as np
+    from firedrake_tpu import (RectangleMesh, UnitSquareMesh,
+                               FunctionSpace, Function, interpolate,
+                               SpatialCoordinate, Interpolator,
+                               PointNotInDomainError)
+    src_mesh = UnitSquareMesh(4, 4)
+    dst_mesh = RectangleMesh(4, 4, 2.0, 1.0)      # extends to x = 2
+    Vs = FunctionSpace(src_mesh, "CG", 1)
+    Vd = FunctionSpace(dst_mesh, "CG", 1)
+    x, y = SpatialCoordinate(src_mesh)
+    f = interpolate(x + y, Vs)
+    with pytest.raises(PointNotInDomainError):
+        Interpolator(f, Vd).assemble()
+    I = Interpolator(f, Vd, allow_missing_dofs=True).assemble()
+    v = I.matvec(f.dat)
+    assert np.isfinite(np.asarray(v)).all()

@@ -109,3 +109,19 @@ def test_spectral_flops_scale():
     f_direct = flops("0")
     f_spec = flops("1")
     assert f_spec < 0.5 * f_direct, (f_spec, f_direct)
+
+
+def test_spectral_dg0_mixed_degree():
+    # DG0's node is the centroid, not a lattice point: the TP slot
+    # factorization must treat it as the constant slot (or fall back)
+    # rather than crash (advisor round-3 finding).
+    from firedrake_tpu import (UnitSquareMesh, FunctionSpace, TestFunction,
+                               TrialFunction, assemble, dx)
+    m = UnitSquareMesh(3, 3, quadrilateral=True)
+    V = FunctionSpace(m, "CG", 2)
+    Q = FunctionSpace(m, "DG", 0)
+    A = assemble(TrialFunction(Q) * TestFunction(V) * dx)
+    import numpy as np
+    col = np.asarray(A.to_dense()).sum(axis=0)
+    # each column integrates the DG0 basis fn over its cell: |K| = 1/9
+    assert np.allclose(col, 1.0 / 9.0, atol=1e-12)
