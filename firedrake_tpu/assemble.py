@@ -20,7 +20,7 @@ from .compiler.smalldot import einsum as _small_einsum
 from .assembly.sparsity import Sparsity
 from .assembly.matrix import Matrix
 from .function import Function, Cofunction
-from .bcs import DirichletBC
+from .bcs import DirichletBC, as_bcs
 
 __all__ = ["assemble", "FormAssembler", "get_assembler"]
 
@@ -45,7 +45,7 @@ class FormAssembler:
     def __init__(self, form: Form, bcs=(), mat_type="aij",
                  zero_bc_nodes=False, use_stencil=True):
         self.form = form
-        self.bcs = tuple(bcs or ())
+        self.bcs = as_bcs(bcs)
         self.mat_type = mat_type
         self.zero_bc_nodes = zero_bc_nodes
         args = form.arguments()
@@ -735,11 +735,12 @@ class FormAssembler:
 
 def _bc_key(bcs):
     return tuple((id(bc.function_space_obj), str(bc.sub_domain),
-                  bc.sub_component) for bc in (bcs or ()))
+                  bc.sub_component) for bc in bcs)
 
 
 def get_assembler(form: Form, bcs=None, mat_type="aij",
                   zero_bc_nodes=False) -> FormAssembler:
+    bcs = as_bcs(bcs)
     key = (form.signature(), id(form.mesh()), _bc_key(bcs), mat_type,
            zero_bc_nodes,
            tuple(id(c) for c in form.coefficients()))
@@ -747,7 +748,7 @@ def get_assembler(form: Form, bcs=None, mat_type="aij",
         cls = MixedFormAssembler if _form_is_mixed(form) else FormAssembler
         _assembler_cache[key] = cls(form, bcs, mat_type, zero_bc_nodes)
     else:
-        _assembler_cache[key].bcs = tuple(bcs or ())
+        _assembler_cache[key].bcs = bcs
     return _assembler_cache[key]
 
 
@@ -795,7 +796,7 @@ class MixedFormAssembler:
         from .mixed import (extract_block, form_parts, BlockMatrix,
                             MixedFunctionSpace)
         self.form = form
-        self.bcs = tuple(bcs or ())
+        self.bcs = as_bcs(bcs)
         self.zero_bc_nodes = zero_bc_nodes
         args = form.arguments()
         numbers = sorted({a.number for a in args})

@@ -162,3 +162,14 @@ class EquationBC:
             idx = (idx[:, None] * bs + np.arange(bs)[None, :]).reshape(-1)
         off = int(getattr(V, "offset", 0))
         return (idx + off).astype(np.int32)
+
+
+def as_bcs(bcs):
+    """Normalize a user-supplied ``bcs`` argument: None, a solitary BC,
+    or an iterable of BCs -> tuple (reference: firedrake/solving.py
+    _extract_bcs accepts a bare DirichletBC)."""
+    if bcs is None:
+        return ()
+    if isinstance(bcs, (DirichletBC, EquationBC)):
+        return (bcs,)
+    return tuple(bcs)

@@ -16,7 +16,7 @@ from .language.measure import Form, Equation
 from .language.calculus import lhs, rhs, derivative, action, replace
 from .language.core import Argument, Zero
 from .function import Function
-from .bcs import DirichletBC, EquationBC
+from .bcs import DirichletBC, EquationBC, as_bcs
 from .assemble import assemble, get_assembler
 from .solvers.krylov import KSP_METHODS
 from .solvers.preconditioners import make_pc, direct_solve, identity_pc
@@ -68,8 +68,9 @@ def _merged_params(solver_parameters, nonlinear=False):
 
 
 def _split_bcs(bcs):
-    dirichlet = tuple(b for b in (bcs or ()) if isinstance(b, DirichletBC))
-    equation = tuple(b for b in (bcs or ()) if isinstance(b, EquationBC))
+    bcs = as_bcs(bcs)
+    dirichlet = tuple(b for b in bcs if isinstance(b, DirichletBC))
+    equation = tuple(b for b in bcs if isinstance(b, EquationBC))
     return dirichlet, equation
 
 
@@ -112,7 +113,7 @@ class LinearVariationalProblem:
             L = None
         self.L = L
         self.u = u
-        self.bcs = tuple(bcs or ())
+        self.bcs = as_bcs(bcs)
         self.constant_jacobian = constant_jacobian
 
 
@@ -291,7 +292,7 @@ class NonlinearVariationalProblem:
                  form_compiler_parameters=None):
         self.F = F
         self.u = u
-        self.bcs = tuple(bcs or ())
+        self.bcs = as_bcs(bcs)
         self.J = J if J is not None else derivative(F, u)
 
 
