@@ -167,24 +167,30 @@ class FunctionSpaceData:
         if k < 2:
             self.grid_numbered = True       # vertex order IS grid order
             return
-        from .assembly.stencil import grid_slot_offsets
-        offs = grid_slot_offsets(elem, s["kind"])
+        from .assembly.stencil import (grid_slot_offsets,
+                                       type_vertex_offsets, struct_dims,
+                                       _cell_grid_index)
+        offs = grid_slot_offsets(elem, type_vertex_offsets(mesh))
         if offs is None:
             return
-        nx, ny = s["nx"], s["ny"]
+        dims = struct_dims(s)
+        D = len(dims)
         ntypes = len(offs)
         old = self.cell_node_map.astype(np.int64)
-        if old.shape[0] != ntypes * nx * ny:
+        if old.shape[0] != ntypes * int(np.prod(dims)):
             return
-        gnx, gny = k * nx + 1, k * ny + 1
-        if self.num_nodes != gnx * gny:
+        gdims = tuple(k * n + 1 for n in dims)
+        if self.num_nodes != int(np.prod(gdims)):
             return
         c = np.arange(old.shape[0])
-        t, q = c % ntypes, c // ntypes
-        qi, qj = q // ny, q % ny                    # x-major quad order
-        oarr = np.asarray(offs)                     # (ntypes, nd, 2)
-        oi, oj = oarr[t][:, :, 0], oarr[t][:, :, 1]
-        pred = (qi[:, None] * k + oi) + (qj[:, None] * k + oj) * gnx
+        t = c % ntypes
+        qidx = _cell_grid_index(c // ntypes, dims)
+        oarr = np.asarray(offs)                     # (ntypes, nd, D)
+        strides = np.cumprod((1,) + gdims[:-1])
+        pred = np.zeros_like(old)
+        for ax in range(D):
+            o = oarr[t][:, :, ax]
+            pred += (qidx[ax][:, None] * k + o) * strides[ax]
         perm = np.full(self.num_nodes, -1, dtype=np.int64)
         perm[old.ravel()] = pred.ravel()
         # dofs are identified by geometric node position from every cell,

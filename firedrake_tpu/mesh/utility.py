@@ -172,17 +172,10 @@ _FREUDENTHAL = [p for p in
                  (2, 0, 1), (2, 1, 0)]]
 
 
-def BoxMesh(nx, ny, nz, Lx=1.0, Ly=1.0, Lz=1.0, hexahedral=False,
-            name="mesh"):
-    xs = np.linspace(0, Lx, nx + 1)
-    ys = np.linspace(0, Ly, ny + 1)
-    zs = np.linspace(0, Lz, nz + 1)
-    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
-    # vertex id = i + j*(nx+1) + k*(nx+1)*(ny+1)
-    verts = np.stack([X.transpose(2, 1, 0).ravel(),
-                      Y.transpose(2, 1, 0).ravel(),
-                      Z.transpose(2, 1, 0).ravel()], axis=1)
-
+def _structured_cells_3d(nx, ny, nz, kind):
+    """Cell array of a structured 3D grid mesh in the canonical ordering
+    (cell = ntypes*q + t, cube q = i*ny*nz + j*nz + k x-slowest) — shared
+    by BoxMesh and the structured hierarchy refiner (mg/mesh.py)."""
     def vid(i, j, k):
         return i + j * (nx + 1) + k * (nx + 1) * (ny + 1)
 
@@ -195,28 +188,58 @@ def BoxMesh(nx, ny, nz, Lx=1.0, Ly=1.0, Lz=1.0, hexahedral=False,
             for dz in (0, 1):
                 corner[(dx, dy, dz)] = vid(I + dx, J + dy, K + dz)
 
-    if hexahedral:
+    if kind == "hex":
         # lexicographic vertex order (x fastest) to match our hex ref cell
         cells = np.stack([corner[(x, y, z)] for z in (0, 1) for y in (0, 1)
                           for x in (0, 1)], axis=1)
-        ct = "hexahedron"
-    else:
-        # Freudenthal 6-tet subdivision: tet for each permutation pi of axes,
-        # path 000 -> +e_{pi0} -> +e_{pi1} -> +e_{pi2}
-        tets = []
-        for pi in _FREUDENTHAL:
-            steps = [(0, 0, 0)]
-            cur = [0, 0, 0]
-            for ax in pi:
-                cur = cur.copy()
-                cur[ax] += 1
-                steps.append(tuple(cur))
-            tets.append(np.stack([corner[s] for s in steps], axis=1))
-        # interleave the 6 tets of each cube (spatial locality)
-        cells = np.stack(tets, axis=1).reshape(-1, 4)
-        ct = "tetrahedron"
+        return cells, "hexahedron"
+    assert kind == "tet6"
+    # Freudenthal/Kuhn 6-tet subdivision: tet for each permutation pi of
+    # axes, path 000 -> +e_{pi0} -> +e_{pi1} -> +e_{pi2}.  All tets share
+    # the main cube diagonal; refining each cube 2x reproduces the same
+    # triangulation (Bey's conforming red refinement), which the
+    # structured multigrid hierarchy relies on.
+    tets = []
+    for pi in _FREUDENTHAL:
+        steps = [(0, 0, 0)]
+        cur = [0, 0, 0]
+        for ax in pi:
+            cur = cur.copy()
+            cur[ax] += 1
+            steps.append(tuple(cur))
+        tets.append(np.stack([corner[s] for s in steps], axis=1))
+    # interleave the 6 tets of each cube (spatial locality)
+    cells = np.stack(tets, axis=1).reshape(-1, 4)
+    return cells, "tetrahedron"
+
+
+def _structured_cells_nd(dims, kind):
+    """Dimension dispatch for the canonical structured cell orderings."""
+    if len(dims) == 2:
+        return _structured_cells(dims[0], dims[1], kind)
+    return _structured_cells_3d(dims[0], dims[1], dims[2], kind)
+
+
+def BoxMesh(nx, ny, nz, Lx=1.0, Ly=1.0, Lz=1.0, hexahedral=False,
+            name="mesh"):
+    xs = np.linspace(0, Lx, nx + 1)
+    ys = np.linspace(0, Ly, ny + 1)
+    zs = np.linspace(0, Lz, nz + 1)
+    X, Y, Z = np.meshgrid(xs, ys, zs, indexing="ij")
+    # vertex id = i + j*(nx+1) + k*(nx+1)*(ny+1)
+    verts = np.stack([X.transpose(2, 1, 0).ravel(),
+                      Y.transpose(2, 1, 0).ravel(),
+                      Z.transpose(2, 1, 0).ravel()], axis=1)
+
+    kind = "hex" if hexahedral else "tet6"
+    cells, ct = _structured_cells_3d(nx, ny, nz, kind)
     topo = MeshTopology(cells, len(verts), ct, name)
-    return _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly, Lz))
+    mesh = _mark_box_facets(Mesh(topo, verts, name=name), (Lx, Ly, Lz))
+    # stencil fast-path metadata (assembly/stencil.py): cell c is type
+    # c % ntypes of grid cube (i, j, k) with q = c//ntypes decomposed
+    # x-slowest; vertex id = i + j*(nx+1) + k*(nx+1)*(ny+1)
+    mesh._structured = {"nx": nx, "ny": ny, "nz": nz, "kind": kind}
+    return mesh
 
 
 def CubeMesh(nx, ny, nz, L, name="mesh", **kw):

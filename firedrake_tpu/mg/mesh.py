@@ -182,34 +182,53 @@ def child_reference_maps(cell_name: str):
 
 
 def _refine_structured(mesh: Mesh):
-    """Uniform refinement of a structured RectangleMesh-family mesh that
-    PRESERVES grid numbering (mesh/utility.py conventions), so every
+    """Uniform refinement of a structured Rectangle/BoxMesh-family mesh
+    that PRESERVES grid numbering (mesh/utility.py conventions), so every
     hierarchy level keeps the zero-gather stencil assembly/transfer fast
-    path (assembly/stencil.py).  Fine vertex (i, j) is the coarse vertex,
-    edge midpoint, or cell center it geometrically is, so deformed
-    coordinates refine exactly like the generic red refinement."""
-    from ..assembly.stencil import _cell_type_vertices
+    path (assembly/stencil.py).  Fine vertex = the coarse vertex, edge
+    midpoint, face-diagonal midpoint, or cell center it geometrically is
+    (parity_class_weights derives the combination from the mesh's own
+    cell types), so deformed coordinates refine exactly like the generic
+    red refinement.  Dimension-generic: 2D tri/quad grids and 3D
+    Freudenthal-tet/hex grids (Kuhn cubes refine to Kuhn cubes — Bey's
+    conforming red refinement)."""
+    from ..assembly.stencil import (type_vertex_offsets, struct_dims,
+                                    parity_class_weights, _cell_grid_index)
+    import itertools
     s = mesh._structured
-    nx, ny, kind = s["nx"], s["ny"], s["kind"]
+    kind = s["kind"]
+    dims = struct_dims(s)
+    D = len(dims)
     g = mesh._vertex_coords.shape[1]
-    C = mesh._vertex_coords.reshape(ny + 1, nx + 1, g)
-    F = np.zeros((2 * ny + 1, 2 * nx + 1, g))
-    F[0::2, 0::2] = C
-    F[0::2, 1::2] = (C[:, :-1] + C[:, 1:]) / 2
-    F[1::2, 0::2] = (C[:-1] + C[1:]) / 2
-    if kind == "tri_left":          # diagonal (i+1, j) -- (i, j+1)
-        F[1::2, 1::2] = (C[:-1, 1:] + C[1:, :-1]) / 2
-    elif kind == "tri_right":       # diagonal (i, j) -- (i+1, j+1)
-        F[1::2, 1::2] = (C[:-1, :-1] + C[1:, 1:]) / 2
-    else:                           # quad cell center
-        F[1::2, 1::2] = (C[:-1, :-1] + C[:-1, 1:]
-                         + C[1:, :-1] + C[1:, 1:]) / 4
-    from ..mesh.utility import _structured_cells
-    cells, ct = _structured_cells(2 * nx, 2 * ny, kind)
-    topo = MeshTopology(cells.astype(_IDX), (2 * nx + 1) * (2 * ny + 1),
-                        ct, name=f"{mesh.name}_ref")
+    tverts_i = type_vertex_offsets(mesh)
+    ntypes = len(tverts_i)
+    # fine vertex grid from parity-class stencils of the coarse grid
+    pshape = tuple(reversed([n + 1 for n in dims]))      # coarse, rev axes
+    C = mesh._vertex_coords.reshape(pshape + (g,))
+    fshape = tuple(reversed([2 * n + 1 for n in dims]))
+    F = np.zeros(fshape + (g,))
+    for p in itertools.product((0, 1), repeat=D):
+        dest = tuple(slice(p[ax], None, 2)
+                     for ax in reversed(range(D)))
+        if not any(p):
+            F[dest] = C
+            continue
+        acc = None
+        for off, w in parity_class_weights(tverts_i, p):
+            src = tuple(slice(off[ax], off[ax] + dims[ax] + 1 - p[ax])
+                        for ax in reversed(range(D)))
+            v = w * C[src]
+            acc = v if acc is None else acc + v
+        F[dest] = acc
+    from ..mesh.utility import _structured_cells_nd
+    fdims = tuple(2 * n for n in dims)
+    cells, ct = _structured_cells_nd(fdims, kind)
+    topo = MeshTopology(cells.astype(_IDX), int(np.prod(
+        [n + 1 for n in fdims])), ct, name=f"{mesh.name}_ref")
     fine = Mesh(topo, F.reshape(-1, g), name=f"{mesh.name}_ref")
-    fine._structured = {"nx": 2 * nx, "ny": 2 * ny, "kind": kind}
+    fine._structured = dict(s)
+    for ax, nm in enumerate(("nx", "ny", "nz")[:D]):
+        fine._structured[nm] = fdims[ax]
     if getattr(mesh, "_box_lengths", None) is not None:
         from ..mesh.utility import _mark_box_facets
         fine._box_lengths = mesh._box_lengths
@@ -217,56 +236,58 @@ def _refine_structured(mesh: Mesh):
     else:
         _inherit_markers(mesh, fine)
 
-    # children: assign each fine cell of the 2x2 sub-quads to the coarse
-    # type whose quad-unit triangle contains its centroid
-    tverts = [np.asarray(v, dtype=np.float64)
-              for v in _cell_type_vertices(kind)]
-    ntypes = len(tverts)
+    # children: assign each fine cell of the 2^D sub-cubes to the coarse
+    # type whose unit-cube simplex contains its centroid
+    tverts = [np.asarray(v, dtype=np.float64) for v in tverts_i]
+    # orientation forcing may permute fine tets differently only if the
+    # fine mesh had negative cells; same unit geometry -> same types
+    ftverts = [np.asarray(v, dtype=np.float64)
+               for v in type_vertex_offsets(fine)]
 
-    def _centroid(t2, a, b):
-        return (np.asarray([a, b]) + tverts[t2].mean(axis=0)) / 2.0
+    def _edges(V):
+        if len(V) == 2 ** D:
+            return np.eye(D)
+        return np.stack([V[i + 1] - V[0] for i in range(D)], axis=1)
 
     def _contains(t, p):
         V = tverts[t]
-        if len(V) == 4:
+        if len(V) == 2 ** D:
             return True
-        E = np.stack([V[1] - V[0], V[2] - V[0]], axis=1)
-        lam = np.linalg.solve(E, p - V[0])
+        lam = np.linalg.solve(_edges(V), p - V[0])
         return lam.min() > -1e-12 and lam.sum() < 1 + 1e-12
 
-    children = {t: [] for t in range(ntypes)}      # [(t2, a, b)]
+    children = {t: [] for t in range(ntypes)}      # [(t2, sub-cube offset)]
     child_maps = {t: [] for t in range(ntypes)}    # [(A, b)] fine->coarse ref
     for t2 in range(ntypes):
-        for a in (0, 1):
-            for b in (0, 1):
-                t = next(tt for tt in range(ntypes)
-                         if _contains(tt, _centroid(t2, a, b)))
-                children[t].append((t2, a, b))
-                Vt, Vc = tverts[t2], tverts[t]
-                if len(Vc) == 4:
-                    Ec = np.eye(2)
-                else:
-                    Ec = np.stack([Vc[1] - Vc[0], Vc[2] - Vc[0]], axis=1)
-                if len(Vt) == 4:
-                    Ef = np.eye(2)
-                else:
-                    Ef = np.stack([Vt[1] - Vt[0], Vt[2] - Vt[0]], axis=1)
-                Eci = np.linalg.inv(Ec)
-                A = Eci @ Ef / 2.0
-                bb = Eci @ ((np.asarray([a, b], dtype=np.float64)
-                             + Vt[0]) / 2.0 - Vc[0])
-                child_maps[t].append((A, bb))
-    nchild = 4
+        for sub in itertools.product((0, 1), repeat=D):
+            suba = np.asarray(sub, dtype=np.float64)
+            cent = (suba + ftverts[t2].mean(axis=0)) / 2.0
+            t = next(tt for tt in range(ntypes) if _contains(tt, cent))
+            children[t].append((t2, sub))
+            Ec, Ef = _edges(tverts[t]), _edges(ftverts[t2])
+            V0c = tverts[t][0] if len(tverts[t]) != 2 ** D \
+                else np.zeros(D)
+            V0f = ftverts[t2][0] if len(ftverts[t2]) != 2 ** D \
+                else np.zeros(D)
+            Eci = np.linalg.inv(Ec)
+            A = Eci @ Ef / 2.0
+            bb = Eci @ ((suba + V0f) / 2.0 - V0c)
+            child_maps[t].append((A, bb))
+    nchild = 2 ** D
     assert all(len(children[t]) == nchild for t in range(ntypes))
-    c = np.arange(ntypes * nx * ny)
+    c = np.arange(ntypes * int(np.prod(dims)))
     t_of = c % ntypes
-    q = c // ntypes
-    I, J = q // ny, q % ny
+    qidx = _cell_grid_index(c // ntypes, dims)
+    # fine quad index q = sum_ax fi_ax * prod(fdims[ax+1:]) with the
+    # x-slowest convention: strides (prod(fdims[1:]), ..., fdims[-1], 1)
+    fstr = [int(np.prod(fdims[ax + 1:])) for ax in range(D)]
     c2f = np.zeros((len(c), nchild), dtype=np.int64)
     for t in range(ntypes):
         sel = t_of == t
-        for kchild, (t2, a, b) in enumerate(children[t]):
-            qf = (2 * I[sel] + a) * (2 * ny) + (2 * J[sel] + b)
+        for kchild, (t2, sub) in enumerate(children[t]):
+            qf = 0
+            for ax in range(D):
+                qf = qf + (2 * qidx[ax][sel] + sub[ax]) * fstr[ax]
             c2f[sel, kchild] = ntypes * qf + t2
     fine._coarse_mesh = mesh
     fine._c2f_cells = c2f

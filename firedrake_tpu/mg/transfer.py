@@ -182,32 +182,92 @@ class LevelTransfer:
         self.inject_fn = inject
 
 
+def _grid_transfer_classes(mesh, elem):
+    """Residue-class stencil table for grid transfers at any degree.
+
+    A grid-numbered degree-k space on a 2x-refined structured mesh is
+    NESTED in the fine space; the fine node at fine-lattice position f
+    evaluates the coarse function at coarse-quad position f/(2k), so
+    prolongation decomposes into (2k)^D residue classes.  For class
+    r = f mod 2k the weights are the coarse basis values at the point
+    r/(2k) of the containing cell type; slots off a shared lattice plane
+    (r_ax == 0) have zero weight there (Lagrange trace property), which
+    keeps every class a pure strided-slice + pad program.
+
+    Returns (k, D, classes) with classes[r] = [(slot_offset, weight)]."""
+    from ..assembly.stencil import (type_vertex_offsets, grid_slot_offsets,
+                                    _map_ref_points)
+    import itertools
+    tverts = type_vertex_offsets(mesh)
+    offs = grid_slot_offsets(elem, tverts)
+    k = elem.degree
+    D = len(tverts[0][0])
+    nodes = np.asarray(elem.nodes, dtype=np.float64)
+    classes = {}
+    for r in itertools.product(range(2 * k), repeat=D):
+        pt = np.asarray(r, dtype=np.float64) / (2 * k)
+        found = None
+        for t, verts in enumerate(tverts):
+            V = np.asarray(verts, dtype=np.float64)
+            if len(V) == D + 1:
+                E = (V[1:] - V[:1]).T
+                lam = np.linalg.solve(E, pt - V[0])
+                if lam.min() < -1e-12 or lam.sum() > 1 + 1e-12:
+                    continue
+                ref = lam
+            else:
+                ref = pt                        # unit-cube reference
+            found = (t, ref)
+            break
+        assert found is not None, f"class {r} in no cell type"
+        t, ref = found
+        tab = elem.tabulate(np.asarray(ref)[None], 0)[0][0]   # (nd,)
+        ent = []
+        for s_i, w in enumerate(tab):
+            if abs(w) < 1e-12:
+                continue
+            off = offs[t][s_i]
+            # trace property: on-plane classes only couple on-plane slots
+            assert all(off[ax] == 0 for ax in range(D) if r[ax] == 0), \
+                (r, off, w)
+            ent.append((off, float(w)))
+        classes[r] = ent
+    return k, D, classes
+
+
 class StructuredTransfer:
-    """Zero-gather grid transfers for grid-numbered P1/Q1 spaces on a
-    structured hierarchy: prolong/restrict/inject are pure pad/slice
-    programs (reference role: mg/kernels.py:155 generated transfer
-    kernels; here the structure makes them stencils)."""
+    """Zero-gather grid transfers for grid-numbered P_k/Q_k spaces on a
+    structured hierarchy (any dimension, any degree): prolong/restrict/
+    inject are pure strided-slice/pad programs (reference role:
+    mg/kernels.py:155 generated transfer kernels; here the structure
+    makes them stencils)."""
 
     def __init__(self, Vc, Vf):
         self.Vc, self.Vf = Vc, Vf
+        from ..assembly.stencil import struct_dims
         sc = Vc.mesh_obj._structured
         sf = Vf.mesh_obj._structured
-        self.kind = sc["kind"]
-        self.nxc, self.nyc = sc["nx"], sc["ny"]
-        assert sf["nx"] == 2 * self.nxc and sf["ny"] == 2 * self.nyc
+        self.dims = struct_dims(sc)             # coarse cell counts
+        assert struct_dims(sf) == tuple(2 * n for n in self.dims)
         self.bs = Vc.block_size
+        self.k, self.D, self.classes = _grid_transfer_classes(
+            Vc.mesh_obj, Vc.scalar_element)
         self._jit()
 
     def _jit(self):
-        gnxc, gnyc = self.nxc + 1, self.nyc + 1
-        kind, bs = self.kind, self.bs
-        nVc = gnxc * gnyc * bs
-        nVf = (2 * self.nxc + 1) * (2 * self.nyc + 1) * bs
+        k, D, bs = self.k, self.D, self.bs
+        dims = self.dims
+        gc = tuple(k * n + 1 for n in dims)              # coarse grid
+        gf = tuple(2 * k * n + 1 for n in dims)          # fine grid
+        cshape = tuple(reversed(gc))
+        fshape = tuple(reversed(gf))
+        classes = self.classes
+        rev = tuple(reversed(range(D)))
 
-        def _planes(dat, n):
+        def _planes(dat, shape):
             if bs == 1:
-                return [dat.reshape(n[0], n[1])]
-            return [dat[d::bs].reshape(n[0], n[1]) for d in range(bs)]
+                return [dat.reshape(shape)]
+            return [dat[d::bs].reshape(shape) for d in range(bs)]
 
         def _join(planes):
             if bs == 1:
@@ -215,65 +275,79 @@ class StructuredTransfer:
             return jnp.stack([p.reshape(-1) for p in planes],
                              axis=-1).reshape(-1)
 
-        zero = jnp.zeros(())
+        def _slot_slice(C, off, r):
+            """Coarse values of one slot pattern for class r: stride-k
+            slices; on-plane axes (r_ax==0) take the full lattice."""
+            starts, limits, strides = [], [], []
+            for ax in rev:
+                if r[ax] == 0:
+                    starts.append(0)
+                    limits.append(k * dims[ax] + 1)
+                else:
+                    starts.append(off[ax])
+                    limits.append(off[ax] + k * (dims[ax] - 1) + 1)
+                strides.append(k)
+            return jax.lax.slice(C, tuple(starts), tuple(limits),
+                                 tuple(strides))
 
         def _pro_plane(C):
-            ee = jax.lax.pad(C, zero.astype(C.dtype),
-                             ((0, 0, 1), (0, 0, 1)))
-            h = (C[:, :-1] + C[:, 1:]) / 2
-            ho = jax.lax.pad(h, zero.astype(C.dtype),
-                             ((0, 0, 1), (1, 1, 1)))
-            v = (C[:-1] + C[1:]) / 2
-            vo = jax.lax.pad(v, zero.astype(C.dtype),
-                             ((1, 1, 1), (0, 0, 1)))
-            if kind == "tri_left":
-                d = (C[:-1, 1:] + C[1:, :-1]) / 2
-            elif kind == "tri_right":
-                d = (C[:-1, :-1] + C[1:, 1:]) / 2
-            else:
-                d = (C[:-1, :-1] + C[:-1, 1:] + C[1:, :-1] + C[1:, 1:]) / 4
-            do = jax.lax.pad(d, zero.astype(C.dtype),
-                             ((1, 1, 1), (1, 1, 1)))
-            return ee + ho + vo + do
+            out = None
+            zero = jnp.zeros((), C.dtype)
+            for r, ents in classes.items():
+                acc = None
+                for off, w in ents:
+                    v = w * _slot_slice(C, off, r)
+                    acc = v if acc is None else acc + v
+                cfg = []
+                for ax in rev:
+                    if r[ax] == 0:
+                        cfg.append((0, 0, 2 * k - 1))
+                    else:
+                        cfg.append((r[ax],
+                                    gf[ax] - (r[ax]
+                                              + 2 * k * (dims[ax] - 1) + 1),
+                                    2 * k - 1))
+                v = jax.lax.pad(acc, zero, tuple(cfg))
+                out = v if out is None else out + v
+            return out
 
         def _res_plane(F):
-            Fee = F[0::2, 0::2]
-            Fh = F[0::2, 1::2]
-            Fv = F[1::2, 0::2]
-            Fd = F[1::2, 1::2]
-            R = Fee
-            R = R + 0.5 * (jnp.pad(Fh, ((0, 0), (1, 0)))
-                           + jnp.pad(Fh, ((0, 0), (0, 1))))
-            R = R + 0.5 * (jnp.pad(Fv, ((1, 0), (0, 0)))
-                           + jnp.pad(Fv, ((0, 1), (0, 0))))
-            if kind == "tri_left":
-                # d[j,i] fed C[j, i+1] and C[j+1, i]
-                R = R + 0.5 * (jnp.pad(Fd, ((0, 1), (1, 0)))
-                               + jnp.pad(Fd, ((1, 0), (0, 1))))
-            elif kind == "tri_right":
-                R = R + 0.5 * (jnp.pad(Fd, ((0, 1), (0, 1)))
-                               + jnp.pad(Fd, ((1, 0), (1, 0))))
-            else:
-                R = R + 0.25 * (jnp.pad(Fd, ((0, 1), (0, 1)))
-                                + jnp.pad(Fd, ((0, 1), (1, 0)))
-                                + jnp.pad(Fd, ((1, 0), (0, 1)))
-                                + jnp.pad(Fd, ((1, 0), (1, 0))))
-            return R
+            out = None
+            zero = jnp.zeros((), F.dtype)
+            for r, ents in classes.items():
+                # strided class extraction from the fine grid
+                sl = tuple(slice(r[ax], None, 2 * k) for ax in rev)
+                Fr = F[sl]
+                for off, w in ents:
+                    cfg = []
+                    for ax in rev:
+                        if r[ax] == 0:
+                            cfg.append((0, 0, k - 1))
+                        else:
+                            cfg.append((off[ax],
+                                        gc[ax] - (off[ax]
+                                                  + k * (dims[ax] - 1) + 1),
+                                        k - 1))
+                    v = jax.lax.pad(w * Fr, zero, tuple(cfg))
+                    out = v if out is None else out + v
+            return out
 
         @jax.jit
         def prolong(cdat):
-            ps = _planes(cdat, (gnyc, gnxc))
+            ps = _planes(cdat, cshape)
             return _join([_pro_plane(C) for C in ps])
 
         @jax.jit
         def restrict_(fdual):
-            ps = _planes(fdual, (2 * self.nyc + 1, 2 * self.nxc + 1))
+            ps = _planes(fdual, fshape)
             return _join([_res_plane(F) for F in ps])
+
+        inj = tuple(slice(None, None, 2) for _ in range(D))
 
         @jax.jit
         def inject(fdat):
-            ps = _planes(fdat, (2 * self.nyc + 1, 2 * self.nxc + 1))
-            return _join([F[0::2, 0::2] for F in ps])
+            ps = _planes(fdat, fshape)
+            return _join([F[inj] for F in ps])
 
         self.prolong_fn = prolong
         self.restrict_fn = restrict_
@@ -281,16 +355,17 @@ class StructuredTransfer:
 
 
 def _structured_ok(Vc, Vf):
+    from ..assembly.stencil import struct_dims
     mc, mf = Vc.mesh_obj, Vf.mesh_obj
     sc = getattr(mc, "_structured", None)
     sf = getattr(mf, "_structured", None)
     if sc is None or sf is None or getattr(mf, "_coarse_mesh", None) \
             is not mc:
         return False
-    if sf["nx"] != 2 * sc["nx"] or sf["ny"] != 2 * sc["ny"]:
+    if struct_dims(sf) != tuple(2 * n for n in struct_dims(sc)):
         return False
     ec = Vc.scalar_element
-    if getattr(ec, "family", None) != "Lagrange" or ec.degree != 1:
+    if getattr(ec, "family", None) != "Lagrange":
         return False
     return (getattr(Vc.sdata, "grid_numbered", False)
             and getattr(Vf.sdata, "grid_numbered", False)

@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 import firedrake_tpu as fd
-from firedrake_tpu import (FunctionSpace, VectorFunctionSpace, Function,
+from firedrake_tpu import (FunctionSpace, VectorFunctionSpace, Function, interpolate,
                            TestFunction, TrialFunction, SpatialCoordinate,
                            UnitSquareMesh, UnitCubeMesh, MeshHierarchy,
                            DirichletBC, inner, grad, dx, solve, errornorm,
@@ -152,3 +152,54 @@ def test_transfer_manager_hdiv_embedding():
     TransferManager().prolong(uc, uf)
     assert errornorm(as_vector([1.0 + 0 * Xf[0], 2.0 + 0 * Xf[1]]),
                      uf) < 1e-9
+
+
+# -------------------------------------------- 3D structured stencil MG
+# BoxMesh hierarchies preserve grid numbering per level (Kuhn cubes
+# refine to Kuhn cubes — Bey red refinement), so transfers stay
+# pad/slice programs at any Lagrange degree (mg/transfer.py
+# StructuredTransfer; reference: mg/kernels.py generated transfers).
+
+@pytest.mark.parametrize("hexa,deg", [(False, 1), (False, 2), (True, 2)])
+def test_structured_transfer_3d_exact(hexa, deg):
+    from firedrake_tpu.mg.transfer import get_transfer, StructuredTransfer
+    mh = MeshHierarchy(UnitCubeMesh(2, 2, 2, hexahedral=hexa), 1)
+    Vc = FunctionSpace(mh[0], "CG", deg)
+    Vf = FunctionSpace(mh[1], "CG", deg)
+    tr = get_transfer(Vc, Vf)
+    assert isinstance(tr, StructuredTransfer)
+    x, y, z = SpatialCoordinate(mh[0])
+    expr = x + 2 * y - z if deg == 1 else x * y + z * z - 0.3 * x
+    uc = interpolate(expr, Vc)
+    X, Y, Z = SpatialCoordinate(mh[1])
+    expr_f = X + 2 * Y - Z if deg == 1 else X * Y + Z * Z - 0.3 * X
+    uf = interpolate(expr_f, Vf)
+    assert np.abs(np.asarray(tr.prolong_fn(uc.dat))
+                  - np.asarray(uf.dat)).max() < 1e-13
+    assert np.abs(np.asarray(tr.inject_fn(uf.dat))
+                  - np.asarray(uc.dat)).max() < 1e-13
+    rng = np.random.default_rng(0)
+    f = rng.standard_normal(Vf.dim)
+    c = rng.standard_normal(Vc.dim)
+    lhs = float(np.dot(np.asarray(tr.restrict_fn(f)), c))
+    rhs = float(np.dot(f, np.asarray(tr.prolong_fn(c))))
+    assert abs(lhs - rhs) < 1e-10 * max(1.0, abs(lhs))
+
+
+def test_poisson_gmg_3d_structured_p2():
+    # the north-star configuration at test scale: P2 Poisson on a cube,
+    # stencil assembly + structured zero-gather transfers end to end
+    import math
+    mh = MeshHierarchy(UnitCubeMesh(2, 2, 2), 2)
+    m = mh[-1]
+    V = FunctionSpace(m, "CG", 2)
+    assert V.sdata.grid_numbered
+    u, v = TrialFunction(V), TestFunction(V)
+    x, y, z = SpatialCoordinate(m)
+    uex = sin(math.pi * x) * sin(math.pi * y) * sin(math.pi * z)
+    sol = Function(V)
+    solve(inner(grad(u), grad(v)) * dx == 3 * math.pi ** 2 * uex * v * dx,
+          sol, bcs=DirichletBC(V, 0.0, "on_boundary"),
+          solver_parameters={"ksp_type": "cg", "pc_type": "mg",
+                             "ksp_rtol": 1e-10})
+    assert errornorm(uex, sol) < 1e-3

@@ -115,3 +115,52 @@ def test_end_to_end_poisson_solve():
     ex = Function(V)
     ex.interpolate(sin(math.pi * X[0]) * sin(math.pi * X[1]))
     assert errornorm(ex, uh) < 1e-3
+
+
+# --------------------------------------------------------------- 3D path
+@pytest.mark.parametrize("hexa,deg", [(False, 1), (False, 2),
+                                      (True, 1), (True, 2)])
+def test_3d_rank2_matches_gather(hexa, deg):
+    from firedrake_tpu import UnitCubeMesh, interpolate
+    mesh = UnitCubeMesh(3, 2, 2, hexahedral=hexa)
+    V = FunctionSpace(mesh, "CG", deg)
+    assert V.sdata.grid_numbered
+    u, v = TrialFunction(V), TestFunction(V)
+    x, y, z = SpatialCoordinate(mesh)
+    w = interpolate(x * y + z, V)
+    a = (inner(grad(u), grad(v)) + w * u * v) * dx
+    a1, a2 = _pair(a)
+    assert a1._stencil is not None
+    A1, A2 = a1.assemble(), a2.assemble()
+    assert isinstance(A1, StencilMatrix)
+    assert np.abs(A1.to_dense() - A2.to_dense()).max() < 1e-13
+    b1 = np.asarray(a1.__class__(w * v * dx).assemble().dat)
+    os.environ["FDTPU_NO_STENCIL"] = "1"
+    try:
+        b2 = np.asarray(FormAssembler(w * v * dx).assemble().dat)
+    finally:
+        os.environ.pop("FDTPU_NO_STENCIL")
+    assert np.abs(b1 - b2).max() < 1e-13
+
+
+def test_3d_matrix_ops_and_bcs():
+    from firedrake_tpu import UnitCubeMesh
+    mesh = UnitCubeMesh(3, 3, 2)
+    V = FunctionSpace(mesh, "CG", 1)
+    u, v = TrialFunction(V), TestFunction(V)
+    a = inner(grad(u), grad(v)) * dx + u * v * dx
+    a1, a2 = _pair(a)
+    A1, A2 = a1.assemble(), a2.assemble()
+    x = np.random.default_rng(5).standard_normal(V.dim)
+    assert np.abs(np.asarray(A1.matvec(x))
+                  - np.asarray(A2.matvec(x))).max() < 1e-13
+    assert np.abs(np.asarray(A1.transpose_matvec(x))
+                  - np.asarray(A2.transpose_matvec(x))).max() < 1e-13
+    assert np.abs(np.asarray(A1.diagonal())
+                  - np.asarray(A2.diagonal())).max() < 1e-14
+    bc = DirichletBC(V, 0.0, (1, 6))
+    rows = jnp.asarray(bc.dof_indices)
+    D1 = A1.with_dirichlet(rows).to_dense()
+    D2 = A2.with_dirichlet(rows).to_dense()
+    assert np.abs(D1 - D2).max() < 1e-14
+    assert A1.nnz == A2.sparsity.nnz
