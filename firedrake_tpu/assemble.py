@@ -89,6 +89,7 @@ class FormAssembler:
                 # gathers of whole dof columns + strided z-slices
                 from .assembly.columns import build_column_plan
                 self._column = build_column_plan(self)
+        self._jitted_diag = None
         if self._stencil is not None or self._column is not None:
             self._statics_list = None
             self._acc_args = None
@@ -668,7 +669,8 @@ class FormAssembler:
             return plan.accumulate_rank2(loc)
         return plan.accumulate_rank1(loc)
 
-    def _run_stencil(self, coords_dat, coeff_dats, const_vals):
+    def _run_stencil(self, coords_dat, coeff_dats, const_vals,
+                     diag_only=False):
         """Structured-mesh device program: static slices in, lax.pad
         accumulation out — zero gathers/scatters (assembly/stencil.py)."""
         plan = self._stencil
@@ -681,9 +683,30 @@ class FormAssembler:
                                                  ci)
                 loc = kb(ce, ws, consts)            # (ni, nj, C)
                 locs[t] = loc if locs[t] is None else locs[t] + loc
+        if diag_only:
+            return plan.accumulate_diag(locs)
         if self.rank == 2:
             return plan.accumulate_rank2(locs)
         return plan.accumulate_rank1(locs)
+
+    def assemble_diagonal(self):
+        """diag(A) of a rank-2 form WITHOUT materializing the operator
+        (reference role: ImplicitMatrix getDiagonal,
+        matrix_free/operators.py).  Stencil meshes accumulate only the
+        zero-offset channel; other executors assemble and extract."""
+        assert self.rank == 2, "assemble_diagonal needs a bilinear form"
+        coords_dat = jnp.asarray(self.mesh.coordinates.dat)
+        coeff_dats = {c.count: jnp.asarray(c.dat)
+                      for c in self.coefficients}
+        const_vals = {c.count: jnp.asarray(c.values())
+                      for c in self.constants}
+        if self._stencil is not None:
+            if self._jitted_diag is None:
+                self._jitted_diag = jax.jit(
+                    lambda c, w, v: self._run_stencil(c, w, v,
+                                                      diag_only=True))
+            return self._jitted_diag(coords_dat, coeff_dats, const_vals)
+        return self.assemble().diagonal()
 
     # ------------------------------------------------------------- public
     def assemble(self, tensor=None):

@@ -377,6 +377,18 @@ class StencilPlan:
                 acc = v if acc is None else acc + v
         return acc.reshape(-1)
 
+    def accumulate_diag(self, locs):
+        """Only the (0,...,0) channel — the operator diagonal as a flat
+        dof vector, without materializing the other channels (feeds
+        matrix-free Jacobi/Chebyshev smoothing, assembly/matfree.py)."""
+        sg = self.test_g
+        cshape = self._cell_plane_shape()
+        acc = None
+        for (t, i, j, oR) in self.contribs[self.diag_channel]:
+            v = self._place(locs[t][i, j].reshape(cshape), oR, sg)
+            acc = v if acc is None else acc + v
+        return acc.reshape(-1)
+
 
 def build_stencil_plan(asm):
     """StencilPlan for a FormAssembler, or None when inapplicable."""

@@ -123,9 +123,30 @@ class GMGPreconditioner:
         params.setdefault(prefix + "mg_coarse_pc_type", "lu")
 
         from ..solvers.composition import OpCtx, build_ksp
+        # matrix-free levels: above this size, the level operator is an
+        # action-assembly MatrixFreeOperator instead of channel planes
+        # (a 17M-dof P2 tet StencilMatrix would hold ~65 planes, ~9 GB
+        # f64 before tile padding — the dof-vector-only action is what
+        # makes the 16M north-star solve fit on one chip).  Explicit
+        # `mg_fine_mat_type: matfree` forces it on the finest level.
+        matfree_threshold = float(params.get(
+            prefix + "mg_matfree_threshold",
+            4e6) if params else 4e6)
+        force_fine_mf = (params or {}).get(
+            prefix + "mg_fine_mat_type") == "matfree"
         self.levels = []
         for i, (V, f, lb) in enumerate(zip(spaces, forms, level_bcs)):
-            A = assemble(f, bcs=lb)
+            use_mf = (V.dim >= matfree_threshold
+                      or (force_fine_mf and i == len(spaces) - 1))
+            if use_mf:
+                from ..assembly.matfree import MatrixFreeOperator
+                A = MatrixFreeOperator(f)
+                if lb:
+                    rows = np.unique(np.concatenate(
+                        [b.dof_indices for b in lb]))
+                    A = A.with_dirichlet(jnp.asarray(rows))
+            else:
+                A = assemble(f, bcs=lb)
             bc_idx = (np.unique(np.concatenate(
                 [b.dof_indices for b in lb]))
                 if lb else np.zeros(0, dtype=np.int32))

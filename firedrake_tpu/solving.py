@@ -167,71 +167,60 @@ class LinearVariationalSolver:
 
         mat_type = params.get("mat_type", "aij")
         if mat_type == "matfree":
-            af = _action_cached(p.a)
-            asm = get_assembler(af)
-            xf = af._mf_coeff
-            coords = jnp.asarray(V.mesh_obj.coordinates.dat)
-
-            def raw_op(x):
-                cd = {c.count: jnp.asarray(c.dat)
-                      for c in asm.coefficients}
-                cd[xf.count] = x
-                cv = {c.count: jnp.asarray(c.values())
-                      for c in asm.constants}
-                return asm._run(coords, cd, cv)
-
-            op, bvec = _constrained_op(raw_op, b, bc_idx, gj, n)
-            from .solvers.composition import OpCtx, build_pc
-            mf_params = dict(params)
-            if mf_params.get("pc_type") == "jacobi":
-                mf_params["pc_type"] = "none"   # no assembled diagonal
-            ctx = OpCtx(matvec=op, space=V, form=p.a, bcs=p.bcs,
-                        appctx=self.appctx)
-            pc = build_pc(ctx, mf_params, "")
-            res = _run_ksp(op, bvec, params, pc=pc,
-                           x0=jnp.asarray(p.u.dat))
+            # action-assembly operator (reference: matrix_free/
+            # operators.py ImplicitMatrix) — Matrix-duck-typed, so
+            # jacobi/chebyshev/mg compose with it unchanged
+            from .assembly.matfree import MatrixFreeOperator
+            if self._mat is None or not p.constant_jacobian:
+                A0 = MatrixFreeOperator(p.a)
+            else:
+                A0 = self._mat
         else:
             A0 = assemble(p.a) if (self._mat is None
-                                   or not p.constant_jacobian) else self._mat
-            if p.constant_jacobian:
-                self._mat = A0
-            bvec = b - A0.matvec(gj) if len(bc_idx) else b
-            if len(bc_idx):
-                bvec = bvec.at[jnp.asarray(bc_idx)].set(gj[
-                    jnp.asarray(bc_idx)])
-                A = A0.with_dirichlet(jnp.asarray(bc_idx))
-            else:
-                A = A0
-            if params.get("ksp_type") == "preonly" and \
-                    params.get("pc_type") in ("lu", "cholesky", "ilu"):
-                # exact host sparse LU at the outermost level
-                p.u.dat = direct_solve(A, bvec)
-                self.ksp_iterations = 1
-                return
-            from .solvers.composition import OpCtx, build_pc
-            ctx = OpCtx(mat=A, space=V, form=p.a, bcs=p.bcs,
-                        appctx=self.appctx)
-            if params.get("pc_type") == "mg" and not hasattr(self, "_gmg"):
-                self._gmg = build_pc(ctx, params, "")
-            pc = self._gmg if params.get("pc_type") == "mg" \
-                else build_pc(ctx, params, "")
-            if params.get("ksp_type") == "preonly":
-                p.u.dat = pc(bvec)
-                self.ksp_iterations = 1
-                return
-            opfn = A.matvec
-            if self.nullspace is not None and not \
-                    getattr(self.nullspace, "is_trivial", lambda: False)():
-                ns = self.nullspace
-                base = A.matvec
+                                   or not p.constant_jacobian) \
+                else self._mat
+        if p.constant_jacobian:
+            self._mat = A0
+        bvec = b - A0.matvec(gj) if len(bc_idx) else b
+        if len(bc_idx):
+            bvec = bvec.at[jnp.asarray(bc_idx)].set(gj[
+                jnp.asarray(bc_idx)])
+            A = A0.with_dirichlet(jnp.asarray(bc_idx))
+        else:
+            A = A0
+        if params.get("ksp_type") == "preonly" and \
+                params.get("pc_type") in ("lu", "cholesky", "ilu"):
+            if mat_type == "matfree":
+                raise ValueError("pc_type 'lu' needs an assembled "
+                                 "operator; got mat_type 'matfree'")
+            # exact host sparse LU at the outermost level
+            p.u.dat = direct_solve(A, bvec)
+            self.ksp_iterations = 1
+            return
+        from .solvers.composition import OpCtx, build_pc
+        ctx = OpCtx(mat=A, space=V, form=p.a, bcs=p.bcs,
+                    appctx=self.appctx)
+        if params.get("pc_type") == "mg" and not hasattr(self, "_gmg"):
+            self._gmg = build_pc(ctx, params, "")
+        pc = self._gmg if params.get("pc_type") == "mg" \
+            else build_pc(ctx, params, "")
+        if params.get("ksp_type") == "preonly":
+            p.u.dat = pc(bvec)
+            self.ksp_iterations = 1
+            return
+        opfn = A.matvec
+        if self.nullspace is not None and not \
+                getattr(self.nullspace, "is_trivial", lambda: False)():
+            ns = self.nullspace
+            base = A.matvec
 
-                def opfn(x, _base=base, _ns=ns):
-                    px = _ns.orthogonalize(x)
-                    return _ns.orthogonalize(_base(px)) + (x - px)
+            def opfn(x, _base=base, _ns=ns):
+                px = _ns.orthogonalize(x)
+                return _ns.orthogonalize(_base(px)) + (x - px)
 
-                bvec = ns.orthogonalize(bvec)
-            res = _run_ksp(opfn, bvec, params, pc=pc,
-                           x0=jnp.asarray(p.u.dat))
+            bvec = ns.orthogonalize(bvec)
+        res = _run_ksp(opfn, bvec, params, pc=pc,
+                       x0=jnp.asarray(p.u.dat))
         p.u.dat = res.x
         self.ksp_iterations = int(res.iterations)
         self.converged = bool(res.converged)
