@@ -20,6 +20,7 @@ from .operators import (
     conditional, lt, le, gt, ge, eq, ne, And, Or, Not,
     avg, jump,
 )
+from .freeindex import Index, indices, FreeExpr
 from .measure import (Measure, Integral, Form, Equation, dx, ds, dS,
                       ds_b, ds_t, ds_v)
 from .calculus import (replace, derivative, action, adjoint, lhs, rhs,

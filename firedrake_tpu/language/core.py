@@ -33,13 +33,19 @@ class Expr:
         self._hash = None
 
     # -------------------------------------------------------- arithmetic
+    # NB: operands that carry free indices (language/freeindex.py
+    # FreeExpr) defer to FreeExpr's reflected operators
     def __add__(self, other):
+        if getattr(other, "_is_free_expr", False):
+            return NotImplemented
         return Sum(self, as_expr(other))
 
     def __radd__(self, other):
         return Sum(as_expr(other), self)
 
     def __sub__(self, other):
+        if getattr(other, "_is_free_expr", False):
+            return NotImplemented
         return Sum(self, _negate(as_expr(other)))
 
     def __rsub__(self, other):
@@ -49,12 +55,16 @@ class Expr:
         from .measure import Measure
         if isinstance(other, Measure):
             return other.integral(self)
+        if getattr(other, "_is_free_expr", False):
+            return NotImplemented
         return Product(self, as_expr(other))
 
     def __rmul__(self, other):
         return Product(as_expr(other), self)
 
     def __truediv__(self, other):
+        if getattr(other, "_is_free_expr", False):
+            return NotImplemented
         return Division(self, as_expr(other))
 
     def __rtruediv__(self, other):
@@ -72,7 +82,16 @@ class Expr:
     def __getitem__(self, idx):
         if not isinstance(idx, tuple):
             idx = (idx,)
+        from .freeindex import Index, indexed_or_free
+        if any(isinstance(i, Index) for i in idx):
+            return indexed_or_free(self, idx)
         return Indexed(self, idx)
+
+    def dx(self, *ii):
+        """Spatial derivative d(self)/dx_i (ufl Expr.dx): int or free
+        Index arguments; repeated indices sum (u.dx(i, i) etc.)."""
+        from .freeindex import dx_expand
+        return dx_expand(self, ii)
 
     def __call__(self, side):
         assert side in ("+", "-"), side

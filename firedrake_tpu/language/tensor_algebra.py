@@ -209,7 +209,10 @@ def dev(a):
                           Product(Trace(a), Identity(n))))
 
 
-def as_vector(components):
+def as_vector(components, index=None):
+    if index is not None or getattr(components, "_is_free_expr", False):
+        from .freeindex import as_tensor_free
+        return as_tensor_free(components, index)
     return ListTensor(*components)
 
 
@@ -218,7 +221,10 @@ def as_matrix(rows):
                         for row in rows])
 
 
-def as_tensor(arr):
+def as_tensor(arr, indices=None):
+    if indices is not None or getattr(arr, "_is_free_expr", False):
+        from .freeindex import as_tensor_free
+        return as_tensor_free(arr, indices)
     if isinstance(arr, Expr):
         return arr
     if isinstance(arr[0], (list, tuple)):
