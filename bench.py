@@ -56,18 +56,19 @@ def _per_rep(call, budget=20.0):
     return max(tR - base, 1e-9) / R, R
 
 
-def _assembly_bench(jax, n, degree, stencil=True):
+def _assembly_bench(jax, n, degree, stencil=True, dim=2):
     """On-device repeated matrix assembly; returns dofs/s."""
     import os
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
-                               UnitSquareMesh, inner, grad, dx)
+                               UnitSquareMesh, UnitCubeMesh, inner, grad,
+                               dx)
     from firedrake_tpu.assemble import FormAssembler
 
     if not stencil:
         os.environ["FDTPU_NO_STENCIL"] = "1"
     try:
-        mesh = UnitSquareMesh(n, n)
+        mesh = UnitCubeMesh(n, n, n) if dim == 3 else UnitSquareMesh(n, n)
         V = FunctionSpace(mesh, "CG", degree)
         u, v = TrialFunction(V), TestFunction(V)
         asm = FormAssembler(inner(grad(u), grad(v)) * dx + u * v * dx)
@@ -128,36 +129,52 @@ def _matvec_bench(jax, n, degree=1):
                 stencil=type(A).__name__ == "StencilMatrix")
 
 
-def _solve_bench(jax, nbase, levels, degree):
+def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False):
     """CG+GMG solve wall time at the KSP level on a structured hierarchy
     (stencil operators + stencil transfers); the timed call is
-    forced-materialized via one scalar read."""
+    forced-materialized via one scalar read.  `matfree=True` runs the
+    fine operator as an action-assembly MatrixFreeOperator (the 16M-dof
+    north-star configuration — no channel planes at the fine level)."""
     import math
     import numpy as np
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                SpatialCoordinate, UnitSquareMesh,
-                               MeshHierarchy, DirichletBC, inner, grad,
-                               dx, sin, assemble)
+                               UnitCubeMesh, MeshHierarchy, DirichletBC,
+                               inner, grad, dx, sin, assemble)
     from firedrake_tpu.mg.vcycle import GMGPreconditioner
     from firedrake_tpu.solving import _run_ksp, _bc_data
 
-    hier = MeshHierarchy(UnitSquareMesh(nbase, nbase), levels)
+    base = (UnitCubeMesh(nbase, nbase, nbase) if dim == 3
+            else UnitSquareMesh(nbase, nbase))
+    hier = MeshHierarchy(base, levels)
     mesh = hier.meshes[-1]
     V = FunctionSpace(mesh, "CG", degree)
     u, v = TrialFunction(V), TestFunction(V)
     X = SpatialCoordinate(mesh)
-    f = 2 * math.pi ** 2 * sin(math.pi * X[0]) * sin(math.pi * X[1])
+    f = dim * math.pi ** 2
+    for k in range(dim):
+        f = f * sin(math.pi * X[k])
     a = inner(grad(u), grad(v)) * dx
     L = f * v * dx
     bc = DirichletBC(V, 0.0, "on_boundary")
-    A = assemble(a, bcs=[bc])
     bc_idx, _ = _bc_data([bc], V.dim)
+    if matfree:
+        from firedrake_tpu.assembly.matfree import MatrixFreeOperator
+        A = MatrixFreeOperator(a)
+    else:
+        A = assemble(a, bcs=[bc])
     A = A.with_dirichlet(jnp.asarray(bc_idx))
+    pc_params = {}
+    if matfree:
+        # dof-vector-only MG levels: only the coarse base assembles
+        # channel planes (its dense coarse inverse must also stay small
+        # — a 36k-dof P2 coarse level would mean a 10 GB dense LU)
+        pc_params["mg_matfree_threshold"] = 2e4
     mask = np.ones(V.dim)
     mask[bc_idx] = 0.0
     b = jnp.asarray(assemble(L).dat) * jnp.asarray(mask)
-    pc = GMGPreconditioner(a, [bc], V)
+    pc = GMGPreconditioner(a, [bc], V, params=pc_params)
     params = {"ksp_type": "cg", "ksp_rtol": 1e-10}
     # ONE jitted whole-solve program (PETSc re-runs KSPSolve without
     # re-setup; retracing the while-loop per call would time Python)
@@ -168,7 +185,10 @@ def _solve_bench(jax, nbase, levels, degree):
     res = solver(b)
     float(res.x[0])
     dt = time.perf_counter() - t0
-    return dict(dofs=V.dim, seconds=dt, iterations=int(res.iterations))
+    rel = float(jnp.linalg.norm(b - A.matvec(res.x))
+                / jnp.linalg.norm(b))
+    return dict(dofs=V.dim, seconds=dt, iterations=int(res.iterations),
+                rel_residual=rel, matfree=matfree)
 
 
 def _free_device():
@@ -199,6 +219,11 @@ def main():
     metric("spmv_1024", _matvec_bench, 1024)
     metric("cg_gmg_solve_66k", _solve_bench, 32, 3, 1)
     metric("cg_gmg_solve_1m", _solve_bench, 32, 5, 1)
+    # north star (BASELINE.json): P2 Poisson on a cube at 16M dofs —
+    # tet6 stencil hierarchy, matrix-free fine level, whole solve ONE
+    # XLA program
+    metric("p2_assembly_3d_64", _assembly_bench, 64, 2, dim=3)
+    metric("cg_gmg_16m", _solve_bench, 8, 4, 2, dim=3, matfree=True)
 
     with open("/root/repo/BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)

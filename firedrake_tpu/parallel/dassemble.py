@@ -50,7 +50,7 @@ class DistributedForm:
     """
 
     def __init__(self, form, mpart: MeshPartition, parts: dict,
-                 diag=False):
+                 diag=False, matrix=False):
         from ..assemble import FormAssembler
         # the batched (cell-last) layout is not localization-aware;
         # flat + cell-major cover everything.  use_stencil=False:
@@ -70,10 +70,23 @@ class DistributedForm:
         #: the rank-1 machinery (off-diagonal local entries route to the
         #: trash segment) — the in-program Jacobi/Chebyshev diagonal
         self.diag = bool(diag)
-        if self.asm.rank != 1 and not (self.diag and self.asm.rank == 2):
+        #: matrix mode: a rank-2 form accumulated ONCE per shard into a
+        #: shard-local ELL block (nloc rows x K slots) — the assembled
+        #: distributed operator (pyop2/types/mat.py:27 role).  Rows hold
+        #: the shard's own cells' PARTIAL contributions; a matvec is
+        #: local ELL SpMV + the same halo_reduce leg as action assembly,
+        #: so the two operator modes are interchangeable in dsolve.
+        self.matrix = bool(matrix)
+        if self.asm.rank != 1 and not ((self.diag or self.matrix)
+                                       and self.asm.rank == 2):
             raise NotImplementedError(
-                "distributed assembly is rank-1 (residuals/actions) or "
-                "rank-2 diagonal; full rank-2 goes matrix-free")
+                "distributed assembly is rank-1 (residuals/actions), "
+                "rank-2 diagonal, or rank-2 ELL (matrix=True)")
+        if self.matrix:
+            args = form.arguments()
+            if args[0].space.dim != args[1].space.dim:
+                raise NotImplementedError(
+                    "distributed ELL operators are square")
         self.mpart = mpart
         V = self.asm.test.space if self.asm.rank >= 1 else None
         mesh = self.asm.mesh
@@ -139,12 +152,36 @@ class DistributedForm:
                         rl[:, :, None], nloc)
                     pos[~valids[s]] = nloc
                     per_shard_pos[s].append(pos.reshape(-1))
+                elif self.matrix:
+                    # rank-2 (local row, local col) keys in the _run
+                    # cell-major flat order; invalid/padding -> BIG
+                    rows_g = np.asarray(st["rows"])[sels[s]]
+                    cols_g = np.asarray(st["cols"])[sels[s]]
+                    C, ni = rows_g.shape
+                    nj = cols_g.shape[1]
+                    rl, okr = self.vpart.g2l(s, rows_g.reshape(-1))
+                    cl, okc = self.vpart.g2l(s, cols_g.reshape(-1))
+                    rl = rl.reshape(C, ni).astype(np.int64)
+                    cl = cl.reshape(C, nj).astype(np.int64)
+                    okr = okr.reshape(C, ni)
+                    okc = okc.reshape(C, nj)
+                    key = (rl[:, :, None] * (nloc + 1)
+                           + cl[:, None, :])
+                    valid = (valids[s][:, None, None]
+                             & okr[:, :, None] & okc[:, None, :])
+                    key = np.where(valid, key,
+                                   (nloc + 1) * (nloc + 1))
+                    per_shard_pos[s].append(key.reshape(-1))
 
         # per-shard sorted accumulation plans (keep ALL entries so
         # shapes match across shards; padding sorts last into the
         # trash segment)
         self.acc = None
-        if self.asm.rank == 1 or self.diag:
+        self.ell_cols = None
+        self.K = None
+        if self.matrix:
+            self._build_ell(per_shard_pos, nsh, nloc)
+        elif self.asm.rank == 1 or self.diag:
             perms, segs = [], []
             for s in range(nsh):
                 pos_all = np.concatenate(per_shard_pos[s])
@@ -160,6 +197,52 @@ class DistributedForm:
             shards = [per_shard_statics[s][i] for s in range(nsh)]
             self.statics.append(jax.tree_util.tree_map(
                 lambda *xs: jnp.asarray(np.stack(xs)), *shards))
+
+    def _build_ell(self, per_shard_keys, nsh, nloc):
+        """Shared-width ELL layout from per-shard (row, col) keys:
+        slot(r, c) = r * K + rank-of-c-within-row; the accumulation
+        plan routes every flat local-tensor entry (and all padding) to
+        its slot (or the trash segment nloc*K), so ONE sorted
+        segment-sum per solve materializes the shard's operator block
+        as a dense (nloc, K) value table + static column table."""
+        nl1 = nloc + 1
+        BIG = nl1 * nl1
+        keyss = [np.concatenate(per_shard_keys[s]) for s in range(nsh)]
+        uniq = [np.unique(k[k < BIG]) for k in keyss]
+        K = 1
+        for u in uniq:
+            if len(u):
+                rows_u = u // nl1
+                K = max(K, int(np.bincount(
+                    rows_u, minlength=nloc).max()))
+        self.K = K
+        trash = nloc * K
+        ecols = np.zeros((nsh, nloc * K), dtype=_IDX)
+        perms, segs = [], []
+        for s in range(nsh):
+            u = uniq[s]
+            key = keyss[s]
+            if len(u):
+                rows_u = (u // nl1).astype(np.int64)
+                cols_u = (u % nl1).astype(np.int64)
+                # np.unique sorts => keys grouped by row ascending; the
+                # within-row rank is position minus the row's first
+                first = np.r_[True, rows_u[1:] != rows_u[:-1]]
+                starts = np.maximum.accumulate(
+                    np.where(first, np.arange(len(u)), 0))
+                slot_u = rows_u * K + (np.arange(len(u)) - starts)
+                ecols[s, slot_u] = cols_u.astype(_IDX)
+                pos_idx = np.clip(np.searchsorted(u, key), 0,
+                                  len(u) - 1)
+                slot = np.where(key < BIG, slot_u[pos_idx], trash)
+            else:
+                slot = np.full(len(key), trash, dtype=np.int64)
+            o = np.argsort(slot, kind="stable")
+            perms.append(o.astype(_IDX))
+            segs.append(slot[o].astype(_IDX))
+        self.acc = {"perm": jnp.asarray(np.stack(perms)),
+                    "seg": jnp.asarray(np.stack(segs))}
+        self.ell_cols = jnp.asarray(ecols)
 
     def _localize_one(self, ci, st, s, sel, valid):
         """Localized ARRAY statics of one integral for shard s."""
@@ -221,8 +304,11 @@ class DistributedForm:
                    for st in statics_blk]
         acc = jax.tree_util.tree_map(lambda a: a[0], acc_blk)
         nloc = self.vpart.max_local
+        nseg = nloc * self.K + 1 if self.matrix else nloc + 1
         out = self.asm._run(coords_local, coeff_locals, const_vals,
-                            arg_statics=statics, acc=acc, nseg=nloc + 1)
+                            arg_statics=statics, acc=acc, nseg=nseg)
+        if self.matrix:
+            return out[:nloc * self.K].reshape(nloc, self.K)
         return out[:nloc]
 
 

@@ -102,11 +102,17 @@ class EnsembleDistributedSolver(DistributedLinearSolver):
             {"perm": jnp.zeros((S, 1), jnp.int32),
              "seg": jnp.zeros((S, 1), jnp.int32)}
         mg_data = self.dmg.data if self.dmg is not None else 0.0
+        dmat_st = self.dmat.statics if self.dmat else []
+        dmat_acc = self.dmat.acc if self.dmat else \
+            {"perm": jnp.zeros((S, 1), jnp.int32),
+             "seg": jnp.zeros((S, 1), jnp.int32)}
+        ecols = self.dmat.ell_cols if self.dmat else \
+            jnp.zeros((S, 1), jnp.int32)
         xowned, it = self._jitted(
             coords_blk, clocals, cvals, dlocals, self.g_loc,
             x0_blk, jnp.asarray(self.freemask), self.ex,
             self.dact.statics, self.dact.acc, dres_st, dres_acc,
-            ddiag_st, ddiag_acc, mg_data)
+            ddiag_st, ddiag_acc, dmat_st, dmat_acc, ecols, mg_data)
         xarr = np.asarray(xowned).reshape(M, S, vp.max_owned)
         m = vp.owned_mask.astype(bool)
         for i, u in enumerate(us):

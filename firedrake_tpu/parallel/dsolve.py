@@ -54,14 +54,21 @@ class DistributedLinearSolver:
     jitted shard_map call."""
 
     def __init__(self, a, L, V, bcs=(), nshards=None, devices=None,
-                 rtol=1e-10, atol=1e-50, maxit=5000, pc_type="jacobi"):
+                 rtol=1e-10, atol=1e-50, maxit=5000, pc_type="jacobi",
+                 ksp_type="cg", mat_type="action", restart=30):
         from ..solving import _action_cached, _bc_data
+        from ..solvers.krylov import KSP_METHODS
 
         nshards = nshards or len(jax.devices())
         self.nshards = nshards
         mesh = V.mesh_obj
         self.V = V
         self.pc_type = pc_type
+        if ksp_type not in KSP_METHODS:
+            raise NotImplementedError(
+                f"distributed ksp_type {ksp_type!r}")
+        self.ksp_type = ksp_type
+        self.restart = restart
         parts = {}
         self.dmg = None
         if pc_type == "mg":
@@ -76,6 +83,11 @@ class DistributedLinearSolver:
         af = _action_cached(a)
         self.xf = af._mf_coeff
         self.dact = DistributedForm(af, self.mpart, parts)
+        # assembled operator: the shard-local ELL block is built ONCE
+        # inside the program; each matvec is then SpMV + halo instead
+        # of a per-iteration action assembly
+        self.dmat = DistributedForm(a, self.mpart, parts, matrix=True) \
+            if mat_type == "assembled" else None
         self.dres = DistributedForm(L, self.mpart, parts) \
             if L is not None else None
         self.ddiag = DistributedForm(a, self.mpart, parts, diag=True) \
@@ -122,9 +134,11 @@ class DistributedLinearSolver:
         dmg = self.dmg
         mg_fns = dmg.make() if dmg is not None else None
 
+        dmat = self.dmat
+
         def body(coords_blk, clocal_blks, cvals, dlocal_blks, g_blk,
                  x0_blk, freemask_blk, ex, st_a, acc_a, st_L, acc_L,
-                 st_d, acc_d, mg_data):
+                 st_d, acc_d, st_m, acc_m, ecols_blk, mg_data):
             ex = jax.tree_util.tree_map(lambda a: a[0], ex)
             free = freemask_blk[0]
             own = ex["local_owned_mask"]
@@ -135,12 +149,24 @@ class DistributedLinearSolver:
             dlocals = {cnt: blk[0] for cnt, blk in dlocal_blks.items()}
             g_loc = g_blk[0]
 
-            def raw_apply(xl):
-                """A @ x from a ghost-complete local x."""
-                cd = dict(clocals)
-                cd[xf.count] = xl
-                y = dact.run_local(coords_local, cd, cvals, st_a, acc_a)
-                return halo_reduce(y, ex, hops, nsh)
+            if dmat is not None:
+                # assemble the shard-local ELL block ONCE; matvecs are
+                # then SpMV + the same halo legs as action assembly
+                ell = dmat.run_local(coords_local, clocals, cvals,
+                                     st_m, acc_m)       # (nloc, K)
+                ec = ecols_blk[0].reshape(nloc, dmat.K)
+
+                def raw_apply(xl):
+                    y = jnp.sum(ell * xl[ec], axis=1)
+                    return halo_reduce(y, ex, hops, nsh)
+            else:
+                def raw_apply(xl):
+                    """A @ x from a ghost-complete local x."""
+                    cd = dict(clocals)
+                    cd[xf.count] = xl
+                    y = dact.run_local(coords_local, cd, cvals, st_a,
+                                       acc_a)
+                    return halo_reduce(y, ex, hops, nsh)
 
             def matvec(x):
                 """Constrained P A P + (I-P) on owned-valid x."""
@@ -182,30 +208,17 @@ class DistributedLinearSolver:
             b = (b - Ag) * free * own + g_loc * bc * own
 
             x = x0_blk[0] * free * own + g_loc * bc * own
-            r = (b - matvec(x)) * own
-            z = pc(r)
-            p_ = z
-            rz = pdot(r, z)
-            r0 = jnp.sqrt(pdot(r, r))
-
-            def cond(stt):
-                x, r, z, p_, rz, it = stt
-                rn = jnp.sqrt(pdot(r, r))
-                return (rn > jnp.maximum(rtol * r0, atol)) & (it < maxit)
-
-            def step(stt):
-                x, r, z, p_, rz, it = stt
-                Ap = matvec(p_)
-                alpha = rz / pdot(p_, Ap)
-                x = x + alpha * p_
-                r = r - alpha * Ap
-                z = pc(r)
-                rz_new = pdot(r, z)
-                p_ = z + (rz_new / rz) * p_
-                return x, r, z, p_, rz_new, it + 1
-
-            x, r, z, p_, rz, it = jax.lax.while_loop(
-                cond, step, (x, r, z, p_, rz, jnp.zeros((), jnp.int32)))
+            # the SAME serial Krylov loops (solvers/krylov.py), made
+            # collective by the psum dot — cg/gmres/bicgstab/... all
+            # run distributed through one code path
+            from ..solvers.krylov import KSP_METHODS
+            kw = {}
+            if self.ksp_type in ("gmres", "fgmres"):
+                kw["restart"] = self.restart
+            res = KSP_METHODS[self.ksp_type](
+                matvec, b, x0=x, pc=pc, rtol=rtol, atol=atol,
+                max_it=maxit, dot=pdot, **kw)
+            x, it = res.x, res.iterations
             it_axes = ("ens", "shards") if self._ens else "shards"
             return x[:nown], jax.lax.pmax(it, it_axes)
 
@@ -231,6 +244,11 @@ class DistributedLinearSolver:
                                 else []),
                     _specs_like(self.ddiag.acc if self.ddiag else
                                 {"perm": 0, "seg": 0}),
+                    _specs_like(self.dmat.statics if self.dmat
+                                else []),
+                    _specs_like(self.dmat.acc if self.dmat else
+                                {"perm": 0, "seg": 0}),
+                    S,
                     mg_spec)
         smapped = shard_map(body, mesh=self.jmesh,
                             in_specs=in_specs,
@@ -290,11 +308,17 @@ class DistributedLinearSolver:
         ddiag_acc = self.ddiag.acc if self.ddiag else \
             {"perm": jnp.zeros((self.nshards, 1), jnp.int32),
              "seg": jnp.zeros((self.nshards, 1), jnp.int32)}
+        dmat_st = self.dmat.statics if self.dmat else []
+        dmat_acc = self.dmat.acc if self.dmat else \
+            {"perm": jnp.zeros((self.nshards, 1), jnp.int32),
+             "seg": jnp.zeros((self.nshards, 1), jnp.int32)}
+        ecols = self.dmat.ell_cols if self.dmat else \
+            jnp.zeros((self.nshards, 1), jnp.int32)
         mg_data = self.dmg.data if self.dmg is not None else 0.0
         args = (coords_blk, clocals, cvals, dlocals, self.g_loc,
                 x0_blk, jnp.asarray(self.freemask), self.ex,
                 self.dact.statics, self.dact.acc, dres_st, dres_acc,
-                ddiag_st, ddiag_acc, mg_data)
+                ddiag_st, ddiag_acc, dmat_st, dmat_acc, ecols, mg_data)
         xowned, it = self._jitted(*args)
         from ..utils.guards import spmd_strict
         if spmd_strict():
@@ -318,14 +342,18 @@ class DistributedLinearSolver:
 
 
 def distributed_solve(a, L, u, bcs=(), nshards=None, rtol=1e-10,
-                      maxit=5000, pc_type="jacobi", x0=None):
-    """solve(a == L, u, bcs=...) by SPMD preconditioned CG over an
+                      maxit=5000, pc_type="jacobi", x0=None,
+                      ksp_type="cg", mat_type="action", restart=30):
+    """solve(a == L, u, bcs=...) by SPMD preconditioned Krylov over an
     n-device mesh — general SFC partitions, all integral types,
-    Dirichlet BCs, Jacobi or distributed-GMG preconditioning."""
+    Dirichlet BCs, Jacobi or distributed-GMG preconditioning; any
+    method in solvers/krylov.py KSP_METHODS; action-assembly or
+    assembled-ELL operators (mat_type 'action'/'assembled')."""
     V = u.function_space()
     solver = DistributedLinearSolver(a, L, V, bcs=bcs, nshards=nshards,
                                      rtol=rtol, maxit=maxit,
-                                     pc_type=pc_type)
+                                     pc_type=pc_type, ksp_type=ksp_type,
+                                     mat_type=mat_type, restart=restart)
     solver.solve(u, x0=x0)
     u._dist_iterations = solver.iterations
     return u

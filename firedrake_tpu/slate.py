@@ -67,8 +67,8 @@ class TensorBase:
     def inv(self):
         return Inverse(self)
 
-    def solve(self, b):
-        return Solve(self, b)
+    def solve(self, b, decomposition=None):
+        return Solve(self, b, decomposition=decomposition)
 
     @property
     def blocks(self):
@@ -166,10 +166,62 @@ class Mul(TensorBase):
 
 
 class Solve(TensorBase):
-    def __init__(self, A, b):
+    def __init__(self, A, b, decomposition=None):
+        if decomposition is not None and not isinstance(A, Factorization):
+            A = Factorization(A, decomposition)
         assert A.rank == 2
         self.A, self.b = A, b
         self.rank = b.rank
+
+
+class Factorization(TensorBase):
+    """Cached decomposition of a rank-2 tensor (reference slate.py:766).
+
+    The reference names an Eigen decomposition class; on TPU every
+    decomposition evaluates through the same batched LU-based
+    `batched_solve` (XLA lowers linalg.solve to LU on all backends),
+    so this node is a semantic marker: Solve(Factorization(A), b) ==
+    Solve(A, b), and user code written `A.solve(b, decomposition=...)`
+    ports unchanged."""
+
+    _DECOMPS = frozenset([
+        "PartialPivLU", "FullPivLU", "HouseholderQR",
+        "ColPivHouseholderQR", "FullPivHouseholderQR", "LLT", "LDLT",
+        "CompleteOrthogonalDecomposition", "BDCSVD", "JacobiSVD"])
+
+    rank = 2
+
+    def __init__(self, a, decomposition=None):
+        decomposition = decomposition or "PartialPivLU"
+        if decomposition not in self._DECOMPS:
+            raise ValueError(
+                f"Decomposition {decomposition!r} not supported")
+        assert a.rank == 2, "can only decompose matrices"
+        self.a = a
+        self.decomposition = decomposition
+
+
+class DiagonalTensor(TensorBase):
+    """Diagonal of a square rank-2 tensor, as a rank-2 tensor
+    (reference slate.py:1377)."""
+
+    rank = 2
+
+    def __init__(self, a):
+        assert a.rank == 2, "the tensor must be rank 2"
+        self.a = a
+
+
+class Reciprocal(TensorBase):
+    """Elementwise reciprocal of a rank-1 tensor (reference
+    slate.py:1044) — with DiagonalTensor the building block of cheap
+    diagonal-approximate inverses in hybridized solvers."""
+
+    rank = 1
+
+    def __init__(self, a):
+        assert a.rank == 1, "the tensor must be rank 1"
+        self.a = a
 
 
 class _BlockIndexer:

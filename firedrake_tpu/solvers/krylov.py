@@ -29,15 +29,27 @@ def _tolcheck(rnorm, r0norm, rtol, atol):
     return rnorm <= jnp.maximum(rtol * r0norm, atol)
 
 
+def _inner(dot):
+    """(dot, norm) pair from an optional inner-product callback.
+
+    Every solver takes `dot=` so the SAME loop runs serially
+    (jnp.vdot) or SPMD inside shard_map (a psum-of-owned-partials dot
+    from parallel/dsolve.py) — the PETSc VecDot-over-the-communicator
+    role without a second code path."""
+    dot = dot or jnp.vdot
+    return dot, lambda v: jnp.sqrt(dot(v, v))
+
+
 def cg(op: Callable, b, x0=None, pc: Callable = None, rtol=1e-7,
-       atol=1e-50, max_it=10000) -> KSPResult:
+       atol=1e-50, max_it=10000, dot=None) -> KSPResult:
     """Preconditioned conjugate gradients."""
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     r0 = b - op(x0)
     z0 = pc(r0)
-    gamma0 = jnp.vdot(r0, z0)
-    r0norm = jnp.linalg.norm(r0)
+    gamma0 = dot(r0, z0)
+    r0norm = _norm(r0)
 
     def cond(state):
         x, r, z, p, gamma, it, rnorm = state
@@ -46,14 +58,14 @@ def cg(op: Callable, b, x0=None, pc: Callable = None, rtol=1e-7,
     def body(state):
         x, r, z, p, gamma, it, rnorm = state
         Ap = op(p)
-        alpha = gamma / jnp.vdot(p, Ap)
+        alpha = gamma / dot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = pc(r)
-        gamma_new = jnp.vdot(r, z)
+        gamma_new = dot(r, z)
         beta = gamma_new / gamma
         p = z + beta * p
-        return x, r, z, p, gamma_new, it + 1, jnp.linalg.norm(r)
+        return x, r, z, p, gamma_new, it + 1, _norm(r)
 
     init = (x0, r0, z0, z0, gamma0, jnp.zeros((), jnp.int32), r0norm)
     x, r, z, p, gamma, it, rnorm = jax.lax.while_loop(cond, body, init)
@@ -61,12 +73,13 @@ def cg(op: Callable, b, x0=None, pc: Callable = None, rtol=1e-7,
 
 
 def bicgstab(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
-             max_it=10000) -> KSPResult:
+             max_it=10000, dot=None) -> KSPResult:
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     r0 = b - op(x0)
     rhat = r0
-    r0norm = jnp.linalg.norm(r0)
+    r0norm = _norm(r0)
 
     def cond(state):
         x, r, p, v, rho, alpha, omega, it, rnorm = state
@@ -74,23 +87,23 @@ def bicgstab(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
 
     def body(state):
         x, r, p, v, rho, alpha, omega, it, rnorm = state
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = dot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
         phat = pc(p)
         v = op(phat)
-        alpha = rho_new / jnp.vdot(rhat, v)
+        alpha = rho_new / dot(rhat, v)
         s = r - alpha * v
         shat = pc(s)
         t = op(shat)
-        omega = jnp.vdot(t, s) / jnp.vdot(t, t)
+        omega = dot(t, s) / dot(t, t)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         return (x, r, p, v, rho_new, alpha, omega, it + 1,
-                jnp.linalg.norm(r))
+                _norm(r))
 
     one = jnp.ones(())
-    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+    init = (x0, r0, b * 0.0, b * 0.0, one, one, one,
             jnp.zeros((), jnp.int32), r0norm)
     out = jax.lax.while_loop(cond, body, init)
     x, r = out[0], out[1]
@@ -99,17 +112,18 @@ def bicgstab(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
 
 
 def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
-          restart=30) -> KSPResult:
+          restart=30, dot=None) -> KSPResult:
     """Restarted GMRES with left preconditioning and Givens rotations.
 
     The Arnoldi basis lives in a fixed (restart+1, n) buffer — static
     shapes, lax loops only."""
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     n = b.shape[0]
     m = restart
     r0 = pc(b - op(x0))
-    r0norm = jnp.linalg.norm(r0)
+    r0norm = _norm(r0)
 
     def arnoldi_step(carry, j):
         V, H, cs, sn, g = carry
@@ -117,12 +131,12 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
         # modified Gram-Schmidt against all basis vectors (masked)
         def mgs(k, wh):
             w, hcol = wh
-            hk = jnp.where(k <= j, jnp.vdot(V[k], w), 0.0)
+            hk = jnp.where(k <= j, dot(V[k], w), 0.0)
             w = w - hk * V[k]
             return w, hcol.at[k].set(hk)
         w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
                                     (w, jnp.zeros(m + 1)))
-        hj1 = jnp.linalg.norm(w)
+        hj1 = _norm(w)
         hcol = hcol.at[j + 1].set(hj1)
         V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
         # apply existing Givens rotations to hcol
@@ -148,8 +162,8 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
 
     def cycle(x):
         r = pc(b - op(x))
-        beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n)).at[0].set(
+        beta = _norm(r)
+        V = (jnp.zeros((m + 1, n)) + 0.0 * b).at[0].set(
             jnp.where(beta > 0, r / beta, r))
         H = jnp.zeros((m + 1, m))
         cs = jnp.zeros(m)
@@ -194,21 +208,22 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
         outer_cond, outer_body,
         (x0, r0norm, jnp.zeros((), jnp.int32)))
     # report true residual
-    true_r = jnp.linalg.norm(b - op(x))
+    true_r = _norm(b - op(x))
     return KSPResult(x, it, true_r, _tolcheck(rnorm, r0norm, rtol, atol))
 
 
 def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
-           restart=30) -> KSPResult:
+           restart=30, dot=None) -> KSPResult:
     """Flexible GMRES (right preconditioning, Z basis stored) — required
     when the preconditioner is nonstationary (an inner Krylov solve, a
     nonlinear patch sweep), the PETSc KSPFGMRES role."""
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     n = b.shape[0]
     m = restart
     r0 = b - op(x0)
-    r0norm = jnp.linalg.norm(r0)
+    r0norm = _norm(r0)
 
     def arnoldi_step(carry, j):
         V, Z, H, cs, sn, g = carry
@@ -218,12 +233,12 @@ def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
 
         def mgs(k, wh):
             w, hcol = wh
-            hk = jnp.where(k <= j, jnp.vdot(V[k], w), 0.0)
+            hk = jnp.where(k <= j, dot(V[k], w), 0.0)
             w = w - hk * V[k]
             return w, hcol.at[k].set(hk)
         w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
                                     (w, jnp.zeros(m + 1)))
-        hj1 = jnp.linalg.norm(w)
+        hj1 = _norm(w)
         hcol = hcol.at[j + 1].set(hj1)
         V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
 
@@ -249,10 +264,10 @@ def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
 
     def cycle(x):
         r = b - op(x)
-        beta = jnp.linalg.norm(r)
-        V = jnp.zeros((m + 1, n)).at[0].set(
+        beta = _norm(r)
+        V = (jnp.zeros((m + 1, n)) + 0.0 * b).at[0].set(
             jnp.where(beta > 0, r / beta, r))
-        Z = jnp.zeros((m, n))
+        Z = jnp.zeros((m, n)) + 0.0 * b
         H = jnp.zeros((m + 1, m))
         cs = jnp.zeros(m)
         sn = jnp.zeros(m)
@@ -291,16 +306,17 @@ def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
     x, rnorm, it = jax.lax.while_loop(
         outer_cond, outer_body,
         (x0, r0norm, jnp.zeros((), jnp.int32)))
-    true_r = jnp.linalg.norm(b - op(x))
+    true_r = _norm(b - op(x))
     return KSPResult(x, it, true_r, _tolcheck(rnorm, r0norm, rtol, atol))
 
 
 def richardson(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
-               max_it=10000, damping=1.0) -> KSPResult:
+               max_it=10000, damping=1.0, dot=None) -> KSPResult:
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     r0 = b - op(x0)
-    r0norm = jnp.linalg.norm(r0)
+    r0norm = _norm(r0)
 
     def cond(st):
         x, r, it, rnorm = st
@@ -310,7 +326,7 @@ def richardson(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
         x, r, it, rnorm = st
         x = x + damping * pc(r)
         r = b - op(x)
-        return x, r, it + 1, jnp.linalg.norm(r)
+        return x, r, it + 1, _norm(r)
 
     x, r, it, rnorm = jax.lax.while_loop(
         cond, body, (x0, r0, jnp.zeros((), jnp.int32), r0norm))
@@ -318,15 +334,16 @@ def richardson(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
 
 
 def chebyshev(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
-              max_it=10000, emin=0.1, emax=1.1) -> KSPResult:
+              max_it=10000, emin=0.1, emax=1.1, dot=None) -> KSPResult:
     """Chebyshev iteration on eigenvalue bounds [emin, emax] of pc∘op —
     the classic MG smoother (PETSc KSPCHEBYSHEV)."""
     pc = pc or (lambda r: r)
-    x0 = jnp.zeros_like(b) if x0 is None else x0
+    dot, _norm = _inner(dot)
+    x0 = b * 0.0 if x0 is None else x0
     theta = (emax + emin) / 2
     delta = (emax - emin) / 2
     r0 = b - op(x0)
-    r0norm = jnp.linalg.norm(r0)
+    r0norm = _norm(r0)
 
     def cond(st):
         x, r, p, alpha, it, rnorm = st
@@ -342,19 +359,19 @@ def chebyshev(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
         p = z + beta * p
         x = x + alpha_new * p
         r = b - op(x)
-        return x, r, p, alpha_new, it + 1, jnp.linalg.norm(r)
+        return x, r, p, alpha_new, it + 1, _norm(r)
 
-    init = (x0, r0, jnp.zeros_like(b), jnp.ones(()),
+    init = (x0, r0, b * 0.0, jnp.ones(()),
             jnp.zeros((), jnp.int32), r0norm)
     x, r, p, a, it, rnorm = jax.lax.while_loop(cond, body, init)
     return KSPResult(x, it, rnorm, _tolcheck(rnorm, r0norm, rtol, atol))
 
 
 def minres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
-           max_it=10000) -> KSPResult:
+           max_it=10000, dot=None) -> KSPResult:
     """MINRES via gmres fallback (dedicated Lanczos version later)."""
     return gmres(op, b, x0=x0, pc=pc, rtol=rtol, atol=atol, max_it=max_it,
-                 restart=60)
+                 restart=60, dot=dot)
 
 
 KSP_METHODS = {

@@ -158,7 +158,14 @@ class LinearVariationalSolver:
                 p.a, p.L, p.u, bcs=p.bcs, nshards=nsh,
                 rtol=params.get("ksp_rtol", 1e-10),
                 maxit=int(params.get("ksp_max_it", 5000)),
-                pc_type=params.get("pc_type", "jacobi"))
+                pc_type=params.get("pc_type", "jacobi"),
+                ksp_type=params.get("ksp_type", "cg"),
+                # PETSc spellings: aij => shard-local assembled ELL,
+                # matfree => per-iteration action assembly (default)
+                mat_type={"aij": "assembled", "matfree": "action"}.get(
+                    params.get("mat_type", "action"),
+                    params.get("mat_type", "action")),
+                restart=int(params.get("ksp_gmres_restart", 30)))
             self.ksp_iterations = p.u._dist_iterations
             return
 
