@@ -45,7 +45,10 @@ from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
 from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace,
                        ensemble_solve, ensemble_batched_solve)
 from .pointeval import PointNotInDomainError
-from .slate import (Tensor, AssembledVector, assemble_slate)
+from .slate import (Tensor, AssembledVector, assemble_slate,
+                    DiagonalTensor, Reciprocal, Factorization)
+from .elements.tensor_product import (FiniteElement,
+                                      TensorProductElement, HDiv)
 from . import fml
 from .slope_limiter import VertexBasedLimiter
 from .eigensolver import LinearEigenproblem, LinearEigensolver
@@ -112,7 +115,8 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "par_loop", "READ", "WRITE", "RW", "INC", "MIN", "MAX",
     "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
     "PointNotInDomainError", "Tensor", "AssembledVector",
-    "assemble_slate",
+    "assemble_slate", "DiagonalTensor", "Reciprocal", "Factorization",
+    "FiniteElement", "TensorProductElement", "HDiv",
     "VertexOnlyMesh", "refine_marked", "adapt",
     "point_expr", "PointwiseOperator", "assemble_mixed_mass_matrix",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",

@@ -232,6 +232,8 @@ def build_column_plan(asm):
     mesh = asm.mesh
     if not getattr(mesh, "_extruded", False) or asm.rank not in (1, 2):
         return None
+    if getattr(mesh, "_var_layers", None) is not None:
+        return None     # ragged columns: generic gather executor
     test_c = _space_column(asm.test.space) if asm.test is not None \
         else None
     if asm.rank >= 1 and (test_c is None

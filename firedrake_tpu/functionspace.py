@@ -115,6 +115,8 @@ class FunctionSpaceData:
         mesh, elem = self.mesh, self.element
         if not getattr(mesh, "_extruded", False):
             return
+        if getattr(mesh, "_var_layers", None) is not None:
+            return      # ragged columns: generic numbering/executor
         if getattr(elem, "family", None) != "Lagrange":
             return
         base = mesh._base_mesh
@@ -278,18 +280,27 @@ class FunctionSpaceData:
                             sgn = -sgn
                 return sgn
 
-            npe = self.npe[fd]
-            assert npe is not None, "signed dofs need uniform facet classes"
-            if hasattr(elem, "facet_dof_signs"):
-                table = np.stack([elem.facet_dof_signs(o)
-                                  for o in range(len(perms))])
-            else:
-                table = np.stack([parity(p) * np.ones(npe)
-                                  for p in perms])
             co = topo.cell_entity_orientations(fd)
             for e, slots in elem.entity_dofs[fd].items():
                 if not slots:
                     continue
+                # per-entity sign tables: mixed-arity cells (prisms)
+                # carry different dof counts per facet class, so the
+                # table is built per entity (facet_dof_signs may take
+                # the local entity id)
+                if hasattr(elem, "facet_dof_signs"):
+                    try:
+                        table = np.stack(
+                            [elem.facet_dof_signs(o, e)
+                             for o in range(len(perms))])
+                    except TypeError:
+                        table = np.stack(
+                            [elem.facet_dof_signs(o)
+                             for o in range(len(perms))])
+                else:
+                    table = np.stack(
+                        [parity(p) * np.ones(len(slots))
+                         for p in perms])
                 local = elem.local_facet_sign(e) \
                     if hasattr(elem, "local_facet_sign") else 1.0
                 signs[:, slots] = local * table[co[:, e]]
@@ -414,12 +425,35 @@ class FunctionSpace:
 
     def __init__(self, mesh: Mesh, family, degree: int | None = None,
                  name: str | None = None, vector_dim: int | None = None,
-                 tensor_shape: tuple | None = None, variant=None):
+                 tensor_shape: tuple | None = None, variant=None,
+                 vfamily=None, vdegree=None):
         self.mesh_obj = mesh
+        from .elements.tensor_product import _ElementSpec
+        if isinstance(family, _ElementSpec):
+            family = family.resolve()
         if isinstance(family, FiniteElement):
             elem = family
             scalar = elem.sub if isinstance(elem, VectorElement) else elem
         else:
+            if vfamily is not None:
+                # extruded tensor-product spelling: CG/DG x CG/DG
+                # collapses to the prism/quad/hex lattice element when
+                # horizontal == vertical (reference: firedrake
+                # functionspace.py make_scalar_element TensorProduct)
+                fnorm = {"CG": "Lagrange", "Q": "Lagrange",
+                         "Lagrange": "Lagrange", "DG": "DG",
+                         "DQ": "DG",
+                         "Discontinuous Lagrange": "DG"}.get(family,
+                                                             family)
+                vnorm = {"CG": "Lagrange", "Lagrange": "Lagrange",
+                         "DG": "DG",
+                         "Discontinuous Lagrange": "DG"}.get(vfamily,
+                                                             vfamily)
+                vd = vdegree if vdegree is not None else degree
+                if not (fnorm == vnorm and vd == degree):
+                    raise NotImplementedError(
+                        "tensor-product spaces with differing "
+                        "horizontal/vertical family or degree")
             scalar = make_scalar_element(mesh.cell.name, family, degree,
                                          variant=variant)
             if tensor_shape is not None:

@@ -24,6 +24,11 @@ class Measure:
 
     def __call__(self, subdomain_id=None, degree=None, scheme=None,
                  metadata=None, domain=None):
+        # ufl semantics: dx(mesh) pins the domain, dx(3) the subdomain
+        if subdomain_id is not None and hasattr(subdomain_id,
+                                                "topology"):
+            domain = subdomain_id if domain is None else domain
+            subdomain_id = None
         md = dict(self.metadata)
         if metadata:
             md.update(metadata)

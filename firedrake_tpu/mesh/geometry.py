@@ -128,6 +128,32 @@ class Mesh:
         if subdomain in ("bottom", "top", "sides"):
             assert getattr(self, "_extruded", False), \
                 f"{subdomain!r} needs an extruded mesh"
+            if getattr(self, "_var_layers", None) is not None:
+                # variable layers: classify per COLUMN (the reference's
+                # ON_TOP/ON_BOTTOM iteration regions follow each
+                # column's own extent, extrusion_numbering.pyx:222) —
+                # horizontal facets at the owning cell's bottom/top
+                # layer, including steps exposed by shorter neighbours
+                z = self._vertex_coords[:, -1]
+                h = self._layer_height
+                fv = self.topology.facet_vertices[ext]
+                mask_ok = fv >= 0
+                fz = np.where(mask_ok, z[np.where(fv < 0, 0, fv)],
+                              np.nan)
+                tol = 1e-12 * max(abs(z).max(), 1.0)
+                horiz = (np.nanmax(fz, axis=1)
+                         - np.nanmin(fz, axis=1)) < tol
+                cells = self.topology.facet_cells[ext, 0]
+                lay = self._cell_layer[cells]
+                zf = np.nanmean(fz, axis=1)
+                on_bot = horiz & (np.abs(zf - lay * h) < tol + h * 1e-9)
+                on_top = horiz & (np.abs(zf - (lay + 1) * h)
+                                  < tol + h * 1e-9)
+                if subdomain == "bottom":
+                    return ext[on_bot]
+                if subdomain == "top":
+                    return ext[on_top]
+                return ext[~(on_bot | on_top)]
             z = self._vertex_coords[:, -1]
             zmin, zmax = z.min(), z.max()
             fv = self.topology.facet_vertices[ext]

@@ -470,6 +470,15 @@ def ExtrudedMesh(base_mesh, layers, layer_height=None,
     (reference keeps layer extents only, extrusion_numbering.pyx:222).
     """
     base = base_mesh
+    layers_arr = np.asarray(layers)
+    if layers_arr.ndim == 2:
+        # variable layers: (ncell_base, 2) rows [start a, cell count b]
+        # (reference mesh.py:3466, pyop2/types/set.py:307 layer extents)
+        if layer_height is None:
+            raise ValueError(
+                "Must provide layer height for variable layers")
+        return _variable_layer_extrude(base, layers_arr,
+                                       float(layer_height), name)
     nlay = int(layers)
     h = layer_height if layer_height is not None else 1.0 / nlay
     nbv = base.num_vertices
@@ -514,6 +523,80 @@ def ExtrudedMesh(base_mesh, layers, layer_height=None,
     m._base_mesh = base
     m._layers = nlay
     m._extruded = True
+    return m
+
+
+def _variable_layer_extrude(base, layers, h, name):
+    """Variable-layer extrusion: column c occupies cell layers
+    a_c .. a_c + b_c - 1 (reference's deprecated-but-supported variable
+    extrusion; firedrake/cython/extrusion_numbering.pyx:222 layer
+    extents).  TPU encoding: the mesh is MATERIALIZED over the union of
+    columns (padded-to-max lives only in the assembler's generic cell
+    batch, where ragged columns are just more cells) — assembly runs
+    the gather executor; the uniform-layer column fast path is gated
+    off by `_var_layers`.
+
+    Facet semantics match the reference's per-column iteration regions:
+    a horizontal exterior facet at a cell's bottom is 'bottom', at a
+    cell's top is 'top' (including the exposed steps where a neighbour
+    column is shorter), everything else is 'sides'."""
+    a = layers[:, 0].astype(np.int64)
+    b = layers[:, 1].astype(np.int64)
+    if (b < 1).any():
+        raise ValueError("each column needs at least one cell layer")
+    top = a + b                       # one-past-last cell layer
+    bcells = base.topology.cell_vertices
+    ncell_b, nvc = bcells.shape
+    cname = base.cell.name
+    ct = {"interval": "quadrilateral", "quadrilateral": "hexahedron",
+          "triangle": "prism"}.get(cname)
+    if ct is None:
+        raise NotImplementedError(f"extrusion of {cname}")
+    # per base vertex: union of adjacent columns' vertex-layer ranges
+    nbv = base.num_vertices
+    lo_v = np.full(nbv, np.iinfo(np.int64).max)
+    hi_v = np.full(nbv, np.iinfo(np.int64).min)
+    for k in range(nvc):
+        np.minimum.at(lo_v, bcells[:, k], a)
+        np.maximum.at(hi_v, bcells[:, k], top)
+    used = hi_v >= lo_v
+    lo_v[~used] = 0
+    hi_v[~used] = -1
+    counts = hi_v - lo_v + 1          # vertex layers per column
+    voff = np.concatenate([[0], np.cumsum(counts)])
+    nverts = int(voff[-1])
+    gdim = base.geometric_dimension + 1
+    verts = np.zeros((nverts, gdim))
+    bcoords = base._vertex_coords
+    vcol = np.repeat(np.arange(nbv), counts)
+    vlay = np.arange(nverts) - np.repeat(voff[:-1], counts) \
+        + np.repeat(lo_v, counts)
+    verts[:, :-1] = bcoords[vcol]
+    verts[:, -1] = vlay * h
+
+    def vid(bv, l):
+        return voff[bv] + (l - lo_v[bv])
+
+    cells = []
+    cell_base, cell_layer = [], []
+    for c in range(ncell_b):
+        for l in range(a[c], top[c]):
+            bot = [vid(bcells[c, k], l) for k in range(nvc)]
+            up = [vid(bcells[c, k], l + 1) for k in range(nvc)]
+            cells.append(bot + up)
+            cell_base.append(c)
+            cell_layer.append(l)
+    cells = np.asarray(cells, dtype=_IDX)
+    topo = MeshTopology(cells, nverts, ct,
+                        name or f"{base.name}_extruded")
+    m = Mesh(topo, verts, name=name or f"{base.name}_extruded")
+    m._base_mesh = base
+    m._layers = int(top.max() - a.min())
+    m._extruded = True
+    m._var_layers = layers.copy()
+    m._cell_base = np.asarray(cell_base, dtype=np.int64)
+    m._cell_layer = np.asarray(cell_layer, dtype=np.int64)
+    m._layer_height = h
     return m
 
 

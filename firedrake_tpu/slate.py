@@ -394,6 +394,17 @@ def _local_form_tensor(form: Form):
             loc = _apply_arg_signs(loc, ci, cells, 2)
             out = out.at[jnp.asarray(cells)].add(loc)
 
+    def _facet_classes(facets):
+        """[(ftype_or_None, facet subset)]: prisms mix triangle and
+        quad facets, each class compiles its own kernel (the same split
+        assemble.py:64-73 makes)."""
+        if mesh.cell.facet_cell_name is not None:
+            return [(None, facets)]
+        ftypes = np.asarray(mesh.cell.facet_types)
+        fcls = ftypes[topo.facet_local_id[facets, 0]]
+        return [(ft, facets[fcls == ft])
+                for ft in sorted(set(mesh.cell.facet_types))]
+
     for integral in form.integrals():
         itype = integral.integral_type
         if itype == "cell":
@@ -415,8 +426,11 @@ def _local_form_tensor(form: Form):
             one = Integral(_one_sided(integral.integrand),
                            "exterior_facet", integral.subdomain_id,
                            integral.metadata, integral.domain)
-            ci = CompiledIntegral(one, test, trial, mesh)
-            run_facets(ci, facets, (0,))
+            for ft, fsub in _facet_classes(facets):
+                if len(fsub) == 0:
+                    continue
+                ci = CompiledIntegral(one, test, trial, mesh, ftype=ft)
+                run_facets(ci, fsub, (0,))
         elif itype == "interior_facet":
             facets = topo.interior_facets
             if len(facets) == 0:
@@ -425,8 +439,11 @@ def _local_form_tensor(form: Form):
             one = Integral(_one_sided(integral.integrand),
                            "exterior_facet", "everywhere",
                            integral.metadata, integral.domain)
-            ci = CompiledIntegral(one, test, trial, mesh)
-            run_facets(ci, facets, (0, 1))
+            for ft, fsub in _facet_classes(facets):
+                if len(fsub) == 0:
+                    continue
+                ci = CompiledIntegral(one, test, trial, mesh, ftype=ft)
+                run_facets(ci, fsub, (0, 1))
         else:
             raise NotImplementedError(
                 f"Slate local tensors over {itype!r} integrals")
@@ -529,6 +546,18 @@ def _eval_local_impl(expr, cache):
             raise ValueError(
                 f"Slate solve mismatch: {A.shape} x {b.shape}")
         return batched_solve(A, b)
+    if isinstance(expr, Factorization):
+        # XLA batches one LU for the whole cell axis either way; the
+        # factorization is the (already batched-solve-shared) operand
+        return _eval_local(expr.a, cache)
+    if isinstance(expr, DiagonalTensor):
+        v = _eval_local(expr.a, cache)
+        n = v.shape[1]
+        d = jnp.einsum("cii->ci", v)
+        return jnp.eye(n)[None, :, :] * d[:, :, None]
+    if isinstance(expr, Reciprocal):
+        v = _eval_local(expr.a, cache)
+        return jnp.where(v != 0, 1.0 / jnp.where(v == 0, 1.0, v), 0.0)
     if isinstance(expr, Block):
         v = _eval_local(expr.a, cache)
         sls = [slice(None)]
@@ -565,7 +594,8 @@ def _axis_parts(expr):
         return [[_SpaceAxis(V)]]
     if isinstance(expr, (Transpose, Inverse)):
         return _axis_parts(expr.a)[::-1]
-    if isinstance(expr, Negative):
+    if isinstance(expr, (Negative, Factorization, DiagonalTensor,
+                         Reciprocal)):
         return _axis_parts(expr.a)
     if isinstance(expr, Add):
         return _axis_parts(expr.a)
