@@ -45,6 +45,7 @@ from .parloops import par_loop, READ, WRITE, RW, INC, MIN, MAX
 from .ensemble import (Ensemble, EnsembleFunction, EnsembleFunctionSpace,
                        ensemble_solve, ensemble_batched_solve)
 from .pointeval import PointNotInDomainError
+from .deflation import Deflation, DeflatedSNES
 from .slate import (Tensor, AssembledVector, assemble_slate,
                     DiagonalTensor, Reciprocal, Factorization)
 from .elements.tensor_product import (FiniteElement,
@@ -114,7 +115,8 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",
     "par_loop", "READ", "WRITE", "RW", "INC", "MIN", "MAX",
     "Ensemble", "EnsembleFunction", "EnsembleFunctionSpace",
-    "PointNotInDomainError", "Tensor", "AssembledVector",
+    "PointNotInDomainError", "Deflation", "DeflatedSNES",
+    "Tensor", "AssembledVector",
     "assemble_slate", "DiagonalTensor", "Reciprocal", "Factorization",
     "FiniteElement", "TensorProductElement", "HDiv",
     "VertexOnlyMesh", "refine_marked", "adapt",

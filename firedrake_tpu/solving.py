@@ -339,6 +339,8 @@ class NonlinearVariationalSolver:
                 jnp.asarray(bc_idx)])
 
         stol = params.get("snes_stol", 1e-8)
+        deflation = (self.appctx or {}).get("deflation")
+        npc = params.get("npc_snes_type")
         r = self._residual(u)
         r0 = float(jnp.linalg.norm(r))
         rnorm = r0
@@ -347,7 +349,22 @@ class NonlinearVariationalSolver:
         for it in range(max_it):
             if rnorm <= max(rtol * r0, atol) or r0 == 0.0:
                 break
+            if npc == "patch":
+                # left nonlinear preconditioning (PETSc npc_snes_type,
+                # reference PatchSNES/SNESPATCH role): sweeps of batched
+                # vertex-star nonlinear relaxation before the global step
+                u = self._patch_smooth(u, bc_idx, params)
+                r = self._residual(u)
+                rnorm = float(jnp.linalg.norm(r))
+                if rnorm <= max(rtol * r0, atol):
+                    self.snes_iterations = it + 1
+                    break
             du = self._newton_step(u, r, bc_idx, params, mat_type)
+            if deflation is not None and len(deflation):
+                # deflated Newton (deflation.py): scale dy by tau so the
+                # iteration cannot reconverge to a known root
+                p.u.dat = u
+                du = deflation.tau(p.u, du) * du
             # PETSc snes_stol: step too small relative to the iterate
             if float(jnp.linalg.norm(du)) <= stol * max(
                     float(jnp.linalg.norm(u)), 1e-30):
@@ -371,6 +388,9 @@ class NonlinearVariationalSolver:
             self.snes_iterations = it + 1
         p.u.dat = u
         self.converged = stalled or rnorm <= max(rtol * r0, atol)
+        if self.converged and deflation is not None:
+            # record the solution just found (reference DeflatedSNES.solve)
+            deflation.append(Function(p.u))
         if not self.converged:
             import warnings
             warnings.warn(f"Newton did not converge: |r|={rnorm:.3e} "
@@ -443,6 +463,65 @@ class NonlinearVariationalSolver:
             return pc(rhs_v)
         res = _run_ksp(J.matvec, rhs_v, params, pc=pc)
         return res.x
+
+    def _patch_smooth(self, u, bc_idx, params):
+        """Batched vertex-star nonlinear relaxation — the PatchSNES /
+        SNESPATCH role (reference firedrake/preconditioners/patch.py:
+        per-patch nonlinear solves composed as a nonlinear smoother via
+        PETSc nonlinear preconditioning).
+
+        TPU shape: each sweep assembles the global residual + Jacobian
+        once and takes ONE damped Newton step on every vertex-star patch
+        simultaneously — a single batched dense solve (npatch, K, K)
+        riding the MXU, with overlap-count (RAS) averaging.  Patches
+        exclude Dirichlet dofs, so the constraint manifold is preserved."""
+        p = self.problem
+        V = p.u.function_space()
+        sweeps = int(params.get("npc_snes_max_it", 1))
+        damp = float(params.get("npc_snes_linesearch_damping", 1.0))
+        cached = getattr(self, "_npc_patches", None)
+        if cached is None:
+            mesh = V.mesh_obj
+            topo = mesh.topology
+            cmap = V.cell_dof_map.astype(np.int64)
+            cv = topo.cell_vertices
+            nvert = int(cv.max()) + 1
+            bcset = set(int(b) for b in np.asarray(bc_idx)) \
+                if len(bc_idx) else set()
+            plists = [set() for _ in range(nvert)]
+            for c in range(topo.num_cells):
+                dofs = [int(d) for d in cmap[c] if int(d) not in bcset]
+                for vv in cv[c]:
+                    plists[int(vv)].update(dofs)
+            plists = [sorted(q) for q in plists if q]
+            K = max(len(q) for q in plists)
+            idx = np.zeros((len(plists), K), dtype=np.int64)
+            mask = np.zeros((len(plists), K))
+            for i, q in enumerate(plists):
+                idx[i, :len(q)] = q
+                mask[i, :len(q)] = 1.0
+            counts = np.zeros(V.dim)
+            np.add.at(counts, idx.reshape(-1), mask.reshape(-1))
+            counts[counts == 0] = 1.0
+            cached = self._npc_patches = (idx, mask, counts)
+        idx, mask, counts = cached
+        npatch, K = idx.shape
+        for _ in range(sweeps):
+            p.u.dat = u
+            r = np.asarray(self._residual(u))
+            Asp = assemble(p.J).to_scipy().tocsr()
+            Ap = np.zeros((npatch, K, K))
+            for i in range(npatch):
+                n = int(mask[i].sum())
+                q = idx[i, :n]
+                Ap[i, :n, :n] = Asp[np.ix_(q, q)].toarray()
+                Ap[i, n:, n:] = np.eye(K - n)
+            rp = r[idx] * mask
+            dp = np.linalg.solve(Ap, rp[..., None])[..., 0] * mask
+            upd = np.zeros(V.dim)
+            np.add.at(upd, idx.reshape(-1), dp.reshape(-1))
+            u = u - damp * jnp.asarray(upd / counts)
+        return u
 
 
 class LinearSolver:
