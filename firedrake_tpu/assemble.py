@@ -17,6 +17,8 @@ from .language.measure import Form
 from .language.core import Argument, Coefficient, ConstantBase
 from .compiler.kernels import CompiledIntegral
 from .compiler.smalldot import einsum as _small_einsum
+from .compiler.precision import (kernel_dtype, trace_ctx, castf,
+                                 castf_map, widen)
 from .assembly.sparsity import Sparsity
 from .assembly.matrix import Matrix
 from .function import Function, Cofunction
@@ -58,6 +60,9 @@ class FormAssembler:
         self.coords_space = self.mesh.coordinates.function_space()
         self.coefficients = form.coefficients()
         self.constants = form.constants()
+        # mixed-precision kernel execution (compiler/precision.py):
+        # read ONCE at build — the jitted program bakes the choice in
+        self._prec = kernel_dtype()
 
         self._compiled = []
         for integral in form.integrals():
@@ -506,6 +511,13 @@ class FormAssembler:
             return self._run_stencil(coords_dat, coeff_dats, const_vals)
         if self._column is not None and arg_statics is None:
             return self._run_column(coords_dat, coeff_dats, const_vals)
+        prec = self._prec
+        if prec is not None:
+            # cast BEFORE the gathers: f32 random gathers run ~2.8x
+            # faster than (emulated) f64 ones on the v5e
+            coords_dat = castf(coords_dat, prec)
+            coeff_dats = castf_map(coeff_dats, prec)
+            const_vals = castf_map(const_vals, prec)
         rank = self.rank
         statics = arg_statics if arg_statics is not None \
             else self._arg_statics
@@ -566,11 +578,12 @@ class FormAssembler:
             def _signed(c, gathered, signs, Ts=None):
                 sg = signs.get(c.count)
                 if sg is not None:
-                    return gathered * sg
+                    return gathered * castf(sg, prec)
                 T = Ts.get(c.count) if Ts else None
                 if T is not None:
                     # local coefficients = B @ canonical (tet faces etc.)
-                    return _small_einsum("cij,cj->ci", T, gathered)
+                    return _small_einsum("cij,cj->ci", castf(T, prec),
+                                         gathered)
                 return gathered
 
             if ci.integral_type == "cell":
@@ -581,11 +594,12 @@ class FormAssembler:
                         st.get("coeff_T"))
                     for c in ci.coefficients)
                 sp = np_st.get("_spectral")
-                if sp is not None:
-                    loc = sp.local_tensors(ce, coeffs, consts)
-                else:
-                    loc = jax.vmap(
-                        lambda c, *w: kern(c, w, consts))(ce, *coeffs)
+                with trace_ctx(prec):
+                    if sp is not None:
+                        loc = sp.local_tensors(ce, coeffs, consts)
+                    else:
+                        loc = jax.vmap(
+                            lambda c, *w: kern(c, w, consts))(ce, *coeffs)
             elif ci.integral_type == "exterior_facet":
                 ce = coords_dat[st["coords_map"]]
                 coeffs = tuple(
@@ -593,9 +607,10 @@ class FormAssembler:
                         st["coeff_maps"][c.count]], st["coeff_signs"],
                         st.get("coeff_T"))
                     for c in ci.coefficients)
-                loc = jax.vmap(
-                    lambda c, l, *w: kern(c, l, w, consts)
-                )(ce, st["lf"], *coeffs)
+                with trace_ctx(prec):
+                    loc = jax.vmap(
+                        lambda c, l, *w: kern(c, l, w, consts)
+                    )(ce, st["lf"], *coeffs)
             else:
                 cpn = coords_dat[st["coords_map_p"]]
                 cmn = coords_dat[st["coords_map_m"]]
@@ -609,47 +624,55 @@ class FormAssembler:
                         st["coeff_maps_m"][c.count]],
                         st["coeff_signs_m"], st.get("coeff_T_m"))
                     for c in ci.coefficients)
-                loc = jax.vmap(
-                    lambda a, b, lp, lm, o, *w: kern(
-                        a, b, lp, lm, o, w[:nco], w[nco:], consts)
-                )(cpn, cmn, st["lf_p"], st["lf_m"], st["o_rel"],
-                  *coeffs_p, *coeffs_m)
+                with trace_ctx(prec):
+                    loc = jax.vmap(
+                        lambda a, b, lp, lm, o, *w: kern(
+                            a, b, lp, lm, o, w[:nco], w[nco:], consts)
+                    )(cpn, cmn, st["lf_p"], st["lf_m"], st["o_rel"],
+                      *coeffs_p, *coeffs_m)
             # H(div)/H(curl) facet-dof sign flips on argument slots
             if st.get("sign_rows") is not None:
-                loc = loc * st["sign_rows"][:, :, None]
+                loc = loc * castf(st["sign_rows"], prec)[:, :, None]
             if st.get("sign_cols") is not None:
-                loc = loc * st["sign_cols"][:, None, :]
+                loc = loc * castf(st["sign_cols"], prec)[:, None, :]
             # matrix entity transforms: A_can = B_r^T A_loc B_c
             if st.get("T_rows") is not None:
-                loc = _small_einsum("cip,cij->cpj", st["T_rows"], loc)
+                loc = _small_einsum("cip,cij->cpj",
+                                    castf(st["T_rows"], prec), loc)
             if st.get("T_cols") is not None:
-                loc = _small_einsum("cpj,cjq->cpq", loc, st["T_cols"])
+                loc = _small_einsum("cpj,cjq->cpq", loc,
+                                    castf(st["T_cols"], prec))
             if rank == 0:
-                total = total + jnp.sum(loc)
+                total = total + jnp.sum(loc, dtype=jnp.float64)
             elif rank == 1:
                 vals = loc[:, :, 0]
                 if acc is not None:
+                    # reduced dtype flats: the accumulation's value
+                    # gathers then move narrow elements; widened to f64
+                    # AFTER the gather, BEFORE the sums
                     flats.append(vals.reshape(-1))
                 else:
                     total = total.at[st["rows"].reshape(-1)].add(
-                        vals.reshape(-1))
+                        widen(vals).reshape(-1))
             elif acc is not None:
                 flats.append(loc.reshape(-1))         # cell-major (C, k)
             else:
-                total = total.at[st["pos"]].add(loc.reshape(-1))
+                total = total.at[st["pos"]].add(widen(loc).reshape(-1))
         if acc is not None and rank >= 1 and flats:
             flat = flats[0] if len(flats) == 1 else jnp.concatenate(flats)
             if "perm" in acc:
                 # sorted-permutation accumulation: ONE flat gather + ONE
-                # sorted segment-sum (both ~memory-bandwidth on TPU)
+                # sorted segment-sum (both ~memory-bandwidth on TPU);
+                # f64 accumulation on top of reduced-dtype gathers
                 total = jax.ops.segment_sum(
-                    flat[acc["perm"]], acc["seg"], num_segments=nseg,
-                    indices_are_sorted=True)
+                    widen(flat[acc["perm"]]), acc["seg"],
+                    num_segments=nseg, indices_are_sorted=True)
             else:
-                flat = jnp.concatenate([flat, jnp.zeros(1)])
-                total = sum(flat[c] for c in acc["tbl_cols"])
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros(1, flat.dtype)])
+                total = sum(widen(flat[c]) for c in acc["tbl_cols"])
                 if "tblx_cols" in acc:
-                    extra = sum(flat[c] for c in acc["tblx_cols"])
+                    extra = sum(widen(flat[c]) for c in acc["tblx_cols"])
                     total = total.at[acc["rows_x"]].add(
                         extra, unique_indices=True)
         return total
@@ -658,13 +681,21 @@ class FormAssembler:
         """Extruded-mesh device program: column row gathers + strided
         z-slices in, row scatters out (assembly/columns.py)."""
         plan = self._column
+        prec = self._prec
+        if prec is not None:
+            coords_dat = castf(coords_dat, prec)
+            coeff_dats = castf_map(coeff_dats, prec)
+            const_vals = castf_map(const_vals, prec)
         loc = None
         for ci in self._compiled:
             kb = ci.cell_kernel_batched()
             consts = tuple(const_vals[c.count] for c in ci.constants)
             ce, ws = plan.gather_cell_inputs(coords_dat, coeff_dats, ci)
-            li = kb(ce, ws, consts)                 # (ni, nj, C)
+            with trace_ctx(prec):
+                li = kb(ce, ws, consts)             # (ni, nj, C)
             loc = li if loc is None else loc + li
+        if prec is not None:
+            loc = widen(loc)              # f64 pad/scatter accumulation
         if self.rank == 2:
             return plan.accumulate_rank2(loc)
         return plan.accumulate_rank1(loc)
@@ -674,6 +705,11 @@ class FormAssembler:
         """Structured-mesh device program: static slices in, lax.pad
         accumulation out — zero gathers/scatters (assembly/stencil.py)."""
         plan = self._stencil
+        prec = self._prec
+        if prec is not None:
+            coords_dat = castf(coords_dat, prec)
+            coeff_dats = castf_map(coeff_dats, prec)
+            const_vals = castf_map(const_vals, prec)
         locs = [None] * plan.ntypes
         for ci in self._compiled:
             kb = ci.cell_kernel_batched()
@@ -681,8 +717,11 @@ class FormAssembler:
             for t in range(plan.ntypes):
                 ce, ws = plan.gather_cell_inputs(t, coords_dat, coeff_dats,
                                                  ci)
-                loc = kb(ce, ws, consts)            # (ni, nj, C)
+                with trace_ctx(prec):
+                    loc = kb(ce, ws, consts)        # (ni, nj, C)
                 locs[t] = loc if locs[t] is None else locs[t] + loc
+        if prec is not None:
+            locs = [widen(l) for l in locs]   # f64 pad-add accumulation
         if diag_only:
             return plan.accumulate_diag(locs)
         if self.rank == 2:
@@ -763,9 +802,10 @@ def _bc_key(bcs):
 
 def get_assembler(form: Form, bcs=None, mat_type="aij",
                   zero_bc_nodes=False) -> FormAssembler:
+    import os as _os
     bcs = as_bcs(bcs)
     key = (form.signature(), id(form.mesh()), _bc_key(bcs), mat_type,
-           zero_bc_nodes,
+           zero_bc_nodes, _os.environ.get("FDTPU_PREC", ""),
            tuple(id(c) for c in form.coefficients()))
     if key not in _assembler_cache:
         cls = MixedFormAssembler if _form_is_mixed(form) else FormAssembler
