@@ -10,6 +10,11 @@ from .optimization import (minimize, maximize, MinimizationProblem,
                            MinimizationSolver, EqualityConstraint,
                            InequalityConstraint, UFLEqualityConstraint,
                            UFLInequalityConstraint)
+from .covariance import (WhiteNoiseGenerator, CovarianceOperatorBase,
+                         AutoregressiveCovariance,
+                         MixedCovarianceOperator, CovarianceMat,
+                         diffusion_form, lengthscale_m, lambda_m,
+                         kappa_m)
 
 __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "get_working_tape", "set_working_tape", "Tape", "Control",
@@ -18,7 +23,11 @@ __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "EnsembleReducedFunctional", "minimize", "maximize",
            "MinimizationProblem", "MinimizationSolver",
            "EqualityConstraint", "InequalityConstraint",
-           "UFLEqualityConstraint", "UFLInequalityConstraint"]
+           "UFLEqualityConstraint", "UFLInequalityConstraint",
+           "WhiteNoiseGenerator", "CovarianceOperatorBase",
+           "AutoregressiveCovariance", "MixedCovarianceOperator",
+           "CovarianceMat", "diffusion_form", "lengthscale_m",
+           "lambda_m", "kappa_m"]
 
 
 # `firedrake_tpu.adjoint` is both this package AND (for API parity with

@@ -126,9 +126,18 @@ class Function(Coefficient):
             if riesz_map == "H1":
                 a = a + inner(grad(u), grad(v)) * dx
             M = assemble(a)
-            out = (Function if isinstance(self, Cofunction)
-                   else Cofunction)(self.space)
-            out.dat = np.asarray(direct_solve(M, np.asarray(self.dat)))
+            if isinstance(self, Cofunction):
+                # dual -> primal: solve the Gram system
+                out = Function(self.space)
+                out.dat = np.asarray(direct_solve(M,
+                                                  np.asarray(self.dat)))
+            else:
+                # primal -> dual: APPLY the Gram matrix (reference
+                # cofunction.py RieszMap — the inverse map solves, the
+                # forward map multiplies)
+                import jax.numpy as jnp
+                out = Cofunction(self.space)
+                out.dat = np.asarray(M.matvec(jnp.asarray(self.dat)))
             return out
         raise NotImplementedError(f"riesz map {riesz_map!r}")
 

