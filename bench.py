@@ -56,9 +56,18 @@ def _per_rep(call, budget=20.0):
     return max(tR - base, 1e-9) / R, R
 
 
-def _assembly_bench(jax, n, degree, stencil=True, dim=2):
-    """On-device repeated matrix assembly; returns dofs/s."""
+HBM_GBPS = 819.0                # TPU v5e peak HBM bandwidth
+
+
+def _assembly_bench(jax, n, degree, stencil=True, dim=2, prec=None):
+    """On-device repeated matrix assembly; returns dofs/s plus the
+    achieved effective bandwidth (bytes of assembled output + gathered
+    coords per second) against the HBM roofline — the BASELINE.json
+    >50%-of-HBM gate, machine-checkable.  `prec` runs the FDTPU_PREC
+    mixed-precision executor (reduced-dtype kernels, f64 accumulation;
+    compiler/precision.py)."""
     import os
+    import numpy as np
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                UnitSquareMesh, UnitCubeMesh, inner, grad,
@@ -67,6 +76,8 @@ def _assembly_bench(jax, n, degree, stencil=True, dim=2):
 
     if not stencil:
         os.environ["FDTPU_NO_STENCIL"] = "1"
+    if prec:
+        os.environ["FDTPU_PREC"] = prec
     try:
         mesh = UnitCubeMesh(n, n, n) if dim == 3 else UnitSquareMesh(n, n)
         V = FunctionSpace(mesh, "CG", degree)
@@ -74,6 +85,7 @@ def _assembly_bench(jax, n, degree, stencil=True, dim=2):
         asm = FormAssembler(inner(grad(u), grad(v)) * dx + u * v * dx)
     finally:
         os.environ.pop("FDTPU_NO_STENCIL", None)
+        os.environ.pop("FDTPU_PREC", None)
     used_stencil = asm._stencil is not None
     coords = jnp.asarray(mesh.coordinates.dat)
     ncd = coords.shape[0]
@@ -95,8 +107,13 @@ def _assembly_bench(jax, n, degree, stencil=True, dim=2):
         return float(run(r, z, coords).reshape(-1)[0])
 
     dt, R = _per_rep(call)
+    out_bytes = int(np.prod(spec.shape)) * spec.dtype.itemsize
+    in_bytes = coords.size * coords.dtype.itemsize
+    gbps = (out_bytes + in_bytes) / dt / 1e9
     return dict(dofs=V.dim, sec_per_assembly=dt,
-                dofs_per_sec=V.dim / dt, reps=R, stencil=used_stencil)
+                dofs_per_sec=V.dim / dt, reps=R, stencil=used_stencil,
+                prec=prec or "f64", out_bytes=out_bytes,
+                effective_gbps=gbps, pct_hbm=100.0 * gbps / HBM_GBPS)
 
 
 def _matvec_bench(jax, n, degree=1):
@@ -124,9 +141,11 @@ def _matvec_bench(jax, n, degree=1):
 
     dt, R = _per_rep(call)
     nnz = int(A.nnz if hasattr(A, "nnz") else A.sparsity.nnz)
+    gbps = (8.0 * nnz + 16.0 * V.dim) / dt / 1e9
     return dict(dofs=V.dim, sec_per_matvec=dt,
                 gflops=2.0 * nnz / dt / 1e9, nnz=nnz, reps=R,
-                stencil=type(A).__name__ == "StencilMatrix")
+                stencil=type(A).__name__ == "StencilMatrix",
+                effective_gbps=gbps, pct_hbm=100.0 * gbps / HBM_GBPS)
 
 
 def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False):
@@ -191,6 +210,40 @@ def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False):
                 rel_residual=rel, matfree=matfree)
 
 
+def _prec_accuracy(jax, n):
+    """Tolerance gate for the mixed-precision executor: max relative
+    entry error of the f32-kernel assembly against full f64."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
+                               UnitSquareMesh, inner, grad, dx, assemble)
+    from firedrake_tpu.assemble import _assembler_cache
+
+    def dense(prec):
+        os.environ.pop("FDTPU_PREC", None)
+        if prec:
+            os.environ["FDTPU_PREC"] = prec
+        _assembler_cache.clear()
+        try:
+            mesh = UnitSquareMesh(n, n)
+            V = FunctionSpace(mesh, "CG", 1)
+            u, v = TrialFunction(V), TestFunction(V)
+            A = assemble(inner(grad(u), grad(v)) * dx + u * v * dx)
+            # compare the raw device output (planes/values), not a
+            # host densification — keeps the d2h small
+            dat = A.channels if hasattr(A, "channels") else A.data
+            return np.asarray(jnp.asarray(dat).reshape(-1)[:200000])
+        finally:
+            os.environ.pop("FDTPU_PREC", None)
+            _assembler_cache.clear()
+
+    a64 = dense(None)
+    a32 = dense("f32")
+    rel = float(np.abs(a32 - a64).max() / np.abs(a64).max())
+    return dict(max_rel_err=rel, passed=bool(rel < 1e-5))
+
+
 def _free_device():
     import gc
     from firedrake_tpu.assemble import _assembler_cache
@@ -216,6 +269,13 @@ def main():
     metric("p2_assembly_512", _assembly_bench, 512, 2)
     metric("p1_assembly_gather_512", _assembly_bench, 512, 1,
            stencil=False)
+    # mixed-precision executor (FDTPU_PREC: f32 kernels + gathers, f64
+    # accumulation — compiler/precision.py): the roofline lever asked
+    # for by the round-3 verdict, tolerance-gated below
+    metric("p1_assembly_1024_f32", _assembly_bench, 1024, 1, prec="f32")
+    metric("p1_assembly_gather_512_f32", _assembly_bench, 512, 1,
+           stencil=False, prec="f32")
+    metric("f32_accuracy_gate", _prec_accuracy, 64)
     metric("spmv_1024", _matvec_bench, 1024)
     metric("cg_gmg_solve_66k", _solve_bench, 32, 3, 1)
     metric("cg_gmg_solve_1m", _solve_bench, 32, 5, 1)
@@ -228,14 +288,23 @@ def main():
     with open("/root/repo/BENCH_DETAILS.json", "w") as fh:
         json.dump(details, fh, indent=1)
 
-    head = details.get("p1_assembly_1024", {})
-    headline = head.get("dofs_per_sec")
-    if headline is None:
-        headline = details.get("p1_assembly_512", {}).get(
-            "dofs_per_sec", 0.0)
+    # headline: the mixed-precision executor (f32 kernels + gathers,
+    # f64 accumulation) IF its tolerance gate passed; the metric name
+    # says which executor produced it, and BENCH_DETAILS always carries
+    # the full-f64 numbers alongside.
+    gate = details.get("f32_accuracy_gate", {})
+    f32 = details.get("p1_assembly_1024_f32", {})
+    if gate.get("passed") and "dofs_per_sec" in f32:
+        name = "p1_poisson_assembly_throughput_f32kernels_f64acc"
+        headline = f32["dofs_per_sec"]
+    else:
+        name = "p1_poisson_assembly_throughput"
+        head = details.get("p1_assembly_1024", {})
+        headline = head.get("dofs_per_sec") or details.get(
+            "p1_assembly_512", {}).get("dofs_per_sec", 0.0)
 
     print(json.dumps({
-        "metric": "p1_poisson_assembly_throughput",
+        "metric": name,
         "value": round(headline, 1),
         "unit": "dof/s",
         "vs_baseline": round(headline / BASELINE_DOFS_PER_SEC, 3),
