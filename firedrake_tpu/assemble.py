@@ -19,6 +19,7 @@ from .compiler.kernels import CompiledIntegral
 from .compiler.smalldot import einsum as _small_einsum
 from .compiler.precision import (kernel_dtype, trace_ctx, castf,
                                  castf_map, widen)
+from .compiler.pallas_eval import run_cell_kernel
 from .assembly.sparsity import Sparsity
 from .assembly.matrix import Matrix
 from .function import Function, Cofunction
@@ -545,7 +546,8 @@ class FormAssembler:
                     w = coeff_dats[c.count][st["coeff_maps_T"][c.count]]
                     sg = st.get("coeff_signs_T", {}).get(c.count)
                     ws.append(w if sg is None else w * sg)
-                loc = kb(ce, tuple(ws), consts)       # (ni, nj, C)
+                with trace_ctx(prec):
+                    loc = run_cell_kernel(kb, ce, tuple(ws), consts)
                 if st.get("sign_rows_T") is not None:
                     loc = loc * st["sign_rows_T"][:, None, :]
                 if st.get("sign_cols_T") is not None:
@@ -692,7 +694,7 @@ class FormAssembler:
             consts = tuple(const_vals[c.count] for c in ci.constants)
             ce, ws = plan.gather_cell_inputs(coords_dat, coeff_dats, ci)
             with trace_ctx(prec):
-                li = kb(ce, ws, consts)             # (ni, nj, C)
+                li = run_cell_kernel(kb, ce, ws, consts)  # (ni, nj, C)
             loc = li if loc is None else loc + li
         if prec is not None:
             loc = widen(loc)              # f64 pad/scatter accumulation
@@ -718,7 +720,7 @@ class FormAssembler:
                 ce, ws = plan.gather_cell_inputs(t, coords_dat, coeff_dats,
                                                  ci)
                 with trace_ctx(prec):
-                    loc = kb(ce, ws, consts)        # (ni, nj, C)
+                    loc = run_cell_kernel(kb, ce, ws, consts)  # (ni,nj,C)
                 locs[t] = loc if locs[t] is None else locs[t] + loc
         if prec is not None:
             locs = [widen(l) for l in locs]   # f64 pad-add accumulation

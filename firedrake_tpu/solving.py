@@ -154,6 +154,29 @@ class LinearVariationalSolver:
             from .parallel.dsolve import distributed_solve
             nsh = params["distributed"]
             nsh = None if nsh is True else int(nsh)
+            from .mixed import is_mixed
+            if params.get("pc_type") == "fieldsplit":
+                if not is_mixed(V):
+                    raise ValueError("pc_type 'fieldsplit' needs a "
+                                     "mixed space")
+                from .parallel.dfieldsplit import (
+                    distributed_fieldsplit_solve)
+                distributed_fieldsplit_solve(
+                    p.a, p.L, p.u, bcs=p.bcs, nshards=nsh,
+                    rtol=params.get("ksp_rtol", 1e-9),
+                    maxit=int(params.get("ksp_max_it", 500)),
+                    restart=int(params.get("ksp_gmres_restart", 50)),
+                    ksp_type=params.get("ksp_type", "fgmres"),
+                    fs_type=params.get("pc_fieldsplit_type", "schur"),
+                    schur_form=self.appctx.get("schur_form"),
+                    schur_scale=float(params.get(
+                        "pc_fieldsplit_schur_scale", -1.0)),
+                    sub_rtol=float(params.get(
+                        "fieldsplit_ksp_rtol", 1e-8)),
+                    sub_maxit=int(params.get(
+                        "fieldsplit_ksp_max_it", 200)))
+                self.ksp_iterations = p.u._dist_iterations
+                return
             distributed_solve(
                 p.a, p.L, p.u, bcs=p.bcs, nshards=nsh,
                 rtol=params.get("ksp_rtol", 1e-10),
