@@ -22,15 +22,19 @@ from ..language.measure import Form
 from .transfer import get_transfer
 
 
-def coarsen_form(form: Form, fine_mesh, coarse_mesh, space_map):
+def coarsen_form(form: Form, fine_mesh, coarse_mesh, space_map,
+                 replace=None):
     """Re-discretize a form on a coarser level (reference:
     firedrake/mg/ufl_utils.py coarsen).  Function coefficients are
-    transferred by injection (mg/ufl_utils.py coarsen of Functions)."""
+    transferred by injection (mg/ufl_utils.py coarsen of Functions);
+    `replace` pre-seeds the node mapping for coefficients that must
+    stay LIVE on the coarse level (FAS maps the solution Function to
+    the level's own state variable instead of freezing an injection)."""
     from ..functionspace import FunctionSpace as _FS
     from ..function import Function as _Fn
     from .transfer import get_transfer
     import jax.numpy as _jnp
-    mapping = {}
+    mapping = dict(replace or {})
     for it in form.integrals():
         for t in it.integrand.traverse():
             if isinstance(t, Argument):

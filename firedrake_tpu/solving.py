@@ -361,6 +361,21 @@ class NonlinearVariationalSolver:
             u = u.at[jnp.asarray(bc_idx)].set(jnp.asarray(g)[
                 jnp.asarray(bc_idx)])
 
+        if params.get("snes_type") == "fas":
+            # FAS nonlinear multigrid (PETSc SNESFAS role): the
+            # nonlinearity is smoothed on every hierarchy level
+            from .solvers.fas import FASSolver
+            fas = FASSolver(p.F, p.u, bcs=p.bcs, params=params,
+                            appctx=self.appctx)
+            fas.solve()
+            self.snes_iterations = fas.iterations
+            self.converged = fas.converged
+            if not self.converged:
+                import warnings
+                warnings.warn(f"FAS did not converge after "
+                              f"{fas.iterations} cycles")
+            return
+
         stol = params.get("snes_stol", 1e-8)
         deflation = (self.appctx or {}).get("deflation")
         npc = params.get("npc_snes_type")
