@@ -5,13 +5,15 @@ Reference: firedrake/supermeshing.py:70 assemble_mixed_mass_matrix
 used for conservative (Galerkin) projection between meshes.
 
 Here the supermesh is built host-side in numpy: candidate cell pairs
-from a KD-tree over centroids; Sutherland–Hodgman clipping of triangle
-against triangle (2D) or convex-intersection vertex enumeration + hull
-tetrahedralization (3D); and a quadrature loop that evaluates BOTH
-spaces' bases at the common physical points (affine reference inversion
-per mesh).  Vector spaces (matching block sizes) expand the scalar
-kernel over components — the mixed mass matrix is the scalar one kron
-the identity.
+from a KD-tree over centroids; Sutherland–Hodgman clipping of convex
+polygons (triangles/quads, 2D) or convex-intersection vertex
+enumeration + hull tetrahedralization (tets/planar-faced hexes, 3D);
+and a quadrature loop that evaluates BOTH spaces' bases at the common
+physical points (affine inversion on simplices, Newton inversion of
+the multilinear map on quads/hexes).  Vector spaces (matching block
+sizes) expand the scalar kernel over components — the mixed mass
+matrix is the scalar one kron the identity.  Quad/hex support EXCEEDS
+the reference envelope (libsupermesh is simplex-only).
 """
 from __future__ import annotations
 
@@ -38,19 +40,41 @@ def _clip_poly_halfplane(poly, a, b):
     return out
 
 
-def intersect_triangles(tri1, tri2):
-    """Convex intersection polygon of two (ccw) triangles (may be [])."""
-    poly = list(tri1)
-    for i in range(3):
-        poly = _clip_poly_halfplane(poly, tri2[i], tri2[(i + 1) % 3])
+def intersect_polys(polyA, polyB):
+    """Convex intersection polygon of two ccw convex polygons."""
+    poly = list(polyA)
+    m = len(polyB)
+    for i in range(m):
+        poly = _clip_poly_halfplane(poly, polyB[i], polyB[(i + 1) % m])
         if len(poly) < 3:
             return []
     return poly
 
 
+def intersect_triangles(tri1, tri2):
+    """Convex intersection polygon of two (ccw) triangles (may be [])."""
+    return intersect_polys(tri1, tri2)
+
+
+def _signed_area(loop):
+    x, y = np.asarray(loop).T
+    return 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+
+
 def _ccw(tri):
     u, w = tri[1] - tri[0], tri[2] - tri[0]
     return tri if u[0] * w[1] - u[1] * w[0] > 0 else tri[[0, 2, 1]]
+
+
+def _cell_loop(verts, cell):
+    """ccw boundary loop of a 2D cell's physical vertices (triangles
+    as-is; lattice-ordered quads reordered to the boundary walk)."""
+    if cell.name == "triangle":
+        return _ccw(verts)
+    loop = verts[[0, 1, 3, 2]]                 # lattice -> boundary walk
+    if _signed_area(loop) < 0:
+        loop = loop[::-1]
+    return loop
 
 
 # ------------------------------------------------------------------ 3D
@@ -70,6 +94,62 @@ def _tet_planes(tet):
 
 def _inside(planes, p, tol):
     return all(np.dot(n, p) + d >= -tol for n, d in planes)
+
+
+def _cell_planes(verts, cell, tol=1e-10):
+    """Inward halfspace data of a convex 3D cell from its reference
+    topology faces.  Raises on non-planar (warped) hex faces — the
+    polyhedron clipping below needs true planes."""
+    if cell.name == "tetrahedron":
+        return _tet_planes(verts)
+    centroid = verts.mean(axis=0)
+    planes = []
+    for fv in cell.topology[2]:
+        ids = [int(v) for v in fv if v >= 0]
+        p = verts[ids]
+        n = np.cross(p[1] - p[0], p[2] - p[0])
+        s = np.linalg.norm(n)
+        n = n / s
+        d = -np.dot(n, p[0])
+        if any(abs(np.dot(n, q) + d) > tol * max(s, 1.0) for q in p[3:]):
+            raise NotImplementedError(
+                "supermesh: non-planar hexahedron faces")
+        if np.dot(n, centroid) + d < 0:
+            n, d = -n, -d
+        planes.append((n, d))
+    return planes
+
+
+def intersect_cells_3d(vertsA, vertsB, cellA, cellB, tol=1e-12):
+    """Vertices of the convex intersection of two convex 3D cells:
+    vertices of A in B, vertices of B in A, and every edge-face
+    crossing, deduplicated (generalizes intersect_tets to hexes)."""
+    pA = _cell_planes(vertsA, cellA)
+    pB = _cell_planes(vertsB, cellB)
+    pts = [v for v in vertsA if _inside(pB, v, tol)]
+    pts += [v for v in vertsB if _inside(pA, v, tol)]
+    for verts, edges, planes in ((vertsA, cellA.topology[1], pB),
+                                 (vertsB, cellB.topology[1], pA)):
+        for i, j in edges:
+            a, b = verts[int(i)], verts[int(j)]
+            u = b - a
+            for n, d in planes:
+                den = np.dot(n, u)
+                if abs(den) < 1e-15:
+                    continue
+                t = -(np.dot(n, a) + d) / den
+                if tol < t < 1 - tol:
+                    p = a + t * u
+                    if _inside(pA, p, tol) and _inside(pB, p, tol):
+                        pts.append(p)
+    if len(pts) < 4:
+        return []
+    pts = np.asarray(pts)
+    keep = []
+    for p in pts:                  # dedup (tiny point sets)
+        if not any(np.linalg.norm(p - q) < 1e-12 for q in keep):
+            keep.append(p)
+    return keep
 
 
 def intersect_tets(tetA, tetB, tol=1e-12):
@@ -130,10 +210,12 @@ def assemble_mixed_mass_matrix(V_A, V_B):
 
     mesh_A, mesh_B = V_A.mesh_obj, V_B.mesh_obj
     cell = mesh_A.cell.name
-    if cell != mesh_B.cell.name or cell not in ("triangle",
-                                                "tetrahedron"):
+    if cell != mesh_B.cell.name or cell not in (
+            "triangle", "tetrahedron", "quadrilateral", "hexahedron"):
         raise NotImplementedError(
-            "supermesh: both meshes must be triangles or tetrahedra")
+            "supermesh: both meshes must share a tri/quad/tet/hex cell")
+    rcell = mesh_A.cell
+    simplexcell = cell in ("triangle", "tetrahedron")
     bs = V_A.block_size
     if V_B.block_size != bs:
         raise NotImplementedError("supermesh: matching block sizes")
@@ -141,9 +223,12 @@ def assemble_mixed_mass_matrix(V_A, V_B):
         if getattr(V.scalar_element, "mapping", "identity") != "identity":
             raise NotImplementedError("supermesh: nodal (identity-"
                                       "mapped) spaces")
-    tdim = 2 if cell == "triangle" else 3
+    tdim = rcell.dim
     deg = V_A.scalar_element.degree + V_B.scalar_element.degree
-    quad = make_quadrature(cell, max(deg, 1))
+    if not simplexcell:
+        deg += tdim      # multilinear pullbacks raise the piece degree
+    quad = make_quadrature("triangle" if tdim == 2 else "tetrahedron",
+                           max(deg, 1))
 
     xA = mesh_A._vertex_coords[mesh_A.topology.cell_vertices]
     xB = mesh_B._vertex_coords[mesh_B.topology.cell_vertices]
@@ -157,19 +242,46 @@ def assemble_mixed_mass_matrix(V_A, V_B):
     elA, elB = V_A.scalar_element, V_B.scalar_element
     mapA, mapB = V_A.cell_node_map, V_B.cell_node_map
 
+    refv = np.asarray(rcell.vertices, dtype=float)
+
     def inv_affine(cellx, pts):
         A = np.stack([cellx[k + 1] - cellx[0] for k in range(tdim)],
                      axis=1)
         return np.linalg.solve(A, (pts - cellx[0]).T).T
 
+    def inv_multilinear(cellx, pts, iters=30):
+        """Newton inversion of the bi/trilinear vertex map (lattice
+        reference vertices refv in {0,1}^d)."""
+        xi = np.full((len(pts), tdim), 0.5)
+        for _ in range(iters):
+            w = np.ones((len(pts), len(refv)))
+            dw = np.ones((len(pts), len(refv), tdim))
+            for ax in range(tdim):
+                f = np.where(refv[None, :, ax] > 0.5, xi[:, ax:ax + 1],
+                             1.0 - xi[:, ax:ax + 1])
+                df = np.where(refv[None, :, ax] > 0.5, 1.0, -1.0)
+                w = w * f
+                for bx in range(tdim):
+                    dw[:, :, bx] *= df if bx == ax else f
+            F = w @ cellx - pts                        # (np, d)
+            J = np.einsum("pvd,ve->pde", dw, cellx)    # (np, d, d)
+            xi = xi - np.linalg.solve(J, F[..., None])[..., 0]
+        return xi
+
+    inv_map = inv_affine if simplexcell else inv_multilinear
+
     def _pieces_2d(a, b):
-        poly = intersect_triangles(_ccw(xA[a]), _ccw(xB[b]))
+        poly = intersect_polys(_cell_loop(xA[a], rcell),
+                               _cell_loop(xB[b], rcell))
         p0 = poly[0] if len(poly) >= 3 else None
         for k in range(1, len(poly) - 1):
             yield np.stack([p0, poly[k], poly[k + 1]])
 
     def _pieces_3d(a, b):
-        pts = intersect_tets(xA[a], xB[b])
+        if simplexcell:
+            pts = intersect_tets(xA[a], xB[b])
+        else:
+            pts = intersect_cells_3d(xA[a], xB[b], rcell, rcell)
         if len(pts) >= 4:
             yield from _hull_tets(pts)
 
@@ -184,8 +296,8 @@ def assemble_mixed_mass_matrix(V_A, V_B):
                 if detJ < 1e-16:
                     continue
                 phys = sub[0] + quad.points @ J.T
-                ra = inv_affine(xA[a], phys)
-                rb = inv_affine(xB[b], phys)
+                ra = inv_map(xA[a], phys)
+                rb = inv_map(xB[b], phys)
                 tA = elA.tabulate(ra, 0)[0]       # (nq, ndA)
                 tB = elB.tabulate(rb, 0)[0]       # (nq, ndB)
                 w = quad.weights * detJ

@@ -72,3 +72,41 @@ def test_supermesh_vector_spaces():
     u2 = supermesh_project(f2, WA)
     for c in range(2):
         assert abs(assemble(u2[c] * dx) - assemble(f2[c] * dx)) < 1e-12
+
+
+def test_mixed_mass_quads():
+    """Quad-quad supermesh (round-4: polygon clipping beyond
+    simplices; reference libsupermesh is simplex-only — this exceeds
+    the reference envelope)."""
+    from firedrake_tpu import UnitSquareMesh
+    mA = UnitSquareMesh(6, 6, quadrilateral=True)
+    mB = UnitSquareMesh(4, 5, quadrilateral=True)
+    VA = FunctionSpace(mA, "CG", 1)
+    VB = FunctionSpace(mB, "CG", 2)
+    M = assemble_mixed_mass_matrix(VA, VB)
+    total = float(np.ones(VA.dim) @ (M.to_scipy() @ np.ones(VB.dim)))
+    assert abs(total - 1.0) < 1e-12
+    XB = SpatialCoordinate(mB)
+    XA = SpatialCoordinate(mA)
+    f = Function(VB).interpolate(XB[0] - 3 * XB[1])
+    u = supermesh_project(f, VA)
+    assert errornorm(XA[0] - 3 * XA[1], u) < 1e-11
+    f2 = Function(VB).interpolate(sin(XB[0]) * XB[1])
+    u2 = supermesh_project(f2, VA)
+    assert abs(assemble(u2 * dx) - assemble(f2 * dx)) < 1e-12
+
+
+def test_mixed_mass_hexes():
+    from firedrake_tpu import UnitCubeMesh
+    mA = UnitCubeMesh(3, 3, 3, hexahedral=True)
+    mB = UnitCubeMesh(2, 3, 4, hexahedral=True)
+    VA = FunctionSpace(mA, "CG", 1)
+    VB = FunctionSpace(mB, "CG", 1)
+    M = assemble_mixed_mass_matrix(VA, VB)
+    total = float(np.ones(VA.dim) @ (M.to_scipy() @ np.ones(VB.dim)))
+    assert abs(total - 1.0) < 1e-10
+    XB = SpatialCoordinate(mB)
+    XA = SpatialCoordinate(mA)
+    f = Function(VB).interpolate(1 + 2 * XB[0] - XB[2])
+    u = supermesh_project(f, VA)
+    assert errornorm(1 + 2 * XA[0] - XA[2], u) < 1e-10
