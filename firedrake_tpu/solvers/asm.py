@@ -180,3 +180,54 @@ class ASMExtrudedStarPC(PCBase):
 
     def apply(self, r):
         return self._pc(r)
+
+
+class ASMGridLinePC(PCBase):
+    """Alternating-direction line smoother on STRUCTURED grids: one
+    additive-Schwarz patch per grid line along each requested axis
+    (default: every axis).  The 3D answer to the reference's
+    PCPATCH/ASM line smoothers for anisotropy-free structured problems
+    (reference asm.py:255 role): on a grid-numbered space every line is
+    pure index arithmetic, and all lines of an axis share one static
+    size, so the smoother is a few batched dense inverse-applies.
+    ``<prefix>pc_gridline_axes`` selects axes, e.g. "2" or "0,1,2"."""
+
+    _prefix = "pc_gridline_"
+
+    def initialize_ctx(self, ctx, params, prefix):
+        from .composition import opt
+        from .preconditioners import _batched_patch_pc
+        from ..assembly.stencil import _space_grid
+        self.appctx = ctx.appctx
+        V = ctx.space
+        if ctx.mat is None or V is None:
+            raise ValueError("ASMGridLinePC needs an assembled matrix "
+                             "and the problem's function space")
+        s = getattr(V.mesh_obj, "_structured", None)
+        sg = _space_grid(V, s) if s is not None else None
+        if sg is None:
+            raise NotImplementedError(
+                "ASMGridLinePC needs a grid-numbered Lagrange space on "
+                "a structured mesh")
+        gdims = np.asarray(sg.gdims, dtype=np.int64)
+        D = len(gdims)
+        axes = [int(a) for a in str(opt(
+            params, prefix, self._prefix + "axes",
+            ",".join(map(str, range(D))))).split(",") if a.strip() != ""]
+        strides = np.cumprod(np.concatenate([[1], gdims[:-1]]))
+        patches = []
+        for ax in axes:
+            if not 0 <= ax < D:
+                raise ValueError(f"grid axis {ax} out of range")
+            others = [a for a in range(D) if a != ax]
+            base = np.zeros(1, dtype=np.int64)
+            for a in others:
+                base = (base[:, None]
+                        + np.arange(gdims[a]) * strides[a]).reshape(-1)
+            line = np.arange(gdims[ax]) * strides[ax]
+            pat = base[:, None] + line[None, :]        # (nlines, L)
+            patches.extend(_expand_block(p, V.block_size) for p in pat)
+        self._pc = _batched_patch_pc(ctx.mat.to_scipy().tocsr(), patches)
+
+    def apply(self, r):
+        return self._pc(r)

@@ -346,6 +346,13 @@ def _pc_extruded_star(ctx, params, prefix):
     return pc_obj.apply
 
 
+def _pc_gridline(ctx, params, prefix):
+    from .asm import ASMGridLinePC
+    pc_obj = ASMGridLinePC()
+    pc_obj.initialize_ctx(ctx, params, prefix)
+    return pc_obj.apply
+
+
 def _pc_python(ctx, params, prefix):
     name = opt(params, prefix, "pc_python_type", "")
     cls = _resolve_python_pc(name)
@@ -616,6 +623,7 @@ _PC_BUILDERS = {
     "vanka": _pc_vanka,
     "linesmooth": _pc_linesmooth,
     "extruded_star": _pc_extruded_star,
+    "gridline": _pc_gridline,
     "python": _pc_python,
     "composite": _pc_composite,
     "fieldsplit": _pc_fieldsplit,

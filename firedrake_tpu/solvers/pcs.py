@@ -23,12 +23,13 @@ import jax.numpy as jnp
 
 __all__ = ["PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC",
            "PCDPC", "FDMPC", "P1PC", "ASMLinesmoothPC",
-           "ASMExtrudedStarPC", "FacetSplitPC", "HiptmairPC", "GTMGPC",
-           "BDDCPC", "CovariancePC"]
+           "ASMExtrudedStarPC", "ASMGridLinePC", "FacetSplitPC",
+           "HiptmairPC", "GTMGPC", "BDDCPC", "CovariancePC"]
 
 # late-bound so the submodules can import PCBase from here without cycles
 _LATE = {"FDMPC": "fdm", "P1PC": "fdm",
          "ASMLinesmoothPC": "asm", "ASMExtrudedStarPC": "asm",
+         "ASMGridLinePC": "asm",
          "FacetSplitPC": "facet_split", "HiptmairPC": "hiptmair",
          "GTMGPC": "gtmg", "BDDCPC": "bddc"}
 
