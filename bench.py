@@ -3,9 +3,25 @@
 Prints ONE JSON line (the driver contract): P1 Poisson matrix-assembly
 throughput at 1024^2 (1.05M dofs) through the structured-mesh stencil
 path (assembly/stencil.py — zero gathers).  The full metric set (P2
-assembly, stencil SpMV, CG+GMG solves at 66k and 1M dofs, and the
+assembly, stencil SpMV, CG+GMG solves at 66k/1M/16M dofs, and the
 general gather path for unstructured parity) goes to
-BENCH_DETAILS.json.
+BENCH_DETAILS.json, which is rewritten INCREMENTALLY after every
+metric so a killed run still leaves its completed measurements behind.
+
+Delivery contract (round-5 hardening after BENCH_r04 rc=124):
+- the headline JSON line is printed to stdout AS SOON AS its inputs
+  exist (the first two metrics), not at the end — a timeout later in
+  the run can no longer lose it;
+- a global wall-clock budget (FDTPU_BENCH_BUDGET seconds, default
+  1500) skips any metric that does not fit the remaining time, so the
+  process exits 0 inside the driver's own timeout;
+- metrics are ordered cheapest-and-most-important first; the two 3D
+  programs (first remote compile through the tunnel can take tens of
+  minutes on a cold .jax_cache) run LAST;
+- a drift check compares each metric against BENCH_EXPECT.json
+  (best-known values from prior rounds) and prints a WARN line for
+  >1.5x regressions (round-3->4 solve drift went unflagged; never
+  again).
 
 Methodology (PERF_NOTES.md round 2b): through the axon tunnel,
 `block_until_ready` can return before the remote work completes, so
@@ -14,6 +30,11 @@ result back.  Work is repeated ON DEVICE via lax.fori_loop with a
 non-factorable carry->input dependency; differencing a 1-rep call
 against an R-rep call cancels the constant dispatch + readback
 overhead.  Rep counts stay under the ~60 s remote execution watchdog.
+Round 5: the SOLVE benches use the same differencing protocol (the
+round-4 single-call solve numbers included one ~50-600 ms dispatch +
+scalar-readback round trip, which is what doubled them vs round 3 —
+see PERF_NOTES round 5).  The f32 accuracy gate compares on DEVICE
+and reads back one scalar, so no bulk d2h ever precedes a timing.
 
 Baseline: the reference publishes no numbers (BASELINE.md); Firedrake-
 class CPU assembly is memory-bandwidth-bound at roughly 1e7 assembled
@@ -21,14 +42,26 @@ DoFs/s/core (docs/source/parallelism.rst characterization), so
 vs_baseline is value / 1e7.
 """
 import json
+import os
 import sys
 import time
 
 BASELINE_DOFS_PER_SEC = 1.0e7
+_T0 = time.perf_counter()
+_BUDGET = float(os.environ.get("FDTPU_BENCH_BUDGET", "1500"))
+
+# minimum remaining seconds to even start a metric (compile + 2 timed
+# calls); the 3D entries get a larger floor because a cold cache means
+# a long first remote compile.
+_FLOOR = {"default": 90.0, "p2_assembly_3d_64": 240.0,
+          "cg_gmg_16m": 300.0}
+
+
+def _remaining():
+    return _BUDGET - (time.perf_counter() - _T0)
 
 
 def _setup():
-    import os
     import jax
     jax.config.update("jax_enable_x64", True)
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
@@ -59,14 +92,15 @@ def _per_rep(call, budget=20.0):
 HBM_GBPS = 819.0                # TPU v5e peak HBM bandwidth
 
 
-def _assembly_bench(jax, n, degree, stencil=True, dim=2, prec=None):
+def _assembly_bench(jax, n, degree, stencil=True, dim=2, prec=None,
+                    pallas=None):
     """On-device repeated matrix assembly; returns dofs/s plus the
     achieved effective bandwidth (bytes of assembled output + gathered
     coords per second) against the HBM roofline — the BASELINE.json
     >50%-of-HBM gate, machine-checkable.  `prec` runs the FDTPU_PREC
     mixed-precision executor (reduced-dtype kernels, f64 accumulation;
-    compiler/precision.py)."""
-    import os
+    compiler/precision.py); `pallas` forces the fused Pallas cell
+    evaluator on (1) or off (0) against its current default."""
     import numpy as np
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
@@ -78,35 +112,40 @@ def _assembly_bench(jax, n, degree, stencil=True, dim=2, prec=None):
         os.environ["FDTPU_NO_STENCIL"] = "1"
     if prec:
         os.environ["FDTPU_PREC"] = prec
+    if pallas is not None:
+        os.environ["FDTPU_PALLAS"] = str(pallas)
     try:
         mesh = UnitCubeMesh(n, n, n) if dim == 3 else UnitSquareMesh(n, n)
         V = FunctionSpace(mesh, "CG", degree)
         u, v = TrialFunction(V), TestFunction(V)
         asm = FormAssembler(inner(grad(u), grad(v)) * dx + u * v * dx)
+
+        used_stencil = asm._stencil is not None
+        coords = jnp.asarray(mesh.coordinates.dat)
+        ncd = coords.shape[0]
+        st = None if used_stencil else asm._arg_statics
+        ac = None if used_stencil else asm._acc_args
+
+        @jax.jit
+        def run(r, c0, cds):
+            def body(i, carry):
+                c = cds + 1e-20 * carry.reshape(-1)[:ncd]
+                return asm._run(c, {}, {}, arg_statics=st, acc=ac)
+            return jax.lax.fori_loop(0, r, body, c0)
+
+        spec = jax.eval_shape(
+            lambda c: asm._run(c, {}, {}, arg_statics=st, acc=ac), coords)
+        z = jnp.zeros(spec.shape, spec.dtype)
+
+        def call(r):
+            return float(run(r, z, coords).reshape(-1)[0])
+
+        dt, R = _per_rep(call)
     finally:
         os.environ.pop("FDTPU_NO_STENCIL", None)
         os.environ.pop("FDTPU_PREC", None)
-    used_stencil = asm._stencil is not None
-    coords = jnp.asarray(mesh.coordinates.dat)
-    ncd = coords.shape[0]
-    st = None if used_stencil else asm._arg_statics
-    ac = None if used_stencil else asm._acc_args
-
-    @jax.jit
-    def run(r, c0, cds):
-        def body(i, carry):
-            c = cds + 1e-20 * carry.reshape(-1)[:ncd]
-            return asm._run(c, {}, {}, arg_statics=st, acc=ac)
-        return jax.lax.fori_loop(0, r, body, c0)
-
-    spec = jax.eval_shape(
-        lambda c: asm._run(c, {}, {}, arg_statics=st, acc=ac), coords)
-    z = jnp.zeros(spec.shape, spec.dtype)
-
-    def call(r):
-        return float(run(r, z, coords).reshape(-1)[0])
-
-    dt, R = _per_rep(call)
+        if pallas is not None:
+            os.environ.pop("FDTPU_PALLAS", None)
     out_bytes = int(np.prod(spec.shape)) * spec.dtype.itemsize
     in_bytes = coords.size * coords.dtype.itemsize
     gbps = (out_bytes + in_bytes) / dt / 1e9
@@ -148,12 +187,18 @@ def _matvec_bench(jax, n, degree=1):
                 effective_gbps=gbps, pct_hbm=100.0 * gbps / HBM_GBPS)
 
 
-def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False):
-    """CG+GMG solve wall time at the KSP level on a structured hierarchy
-    (stencil operators + stencil transfers); the timed call is
-    forced-materialized via one scalar read.  `matfree=True` runs the
-    fine operator as an action-assembly MatrixFreeOperator (the 16M-dof
-    north-star configuration — no channel planes at the fine level)."""
+def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False,
+                 rep_budget=15.0):
+    """CG+GMG solve time at the KSP level on a structured hierarchy
+    (stencil operators + stencil transfers), ONE jitted whole-solve
+    program.  `seconds` is the 1-vs-R differenced per-solve time (the
+    constant tunnel dispatch + scalar-readback round trip — 50-600 ms
+    once the client is in synchronous mode — is cancelled out;
+    PERF_NOTES round 5 pins this as the round-4 'drift').
+    `seconds_single` is the raw single-call wall for continuity with
+    rounds 3/4.  `matfree=True` runs the fine operator as an
+    action-assembly MatrixFreeOperator (the 16M-dof north-star
+    configuration — no channel planes at the fine level)."""
     import math
     import numpy as np
     import jax.numpy as jnp
@@ -200,21 +245,41 @@ def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False):
     solver = jax.jit(lambda bb: _run_ksp(A.matvec, bb, params, pc=pc))
     res = solver(b)                                  # warm + compile
     float(res.x[0])
+
+    # continuity number: single-call wall incl. one dispatch round trip
     t0 = time.perf_counter()
     res = solver(b)
     float(res.x[0])
-    dt = time.perf_counter() - t0
+    dt_single = time.perf_counter() - t0
+
+    # honest per-solve time: R solves on device, carry-dependent rhs
+    @jax.jit
+    def run(r, x0):
+        def body(i, carry):
+            rr = _run_ksp(A.matvec, b + 1e-30 * carry, params, pc=pc)
+            return rr.x
+        return jax.lax.fori_loop(0, r, body, x0)
+
+    z = jnp.zeros_like(b)
+
+    def call(r):
+        return float(run(r, z)[0])
+
+    dt, R = _per_rep(call, budget=rep_budget)
+
     rel = float(jnp.linalg.norm(b - A.matvec(res.x))
                 / jnp.linalg.norm(b))
-    return dict(dofs=V.dim, seconds=dt, iterations=int(res.iterations),
+    return dict(dofs=V.dim, seconds=dt, seconds_single=dt_single,
+                reps=R, iterations=int(res.iterations),
                 rel_residual=rel, matfree=matfree)
 
 
 def _prec_accuracy(jax, n):
     """Tolerance gate for the mixed-precision executor: max relative
-    entry error of the f32-kernel assembly against full f64."""
-    import os
-    import numpy as np
+    entry error of the f32-kernel assembly against full f64, computed
+    ON DEVICE (one scalar readback — a bulk d2h here would flip the
+    tunnel client into synchronous mode and poison every later
+    timing; PERF_NOTES rounds 2b/5)."""
     import jax.numpy as jnp
     from firedrake_tpu import (FunctionSpace, TestFunction, TrialFunction,
                                UnitSquareMesh, inner, grad, dx, assemble)
@@ -230,17 +295,15 @@ def _prec_accuracy(jax, n):
             V = FunctionSpace(mesh, "CG", 1)
             u, v = TrialFunction(V), TestFunction(V)
             A = assemble(inner(grad(u), grad(v)) * dx + u * v * dx)
-            # compare the raw device output (planes/values), not a
-            # host densification — keeps the d2h small
             dat = A.channels if hasattr(A, "channels") else A.data
-            return np.asarray(jnp.asarray(dat).reshape(-1)[:200000])
+            return jnp.asarray(dat).reshape(-1)
         finally:
             os.environ.pop("FDTPU_PREC", None)
             _assembler_cache.clear()
 
     a64 = dense(None)
     a32 = dense("f32")
-    rel = float(np.abs(a32 - a64).max() / np.abs(a64).max())
+    rel = float(jnp.abs(a32 - a64).max() / jnp.abs(a64).max())
     return dict(max_rel_err=rel, passed=bool(rel < 1e-5))
 
 
@@ -251,64 +314,115 @@ def _free_device():
     gc.collect()
 
 
+def _load_expect():
+    try:
+        with open("/root/repo/BENCH_EXPECT.json") as fh:
+            return json.load(fh)
+    except Exception:
+        return {}
+
+
+def _drift_check(name, result, expect):
+    """WARN (stderr) when a metric regresses >1.5x vs its best-known
+    value in BENCH_EXPECT.json."""
+    exp = expect.get(name)
+    if not exp or not isinstance(result, dict):
+        return
+    field, best, higher = exp["field"], exp["value"], exp["higher_is_better"]
+    got = result.get(field)
+    if got is None:
+        return
+    bad = (got < best / 1.5) if higher else (got > best * 1.5)
+    if bad:
+        print(f"WARN drift: {name}.{field} = {got:.6g} vs best-known "
+              f"{best:.6g} (>1.5x regression)", file=sys.stderr,
+              flush=True)
+
+
 def main():
     jax = _setup()
     details = {}
+    expect = _load_expect()
+    headline_printed = [False]
+
+    def flush_details():
+        tmp = "/root/repo/BENCH_DETAILS.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(details, fh, indent=1)
+        os.replace(tmp, "/root/repo/BENCH_DETAILS.json")
 
     def metric(name, fn, *args, **kw):
-        try:
-            details[name] = fn(jax, *args, **kw)
-        except Exception as e:       # noqa: BLE001 — record and continue
-            details[name] = {"error": str(e)[:200]}
+        floor = _FLOOR.get(name, _FLOOR["default"])
+        if _remaining() < floor:
+            details[name] = {"skipped": "budget",
+                             "remaining_s": round(_remaining(), 1)}
+        else:
+            try:
+                details[name] = fn(jax, *args, **kw)
+            except Exception as e:   # noqa: BLE001 — record and continue
+                details[name] = {"error": str(e)[:300]}
+            _free_device()
         print(name, "->", json.dumps(details[name]), file=sys.stderr,
               flush=True)
-        _free_device()
+        _drift_check(name, details[name], expect)
+        flush_details()
 
-    metric("p1_assembly_1024", _assembly_bench, 1024, 1)
-    metric("p1_assembly_512", _assembly_bench, 512, 1)
-    metric("p2_assembly_512", _assembly_bench, 512, 2)
-    metric("p1_assembly_gather_512", _assembly_bench, 512, 1,
-           stencil=False)
-    # mixed-precision executor (FDTPU_PREC: f32 kernels + gathers, f64
-    # accumulation — compiler/precision.py): the roofline lever asked
-    # for by the round-3 verdict, tolerance-gated below
+    def print_headline():
+        """Exactly one JSON line on stdout, as early as possible."""
+        if headline_printed[0]:
+            return
+        gate = details.get("f32_accuracy_gate", {})
+        f32 = details.get("p1_assembly_1024_f32", {})
+        if gate.get("passed") and "dofs_per_sec" in f32:
+            name = "p1_poisson_assembly_throughput_f32kernels_f64acc"
+            headline = f32["dofs_per_sec"]
+        else:
+            name = "p1_poisson_assembly_throughput"
+            head = details.get("p1_assembly_1024", {})
+            headline = head.get("dofs_per_sec") or details.get(
+                "p1_assembly_512", {}).get("dofs_per_sec", 0.0)
+        if not headline:
+            return
+        print(json.dumps({
+            "metric": name,
+            "value": round(headline, 1),
+            "unit": "dof/s",
+            "vs_baseline": round(headline / BASELINE_DOFS_PER_SEC, 3),
+        }), flush=True)
+        headline_printed[0] = True
+
+    # --- headline inputs first; print the driver line immediately ---
     metric("p1_assembly_1024_f32", _assembly_bench, 1024, 1, prec="f32")
-    metric("p1_assembly_gather_512_f32", _assembly_bench, 512, 1,
-           stencil=False, prec="f32")
     metric("f32_accuracy_gate", _prec_accuracy, 64)
+    print_headline()
+
+    # --- timing-sensitive metrics (no bulk d2h has happened) ---
+    metric("p1_assembly_1024", _assembly_bench, 1024, 1)
+    print_headline()          # fallback headline if the f32 gate failed
     metric("spmv_1024", _matvec_bench, 1024)
     metric("cg_gmg_solve_66k", _solve_bench, 32, 3, 1)
     metric("cg_gmg_solve_1m", _solve_bench, 32, 5, 1)
-    # north star (BASELINE.json): P2 Poisson on a cube at 16M dofs —
-    # tet6 stencil hierarchy, matrix-free fine level, whole solve ONE
-    # XLA program
+
+    # --- breadth metrics ---
+    metric("p2_assembly_512", _assembly_bench, 512, 2)
+    metric("p1_assembly_512", _assembly_bench, 512, 1)
+    metric("p1_assembly_gather_512", _assembly_bench, 512, 1,
+           stencil=False)
+    metric("p1_assembly_gather_512_f32", _assembly_bench, 512, 1,
+           stencil=False, prec="f32")
+
+    # --- north star (BASELINE.json): P2 Poisson on a cube at 16M dofs
+    # — tet6 stencil hierarchy, matrix-free fine level, whole solve ONE
+    # XLA program.  Run LAST: on a cold cache each first remote compile
+    # can take tens of minutes and must not eat the other metrics. ---
     metric("p2_assembly_3d_64", _assembly_bench, 64, 2, dim=3)
-    metric("cg_gmg_16m", _solve_bench, 8, 4, 2, dim=3, matfree=True)
+    metric("cg_gmg_16m", _solve_bench, 8, 4, 2, dim=3, matfree=True,
+           rep_budget=8.0)
 
-    with open("/root/repo/BENCH_DETAILS.json", "w") as fh:
-        json.dump(details, fh, indent=1)
-
-    # headline: the mixed-precision executor (f32 kernels + gathers,
-    # f64 accumulation) IF its tolerance gate passed; the metric name
-    # says which executor produced it, and BENCH_DETAILS always carries
-    # the full-f64 numbers alongside.
-    gate = details.get("f32_accuracy_gate", {})
-    f32 = details.get("p1_assembly_1024_f32", {})
-    if gate.get("passed") and "dofs_per_sec" in f32:
-        name = "p1_poisson_assembly_throughput_f32kernels_f64acc"
-        headline = f32["dofs_per_sec"]
-    else:
-        name = "p1_poisson_assembly_throughput"
-        head = details.get("p1_assembly_1024", {})
-        headline = head.get("dofs_per_sec") or details.get(
-            "p1_assembly_512", {}).get("dofs_per_sec", 0.0)
-
-    print(json.dumps({
-        "metric": name,
-        "value": round(headline, 1),
-        "unit": "dof/s",
-        "vs_baseline": round(headline / BASELINE_DOFS_PER_SEC, 3),
-    }))
+    print_headline()
+    flush_details()
+    print(f"bench done in {time.perf_counter() - _T0:.1f}s "
+          f"(budget {_BUDGET:.0f}s)", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
