@@ -98,7 +98,7 @@ class WhiteNoiseGenerator:
         self._np_rng = rng if rng is not None \
             else np.random.default_rng(seed)
         u, v = TrialFunction(V), TestFunction(V)
-        M_loc = np.asarray(_local_form_tensor(inner(u, v) * dx))
+        M_loc = np.asarray(_local_form_tensor(inner(u, v) * dx).cell)
         # batched per-cell Cholesky: H_e H_e^T = M_e  (C, n, n)
         self._H = jnp.asarray(np.linalg.cholesky(M_loc))
         cmap = V.cell_dof_map if hasattr(V, "cell_dof_map") \

@@ -18,9 +18,22 @@ into per-cell contributions where '+' means "this cell".  Each interior
 facet is then visited from both adjacent cells and the transformed
 integrand is evaluated with the cell's own outward normal (the reference
 does this with cell-facet loops inside generated kernels,
-slate/slac/kernel_builder.py).  Genuinely two-sided DG couplings
-(jump*jump cross terms) cannot be localized per cell — detected and
-rejected.
+slate/slac/kernel_builder.py).
+
+Genuinely two-sided DG couplings (jump*jump cross terms) go through the
+assembler's TWO-SIDED facet-pair kernel instead: each interior facet
+evaluates the integrand once with BOTH cells' dofs, producing a
+(2ni, 2nj) block tensor whose diagonal blocks accumulate into the
+per-cell dense tensors and whose cross blocks ride along as explicit
+facet-pair couplings (``_Local.cross``).  Cross couplings compose
+through every LINEAR Slate operation (Add, Negative, Transpose, Block,
+global assembly); cell-local algebra (Inverse, Solve, Mul contraction)
+on a cross-coupled tensor is mathematically not per-cell localizable
+and raises with a rewrite hint.  NOTE this is STRICTER-than-reference
+semantics: the reference *zeroes* negative restrictions at Tensor
+construction (slate/slate.py:903 RemoveNegativeRestrictions), silently
+dropping cross-cell blocks of two-sided forms; here the assembled
+global tensor matches direct assembly exactly.
 
 Mixed forms build BLOCKED local tensors: per-cell dof axes concatenate the
 fields ([flux | scalar | trace]); ``A.blocks[i, j]`` slices fields (the
@@ -265,8 +278,10 @@ def _is_single_valued(t):
 
 def _restriction_sides(e):
     """Bottom-up set of restriction sides attached to cell-based (NOT
-    single-valued) quantities; raises if a multiplicative node couples
-    different sides (not localizable per cell)."""
+    single-valued) quantities; returns None as a poison value when a
+    multiplicative node couples different sides (genuinely two-sided —
+    routed to the facet-pair kernel instead of one-sided
+    localization)."""
     if isinstance(e, Restricted):
         base = e.operands[0]
         cellbased = any(isinstance(t, (Argument, Coefficient))
@@ -274,19 +289,24 @@ def _restriction_sides(e):
                         for t in base.traverse())
         return frozenset([e.side]) if cellbased else frozenset()
     subs = [_restriction_sides(o) for o in e.operands]
+    if any(s is None for s in subs):
+        return None
     if isinstance(e, (Product, Dot, Inner, Outer, Cross, Division)):
         nonempty = [s for s in subs if s]
         for i in range(len(nonempty)):
             for j in range(i + 1, len(nonempty)):
                 if nonempty[i] != nonempty[j] or len(nonempty[i]) > 1:
-                    raise NotImplementedError(
-                        "facet integrand couples '+' and '-' of cell-based "
-                        "functions — not localizable per cell (write the "
-                        "hybridizable one-sided form, or assemble globally)")
+                    return None
     out = frozenset()
     for s in subs:
         out |= s
     return out
+
+
+def _is_two_sided(integrand):
+    """True when the dS integrand couples '+' and '-' of cell-based
+    quantities multiplicatively (cross-cell blocks exist)."""
+    return _restriction_sides(integrand) is None
 
 
 def _apply_side(e, side, under_grad=False):
@@ -323,6 +343,34 @@ def _one_sided_body(e):
 
 
 # ------------------------------------------------------- local evaluation
+class _Local:
+    """Per-cell dense local tensors plus optional cross-cell facet-pair
+    couplings from genuinely two-sided dS integrals.
+
+    cell:  (ncell, ni[, nj]) dense per-cell values.
+    cross: tuple of (row_cells (nf,), col_cells (nf,), vals (nf, ni, nj))
+           — the (+,-) / (-,+) blocks of interior-facet pair tensors,
+           in the SAME (possibly blocked) local dof layout as `cell`.
+    """
+
+    __slots__ = ("cell", "cross")
+
+    def __init__(self, cell, cross=()):
+        self.cell = cell
+        self.cross = tuple(cross)
+
+
+def _no_cross(v, what):
+    if v.cross:
+        raise NotImplementedError(
+            f"Slate {what} of a tensor with cross-cell (two-sided dS) "
+            "couplings — cell-local algebra is not defined across cells. "
+            "Condense on the cell-local part and keep jump-jump terms in "
+            "a separate Tensor added AFTER the local algebra, or assemble "
+            "the coupled operator globally with assemble(form).")
+    return v.cell
+
+
 def _gather_coeffs(ci, cells):
     """Per-entity coefficient arrays for the given owning cells (dof
     signs / matrix entity transforms applied: local = B @ canonical)."""
@@ -363,9 +411,14 @@ def _apply_arg_signs(loc, ci, cells, rank):
 
 
 def _local_form_tensor(form: Form):
-    """Per-cell dense tensor of a NON-mixed form over ALL cells:
-    (ncell, ni[, nj]).  Cell integrals vmap directly; facet integrals are
-    localized one-sided and scatter-added into the owning cells."""
+    """Per-cell dense tensors of a NON-mixed form over ALL cells, as a
+    ``_Local``: cell part (ncell, ni[, nj]) plus cross-cell facet-pair
+    blocks for genuinely two-sided dS integrals.  Cell integrals vmap
+    directly; one-sided-localizable facet integrals scatter-add into the
+    owning cells; two-sided dS integrals evaluate the assembler's
+    facet-pair kernel (compiler/kernels.py interior_facet_kernel) and
+    split its (2ni, 2nj) block tensor into diagonal (per-cell) and
+    cross contributions."""
     from .compiler.kernels import CompiledIntegral
     mesh = form.mesh()
     topo = mesh.topology
@@ -379,6 +432,86 @@ def _local_form_tensor(form: Form):
     cmap3 = mesh.coordinates.function_space().cell_dof_map.reshape(
         topo.num_cells, -1, mesh.geometric_dimension)
     out = jnp.zeros((topo.num_cells, ni, nj))
+    cross = []
+
+    def _cat_arg_signs(loc, cp, cm):
+        """Canonical dof indexing on BOTH side-blocks of a facet-pair
+        tensor: signs/transforms of the plus cell on the first half of
+        each axis, of the minus cell on the second (the block-diag
+        T_rows/T_cols path of assemble.py's interior-facet statics)."""
+        def cat_sg(sp):
+            sg = sp.cell_dof_signs
+            return jnp.asarray(np.hstack([sg[cp], sg[cm]]))
+
+        def cat_T(sp):
+            T = np.asarray(sp.cell_dof_transforms)
+            Tp_, Tm_ = T[cp], T[cm]
+            ne, nd = Tp_.shape[0], Tp_.shape[1]
+            out2 = np.zeros((ne, 2 * nd, 2 * nd))
+            out2[:, :nd, :nd] = Tp_
+            out2[:, nd:, nd:] = Tm_
+            return jnp.asarray(out2)
+
+        if test is not None:
+            sp = test.space
+            if getattr(sp, "has_dof_signs", False):
+                s = cat_sg(sp)
+                loc = loc * (s[:, :, None] if rank == 2 else s[..., None])
+            elif getattr(sp, "has_dof_transforms", False):
+                loc = jnp.einsum("cip,cij->cpj", cat_T(sp), loc)
+        if trial is not None:
+            sp = trial.space
+            if getattr(sp, "has_dof_signs", False):
+                loc = loc * cat_sg(sp)[:, None, :]
+            elif getattr(sp, "has_dof_transforms", False):
+                loc = jnp.einsum("cpj,cjq->cpq", loc, cat_T(sp))
+        return loc
+
+    def run_two_sided(ci, facets):
+        """Facet-pair evaluation: both cells' dofs in one kernel call."""
+        nonlocal out
+        from .assemble import _perm_index_map
+        from .elements.reference_cell import by_name
+        kern = ci.interior_facet_kernel()
+        consts = tuple(jnp.asarray(c.values()) for c in ci.constants)
+        cp = topo.facet_cells[facets, 0]
+        cm = topo.facet_cells[facets, 1]
+        lfp = topo.facet_local_id[facets, 0]
+        lfm = topo.facet_local_id[facets, 1]
+        if getattr(ci, "ftype", None) is not None:
+            pidx, nfv = _perm_index_map(
+                mesh.cell, by_name(ci.ftype).num_vertices)
+        else:
+            pidx, nfv = _perm_index_map(mesh.cell)
+        cellfacets = mesh.cell.facets[:, :nfv]
+        vp = topo.cell_vertices[cp[:, None], cellfacets[lfp]]
+        vm = topo.cell_vertices[cm[:, None], cellfacets[lfm]]
+        eqm = (vm[:, :, None] == vp[:, None, :])
+        pos = np.argmax(eqm, axis=2)
+        o_rel = np.array([pidx[tuple(row)] for row in pos],
+                         dtype=np.int32)
+        cpn = coords[jnp.asarray(cmap3[cp])]
+        cmn = coords[jnp.asarray(cmap3[cm])]
+        ws_p = _gather_coeffs(ci, cp)
+        ws_m = _gather_coeffs(ci, cm)
+        nco = len(ws_p)
+        loc = jax.vmap(
+            lambda a, b, lp, lm, o, *w: kern(a, b, lp, lm, o,
+                                             w[:nco], w[nco:], consts)
+        )(cpn, cmn, jnp.asarray(lfp), jnp.asarray(lfm),
+          jnp.asarray(o_rel), *ws_p, *ws_m)
+        loc = _cat_arg_signs(loc, cp, cm)
+        cpj, cmj = jnp.asarray(cp), jnp.asarray(cm)
+        if rank == 2:
+            out = out.at[cpj].add(loc[:, :ni, :nj])
+            out = out.at[cmj].add(loc[:, ni:, nj:])
+            cross.append((cp, cm, loc[:, :ni, nj:]))
+            cross.append((cm, cp, loc[:, ni:, :nj]))
+        elif rank == 1:
+            out = out.at[cpj].add(loc[:, :ni, :])
+            out = out.at[cmj].add(loc[:, ni:, :])
+        else:
+            out = out.at[cpj].add(loc)
 
     def run_facets(ci, facets, sides):
         nonlocal out
@@ -433,17 +566,32 @@ def _local_form_tensor(form: Form):
                 run_facets(ci, fsub, (0,))
         elif itype == "interior_facet":
             facets = topo.interior_facets
+            if integral.subdomain_id not in ("everywhere", None):
+                sd = integral.subdomain_id
+                if isinstance(sd, (int, np.integer)):
+                    sd = (int(sd),)
+                facets = facets[np.isin(
+                    mesh.facet_markers[facets], np.asarray(sd))]
             if len(facets) == 0:
                 continue
-            _restriction_sides(integral.integrand)   # localizability check
-            one = Integral(_one_sided(integral.integrand),
-                           "exterior_facet", "everywhere",
-                           integral.metadata, integral.domain)
-            for ft, fsub in _facet_classes(facets):
-                if len(fsub) == 0:
-                    continue
-                ci = CompiledIntegral(one, test, trial, mesh, ftype=ft)
-                run_facets(ci, fsub, (0, 1))
+            if _is_two_sided(integral.integrand):
+                # genuinely two-sided coupling: facet-pair kernel
+                for ft, fsub in _facet_classes(facets):
+                    if len(fsub) == 0:
+                        continue
+                    ci = CompiledIntegral(integral, test, trial, mesh,
+                                          ftype=ft)
+                    run_two_sided(ci, fsub)
+            else:
+                one = Integral(_one_sided(integral.integrand),
+                               "exterior_facet", "everywhere",
+                               integral.metadata, integral.domain)
+                for ft, fsub in _facet_classes(facets):
+                    if len(fsub) == 0:
+                        continue
+                    ci = CompiledIntegral(one, test, trial, mesh,
+                                          ftype=ft)
+                    run_facets(ci, fsub, (0, 1))
         else:
             raise NotImplementedError(
                 f"Slate local tensors over {itype!r} integrals")
@@ -451,7 +599,7 @@ def _local_form_tensor(form: Form):
         out = out[:, :, 0]
     elif rank == 0:
         out = out[:, 0, 0]
-    return out
+    return _Local(out, cross)
 
 
 def _axis_dims(parts):
@@ -483,6 +631,7 @@ def _eval_local_impl(expr, cache):
         nc = mesh.topology.num_cells
         shape = (nc,) + tuple(int(o[-1]) for o in offs)
         out = jnp.zeros(shape)
+        cross = []
         if expr.rank == 2:
             for i, ti in enumerate(expr.axis_parts[0]):
                 for j, tj in enumerate(expr.axis_parts[1]):
@@ -491,15 +640,21 @@ def _eval_local_impl(expr, cache):
                         continue
                     loc = _local_form_tensor(blk)
                     out = out.at[:, offs[0][i]:offs[0][i + 1],
-                                 offs[1][j]:offs[1][j + 1]].set(loc)
+                                 offs[1][j]:offs[1][j + 1]].set(loc.cell)
+                    for (rc, cc, vals) in loc.cross:
+                        # embed the sub-block at the blocked offsets
+                        big = jnp.zeros((vals.shape[0],) + shape[1:])
+                        big = big.at[:, offs[0][i]:offs[0][i + 1],
+                                     offs[1][j]:offs[1][j + 1]].set(vals)
+                        cross.append((rc, cc, big))
         else:
             for i, ti in enumerate(expr.axis_parts[0]):
                 blk = extract_block(expr.form, ti.part, None)
                 if not blk.integrals():
                     continue
                 loc = _local_form_tensor(blk)
-                out = out.at[:, offs[0][i]:offs[0][i + 1]].set(loc)
-        return out
+                out = out.at[:, offs[0][i]:offs[0][i + 1]].set(loc.cell)
+        return _Local(out, cross)
     if isinstance(expr, AssembledVector):
         # NB: local tensors are CANONICAL-indexed (dof signs applied at
         # kernel level), so coefficient gathers here must stay UNSIGNED —
@@ -511,53 +666,63 @@ def _eval_local_impl(expr, cache):
             parts = [jnp.asarray(sub.dat)[jnp.asarray(Vi.cell_dof_map)]
                      for sub, Vi in zip(expr.f.subfunctions,
                                         V.subspaces)]
-            return jnp.concatenate(parts, axis=1)
+            return _Local(jnp.concatenate(parts, axis=1))
         dat = jnp.asarray(expr.f.dat)
-        return dat[jnp.asarray(V.cell_dof_map)]
+        return _Local(dat[jnp.asarray(V.cell_dof_map)])
     if isinstance(expr, Transpose):
         v = _eval_local(expr.a, cache)
-        return jnp.swapaxes(v, 1, 2) if expr.rank == 2 else v
+        if expr.rank != 2:
+            return v
+        return _Local(jnp.swapaxes(v.cell, 1, 2),
+                      [(cc, rc, jnp.swapaxes(vals, 1, 2))
+                       for (rc, cc, vals) in v.cross])
     if isinstance(expr, Negative):
-        return -_eval_local(expr.a, cache)
+        v = _eval_local(expr.a, cache)
+        return _Local(-v.cell,
+                      [(rc, cc, -vals) for (rc, cc, vals) in v.cross])
     if isinstance(expr, Inverse):
         from .ops.batched_inverse import batched_inv
-        return batched_inv(_eval_local(expr.a, cache))
+        return _Local(batched_inv(
+            _no_cross(_eval_local(expr.a, cache), "Inverse")))
     if isinstance(expr, Add):
-        return _eval_local(expr.a, cache) + _eval_local(expr.b, cache)
-    if isinstance(expr, Mul):
         a = _eval_local(expr.a, cache)
         b = _eval_local(expr.b, cache)
+        return _Local(a.cell + b.cell, a.cross + b.cross)
+    if isinstance(expr, Mul):
+        a = _no_cross(_eval_local(expr.a, cache), "contraction (Mul)")
+        b = _no_cross(_eval_local(expr.b, cache), "contraction (Mul)")
         if a.shape[-1] != b.shape[1]:
             raise ValueError(
                 f"Slate contraction mismatch: {a.shape} x {b.shape} — "
                 "check block slicing / Tensor axes")
         if expr.a.rank == 2 and expr.b.rank == 2:
-            return jnp.einsum("cij,cjk->cik", a, b)
+            return _Local(jnp.einsum("cij,cjk->cik", a, b))
         if expr.a.rank == 2 and expr.b.rank == 1:
-            return jnp.einsum("cij,cj->ci", a, b)
+            return _Local(jnp.einsum("cij,cj->ci", a, b))
         if expr.a.rank == 1 and expr.b.rank == 2:
-            return jnp.einsum("ci,cij->cj", a, b)
+            return _Local(jnp.einsum("ci,cij->cj", a, b))
         raise NotImplementedError
     if isinstance(expr, Solve):
         from .ops.batched_inverse import batched_solve
-        A = _eval_local(expr.A, cache)
-        b = _eval_local(expr.b, cache)
+        A = _no_cross(_eval_local(expr.A, cache), "Solve")
+        b = _no_cross(_eval_local(expr.b, cache), "Solve")
         if A.shape[-1] != b.shape[1]:
             raise ValueError(
                 f"Slate solve mismatch: {A.shape} x {b.shape}")
-        return batched_solve(A, b)
+        return _Local(batched_solve(A, b))
     if isinstance(expr, Factorization):
         # XLA batches one LU for the whole cell axis either way; the
         # factorization is the (already batched-solve-shared) operand
         return _eval_local(expr.a, cache)
     if isinstance(expr, DiagonalTensor):
-        v = _eval_local(expr.a, cache)
+        v = _no_cross(_eval_local(expr.a, cache), "DiagonalTensor")
         n = v.shape[1]
         d = jnp.einsum("cii->ci", v)
-        return jnp.eye(n)[None, :, :] * d[:, :, None]
+        return _Local(jnp.eye(n)[None, :, :] * d[:, :, None])
     if isinstance(expr, Reciprocal):
-        v = _eval_local(expr.a, cache)
-        return jnp.where(v != 0, 1.0 / jnp.where(v == 0, 1.0, v), 0.0)
+        v = _no_cross(_eval_local(expr.a, cache), "Reciprocal")
+        return _Local(jnp.where(v != 0,
+                                1.0 / jnp.where(v == 0, 1.0, v), 0.0))
     if isinstance(expr, Block):
         v = _eval_local(expr.a, cache)
         sls = [slice(None)]
@@ -570,7 +735,9 @@ def _eval_local_impl(expr, cache):
                                  int(offs[rng.stop - 1 + 1])))
             else:
                 sls.append(slice(int(offs[idx]), int(offs[idx + 1])))
-        return v[tuple(sls)]
+        sls = tuple(sls)
+        return _Local(v.cell[sls],
+                      [(rc, cc, vals[sls]) for (rc, cc, vals) in v.cross])
     raise NotImplementedError(type(expr).__name__)
 
 
@@ -630,7 +797,8 @@ def assemble_slate(expr, bcs=None):
     from .assembly.sparsity import Sparsity
     from .assembly.matrix import Matrix
     cache = {}
-    local = _eval_local(expr, cache)
+    loc = _eval_local(expr, cache)
+    local = loc.cell
     if expr.rank == 0:
         return float(jnp.sum(local))
     axes = _axis_parts(expr)
@@ -646,9 +814,15 @@ def assemble_slate(expr, bcs=None):
         return f
     V1 = _axis_space(axes[1], "column")
     cols = np.asarray(V1.cell_dof_map)
-    sp = Sparsity(V0.dim, V1.dim, [(np.asarray(V0.cell_dof_map), cols)])
+    rmap, cmap = np.asarray(V0.cell_dof_map), cols
+    blocks = [(rmap, cmap)]
+    # cross-cell facet-pair couplings (two-sided dS): extra COO blocks
+    blocks += [(rmap[rc], cmap[cc]) for (rc, cc, _vals) in loc.cross]
+    sp = Sparsity(V0.dim, V1.dim, blocks)
     data = jnp.zeros(sp.nnz).at[jnp.asarray(sp.block_positions[0])].add(
         local.reshape(-1))
+    for (pos, (_rc, _cc, vals)) in zip(sp.block_positions[1:], loc.cross):
+        data = data.at[jnp.asarray(pos)].add(vals.reshape(-1))
     A = Matrix(sp, data, V0, V1)
     if bcs:
         from .bcs import DirichletBC

@@ -165,7 +165,7 @@ class BDDCPC(PCBase):
 
         # ---- batched local Neumann matrices (device scatter of the
         # canonical element tensors; values never leave the device)
-        A_loc = _local_form_tensor(form)               # (nc, nd, nd)
+        A_loc = _local_form_tensor(form).cell          # (nc, nd, nd)
         lidx = np.empty((nc, nd), dtype=np.int64)
         for s in range(ns):
             sel = cell_sub == s

@@ -50,8 +50,8 @@ def solve_scpc(problem, params, appctx=None):
     gmap = cond_id[cmap[:, gslots]]        # (nc, nG) condensed ids
 
     # batched local tensors (signs already canonical)
-    A_loc = _local_form_tensor(p.a)                       # (nc, nd, nd)
-    F_loc = (_local_form_tensor(p.L) if p.L is not None
+    A_loc = _local_form_tensor(p.a).cell                  # (nc, nd, nd)
+    F_loc = (_local_form_tensor(p.L).cell if p.L is not None
              else jnp.zeros(A_loc.shape[:2]))             # (nc, nd)
 
     AII = A_loc[:, islots[:, None], islots[None, :]]

@@ -61,7 +61,7 @@ def test_prism_slate_interior_facet_localization(prism_mesh):
     signs = (np.asarray(W.cell_dof_signs)
              if W.has_dof_signs else np.ones_like(cols, dtype=float))
     M = np.zeros((V.dim, W.dim))
-    locn = np.asarray(loc)
+    locn = np.asarray(loc.cell)
     for c in range(mesh.num_cells):
         M[np.ix_(rows[c], cols[c])] += locn[c]
     uref, vref = TrialFunction(W), TestFunction(V)

@@ -34,8 +34,8 @@ def setup():
 def test_diagonal_tensor(setup):
     V, a, L, f = setup
     A = Tensor(a)
-    full = np.asarray(_eval_local(A, {}))
-    diag = np.asarray(_eval_local(DiagonalTensor(A), {}))
+    full = np.asarray(_eval_local(A, {}).cell)
+    diag = np.asarray(_eval_local(DiagonalTensor(A), {}).cell)
     nc, n, _ = full.shape
     expect = np.zeros_like(full)
     idx = np.arange(n)
@@ -52,8 +52,8 @@ def test_diagonal_tensor(setup):
 def test_reciprocal(setup):
     V, a, L, f = setup
     b = Tensor(L)
-    loc = np.asarray(_eval_local(b, {}))
-    rec = np.asarray(_eval_local(Reciprocal(b), {}))
+    loc = np.asarray(_eval_local(b, {}).cell)
+    rec = np.asarray(_eval_local(Reciprocal(b), {}).cell)
     nz = loc != 0
     assert np.allclose(rec[nz], 1.0 / loc[nz])
     assert (rec[~nz] == 0).all()
@@ -62,15 +62,15 @@ def test_reciprocal(setup):
 def test_factorization_solve(setup):
     V, a, L, f = setup
     A, b = Tensor(a), Tensor(L)
-    direct = np.asarray(_eval_local(A.solve(b), {}))
+    direct = np.asarray(_eval_local(A.solve(b), {}).cell)
     for decomp in ("PartialPivLU", "LLT", "HouseholderQR"):
         fact = np.asarray(_eval_local(
-            A.solve(b, decomposition=decomp), {}))
+            A.solve(b, decomposition=decomp), {}).cell)
         assert np.allclose(fact, direct, atol=1e-12)
     with pytest.raises(ValueError):
         Factorization(A, "NotADecomposition")
     s = Solve(Factorization(A), b)
-    assert np.allclose(np.asarray(_eval_local(s, {})), direct,
+    assert np.allclose(np.asarray(_eval_local(s, {}).cell), direct,
                        atol=1e-12)
 
 
@@ -79,17 +79,21 @@ def test_diag_reciprocal_jacobi(setup):
     D^{-1} b through DiagonalTensor + batched Solve."""
     V, a, L, f = setup
     A, b = Tensor(a), Tensor(L)
-    jac = np.asarray(_eval_local(DiagonalTensor(A).solve(b), {}))
-    full = np.asarray(_eval_local(A, {}))
-    rhs = np.asarray(_eval_local(b, {}))
+    jac = np.asarray(_eval_local(DiagonalTensor(A).solve(b), {}).cell)
+    full = np.asarray(_eval_local(A, {}).cell)
+    rhs = np.asarray(_eval_local(b, {}).cell)
     idx = np.arange(full.shape[1])
     assert np.allclose(jac, rhs / full[:, idx, idx], atol=1e-12)
 
 
-def test_two_sided_coupling_rejected():
+def test_two_sided_local_algebra_rejected():
+    """Two-sided dS tensors ASSEMBLE (cross blocks carried explicitly)
+    but cell-local algebra on them is not defined across cells."""
     mesh = UnitSquareMesh(3, 3)
     V = FunctionSpace(mesh, "DG", 1)
     u, v = TrialFunction(V), TestFunction(V)
     form = inner(jump(u), jump(v)) * dS
-    with pytest.raises(NotImplementedError, match="one-sided"):
-        _eval_local(Tensor(form), {})
+    loc = _eval_local(Tensor(form), {})
+    assert loc.cross            # cross-cell blocks present
+    with pytest.raises(NotImplementedError, match="cross-cell"):
+        _eval_local(Tensor(form).inv, {})
