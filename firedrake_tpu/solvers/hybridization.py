@@ -69,6 +69,40 @@ def _broken_problem(a, L, W):
     return rebuild(a), rebuild(L), Wd, T
 
 
+def _trace_coupling(Wd, T, mesh):
+    """K: <gammar, [[sigma . n]]> over dS plus the boundary term over ds
+    (test = trace, trial = broken flux in the full broken mixed axis)."""
+    gammar = Argument(T, 0)
+    sigma_t = Argument(Wd.sub(0), 1, part=0)
+    n = FacetNormal(mesh)
+    return (inner(gammar("+"), jump(sigma_t, n)) * dS
+            + inner(gammar, dot(sigma_t, n)) * ds)
+
+
+def _broken_to_conforming(Sigma, Sb, sigma_dat):
+    """Broken flux -> conforming H(div): per-cell copy back to the
+    canonical dof convention (normal continuity holds by construction;
+    average to kill round-off).  Broken dofs are raw LOCAL reference
+    dofs; the conforming space stores CANONICAL dofs with
+    local = B @ canonical, so invert diagonal signs or the matrix
+    entity transforms."""
+    rt_map = Sigma.cell_dof_map
+    sb_map = Sb.cell_dof_map
+    loc = np.asarray(sigma_dat)[sb_map]                     # (C, nd)
+    if getattr(Sigma, "has_dof_transforms", False):
+        B = Sigma.cell_dof_transforms                       # (C, nd, nd)
+        can = np.linalg.solve(B, loc[..., None])[..., 0]
+    elif getattr(Sigma, "has_dof_signs", False):
+        can = Sigma.cell_dof_signs * loc                # signs^-1 = signs
+    else:
+        can = loc
+    vals = np.zeros(Sigma.dim)
+    counts = np.zeros(Sigma.dim)
+    np.add.at(vals, rt_map, can)
+    np.add.at(counts, rt_map, 1.0)
+    return vals / np.maximum(counts, 1.0)
+
+
 def solve_hybridization(problem, params, appctx=None):
     """Solve problem.a == problem.L for problem.u on W = RT x DG."""
     from .preconditioners import direct_solve
@@ -88,13 +122,7 @@ def solve_hybridization(problem, params, appctx=None):
     Sigma, U = W.subspaces
     Sb = Wd.subspaces[0]
 
-    # trace coupling K: <gammar, [[sigma . n]]>  (test = trace,
-    # trial = broken flux embedded in the full broken mixed axis)
-    gammar = Argument(T, 0)
-    sigma_t = Argument(Wd.sub(0), 1, part=0)
-    n = FacetNormal(mesh)
-    k_form = (inner(gammar("+"), jump(sigma_t, n)) * dS
-              + inner(gammar, dot(sigma_t, n)) * ds)
+    k_form = _trace_coupling(Wd, T, mesh)
 
     A = Tensor(a_b, axes=(Wd, Wd))
     K = Tensor(k_form, axes=(T, Wd))
@@ -144,25 +172,7 @@ def solve_hybridization(problem, params, appctx=None):
     sigma_b = assemble_slate(x.blocks[0])
     u_co = assemble_slate(x.blocks[1])
 
-    # broken flux -> conforming RT: per-cell copy back to canonical dof
-    # convention (normal continuity holds by construction; average to
-    # kill round-off).  Broken dofs are raw LOCAL reference dofs; the
-    # conforming space stores CANONICAL dofs with local = B @ canonical,
-    # so invert diagonal signs or the matrix entity transforms.
-    rt_map = Sigma.cell_dof_map
-    sb_map = Sb.cell_dof_map
-    loc = np.asarray(sigma_b.dat)[sb_map]                   # (C, nd)
-    if getattr(Sigma, "has_dof_transforms", False):
-        B = Sigma.cell_dof_transforms                       # (C, nd, nd)
-        can = np.linalg.solve(B, loc[..., None])[..., 0]
-    elif getattr(Sigma, "has_dof_signs", False):
-        can = Sigma.cell_dof_signs * loc                    # signs^-1 = signs
-    else:
-        can = loc
-    vals = np.zeros(Sigma.dim)
-    counts = np.zeros(Sigma.dim)
-    np.add.at(vals, rt_map, can)
-    np.add.at(counts, rt_map, 1.0)
-    p.u.subfunctions[0].dat = vals / np.maximum(counts, 1.0)
+    p.u.subfunctions[0].dat = _broken_to_conforming(
+        Sigma, Sb, sigma_b.dat)
     p.u.subfunctions[1].dat = np.asarray(u_co.dat)
     return its

@@ -138,6 +138,20 @@ class LinearVariationalSolver:
         if (params.get("pc_type") == "hybridization"
                 or params.get("pc_python_type", "").endswith(
                     "HybridizationPC")):
+            if params.get("distributed"):
+                # SPMD hybridization: per-shard condensation + one
+                # shard_map trace solve (parallel/dhybrid.py)
+                from .parallel.dhybrid import DistributedHybridization
+                nsh = params["distributed"]
+                nsh = None if nsh is True else int(nsh)
+                dh = DistributedHybridization(
+                    p, nshards=nsh,
+                    rtol=params.get("hybridization_ksp_rtol",
+                                    params.get("ksp_rtol", 1e-10)),
+                    maxit=int(params.get("hybridization_ksp_max_it",
+                                         5000)))
+                self.ksp_iterations = dh.solve()
+                return
             from .solvers.hybridization import solve_hybridization
             self.ksp_iterations = solve_hybridization(
                 p, params, appctx=self.appctx)
