@@ -25,6 +25,23 @@ from .assembly.matrix import Matrix
 from .function import Function, Cofunction
 from .bcs import DirichletBC, as_bcs
 
+
+def _form_dtype(form):
+    """complex128 when any coefficient/constant/literal in the form is
+    complex, else float64 (the reference's PetscScalar role)."""
+    from .language.core import ScalarValue
+    for c in form.coefficients():
+        if np.iscomplexobj(np.asarray(c.dat)):
+            return jnp.complex128
+    for c in form.constants():
+        if np.iscomplexobj(c.values()):
+            return jnp.complex128
+    for it in form.integrals():
+        for t in it.integrand.traverse():
+            if isinstance(t, ScalarValue) and isinstance(t.value, complex):
+                return jnp.complex128
+    return jnp.float64
+
 __all__ = ["assemble", "FormAssembler", "get_assembler"]
 
 _assembler_cache: dict = {}
@@ -64,6 +81,13 @@ class FormAssembler:
         # mixed-precision kernel execution (compiler/precision.py):
         # read ONCE at build — the jitted program bakes the choice in
         self._prec = kernel_dtype()
+        # complex scalar mode (reference: tsfc complex builds,
+        # tsfc/ufl_utils.py:48-70): the output dtype follows the data —
+        # complex coefficients/constants/literals make the whole
+        # accumulation complex128.  Complex never runs reduced.
+        self._cdtype = _form_dtype(form)
+        if self._cdtype == jnp.complex128:
+            self._prec = None
 
         self._compiled = []
         for integral in form.integrals():
@@ -87,7 +111,8 @@ class FormAssembler:
         # distributed executor) asks for them.
         self._stencil = None
         self._column = None
-        if use_stencil and self.rank in (1, 2):
+        if use_stencil and self.rank in (1, 2) \
+                and self._cdtype != jnp.complex128:
             from .assembly.stencil import build_stencil_plan
             self._stencil = build_stencil_plan(self)
             if self._stencil is None:
@@ -528,11 +553,11 @@ class FormAssembler:
             nseg = (self.sparsity.nnz if rank == 2
                     else self.test.space.dim if rank == 1 else 0)
         if rank == 0:
-            total = jnp.zeros(())
+            total = jnp.zeros((), self._cdtype)
         elif rank == 1:
-            total = jnp.zeros(nseg)
+            total = jnp.zeros(nseg, self._cdtype)
         else:
-            total = jnp.zeros(self.sparsity.nnz)
+            total = jnp.zeros(self.sparsity.nnz, self._cdtype)
         flats = []          # per-integral local values (gather-table path)
         for ci, st, np_st in zip(self._compiled, statics, self._statics):
             st = self._restore_shapes(st, np_st)
@@ -645,7 +670,7 @@ class FormAssembler:
                 loc = _small_einsum("cpj,cjq->cpq", loc,
                                     castf(st["T_cols"], prec))
             if rank == 0:
-                total = total + jnp.sum(loc, dtype=jnp.float64)
+                total = total + jnp.sum(widen(loc))
             elif rank == 1:
                 vals = loc[:, :, 0]
                 if acc is not None:
@@ -766,7 +791,8 @@ class FormAssembler:
     def _postprocess(self, out, tensor):
         rank = self.rank
         if rank == 0:
-            return float(out)
+            return complex(out) if self._cdtype == jnp.complex128 \
+                else float(out)
         if rank == 1:
             for bc in self.bcs:
                 if self.zero_bc_nodes:

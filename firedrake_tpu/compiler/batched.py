@@ -173,6 +173,7 @@ class BatchedLowerer(Lowerer):
     def _eval(self, e, side):
         from ..language.core import (Sum, Product, Division, Power, Abs,
                                      MathFunction, Atan2, MinMax, Indexed,
+                                     Conj, Real, Imag,
                                      Grad, Restricted, Condition, BoolOp,
                                      Conditional, ConstantBase,
                                      FacetNormal, CellDiameter, CellVolume,
@@ -236,6 +237,12 @@ class BatchedLowerer(Lowerer):
             return ev(e.operands[0], side) ** ev(e.operands[1], side)
         if t is Abs:
             return jnp.abs(ev(e.operands[0], side))
+        if t is Conj:
+            return jnp.conj(ev(e.operands[0], side))
+        if t is Real:
+            return jnp.real(ev(e.operands[0], side))
+        if t is Imag:
+            return jnp.imag(ev(e.operands[0], side))
         if t is MathFunction:
             if e.fname == "erf":
                 return jax.scipy.special.erf(ev(e.operands[0], side))

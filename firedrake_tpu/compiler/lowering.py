@@ -32,6 +32,7 @@ from ..language.core import (Expr, Terminal, Zero, ScalarValue, Identity,
                              PermutationSymbol, Argument, Coefficient,
                              ConstantBase, Sum, Product, Division, Power,
                              Abs, MathFunction, Atan2, MinMax, Indexed,
+                             Conj, Real, Imag,
                              Grad, Restricted, Condition, BoolOp,
                              Conditional, GeometricQuantity,
                              SpatialCoordinate, FacetNormal, CellDiameter,
@@ -575,6 +576,12 @@ class Lowerer:
             return ev(e.operands[0], side) ** ev(e.operands[1], side)
         if t is Abs:
             return jnp.abs(ev(e.operands[0], side))
+        if t is Conj:
+            return jnp.conj(ev(e.operands[0], side))
+        if t is Real:
+            return jnp.real(ev(e.operands[0], side))
+        if t is Imag:
+            return jnp.imag(ev(e.operands[0], side))
         if t is MathFunction:
             if e.fname == "erf":
                 return jax.scipy.special.erf(ev(e.operands[0], side))

@@ -67,5 +67,8 @@ def castf_map(d, prec):
 
 
 def widen(x):
-    """Back to f64 for accumulation."""
+    """Back to full precision for accumulation (complex data stays
+    complex — the complex scalar mode never runs reduced)."""
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x.astype(jnp.complex128)
     return x.astype(jnp.float64)

@@ -275,7 +275,7 @@ def _build(expr: Expr, V):
         vals = jax.vmap(lambda c, *w: kern(c, w, cvs))(ce, *ws)
         # vals: (ncell, npts) + value_shape; flatten components node-major
         vals = vals.reshape(vals.shape[0], -1)
-        out = jnp.zeros(V.dim)
+        out = jnp.zeros(V.dim, vals.dtype)   # complex expressions keep
         out = out.at[target_map.reshape(-1)].set(vals.reshape(-1))
         return out
 

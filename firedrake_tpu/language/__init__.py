@@ -6,6 +6,7 @@ from .core import (
     SpatialCoordinate, FacetNormal, CellDiameter, CellVolume, FacetArea,
     Sum, Product, Division, Power, Abs, MathFunction, Indexed, Grad,
     Restricted, Condition, BoolOp, Conditional, MinMax, Atan2, as_expr,
+    Conj, Real, Imag, set_complex_mode, is_complex_mode,
 )
 from .tensor_algebra import (
     Inner, Dot, Outer, Cross, Transpose, Trace, Determinant, Inverse,
@@ -18,7 +19,7 @@ from .operators import (
     sin, cos, tan, asin, acos, atan, atan2, atan_2, sinh, cosh, tanh,
     exp, ln, sqrt, erf, sign, Max, Min, max_value, min_value,
     conditional, lt, le, gt, ge, eq, ne, And, Or, Not,
-    avg, jump,
+    avg, jump, conj, real, imag,
 )
 from .freeindex import Index, indices, FreeExpr
 from .measure import (Measure, Integral, Form, Equation, dx, ds, dS,

@@ -16,7 +16,7 @@ from .core import (Expr, Terminal, Zero, ScalarValue, Argument, Coefficient,
                    ConstantBase, Sum, Product, Division, Power, Abs,
                    MathFunction, Atan2, MinMax, Indexed, Grad, Restricted,
                    Condition, BoolOp, Conditional, as_expr, Identity,
-                   GeometricQuantity, SpatialCoordinate)
+                   GeometricQuantity, SpatialCoordinate, Conj, Real, Imag)
 from .tensor_algebra import (Inner, Dot, Outer, Cross, Transpose, Trace,
                              Determinant, Inverse, ListTensor)
 from .operators import Div, Curl
@@ -178,6 +178,14 @@ def _gateaux_impl(e, u, du, memo):
         return out
     if t is Abs:
         return Product(MathFunction("sign", a[0]), g(a[0]))
+    if t is Conj:
+        # antilinear: d conj(f)[du] = conj(df[du]) (real-perturbation
+        # Gateaux convention, matching pyadjoint's treatment)
+        return Conj(g(a[0]))
+    if t is Real:
+        return Real(g(a[0]))
+    if t is Imag:
+        return Imag(g(a[0]))
     if t is MathFunction:
         if e.fname == "sign":
             return Zero(())

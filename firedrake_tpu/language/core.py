@@ -154,8 +154,8 @@ def as_expr(v):
         return v
     if isinstance(v, (int, float, np.integer, np.floating)):
         return ScalarValue(float(v))
-    if isinstance(v, complex):
-        raise NotImplementedError("complex scalars")
+    if isinstance(v, (complex, np.complexfloating)):
+        return ScalarValue(complex(v))
     if isinstance(v, (list, tuple)):
         from .tensor_algebra import as_vector
         return as_vector(v)
@@ -190,12 +190,18 @@ class Zero(Terminal):
 
 
 class ScalarValue(Terminal):
+    """Literal scalar; complex literals are first-class (the reference
+    supports complex builds end-to-end — tsfc/ufl_utils.py:48-70)."""
     __slots__ = ("value",)
     shape = ()
 
-    def __init__(self, value: float):
+    def __init__(self, value):
         super().__init__()
-        self.value = float(value)
+        if isinstance(value, (complex, np.complexfloating)) \
+                and complex(value).imag != 0.0:
+            self.value = complex(value)
+        else:
+            self.value = float(np.real(value))
 
     def _sig(self, rn):
         return f"S({self.value!r})"
@@ -290,9 +296,15 @@ class ConstantBase(Terminal):
 
     _count = [0]
 
+    @staticmethod
+    def _coerce(value):
+        v = np.asarray(value)
+        return v.astype(np.complex128) if np.iscomplexobj(v) \
+            else v.astype(np.float64)
+
     def __init__(self, value):
         super().__init__()
-        v = np.asarray(value, dtype=np.float64)
+        v = self._coerce(value)
         self._value = v
         self.shape = v.shape
         ConstantBase._count[0] += 1
@@ -302,7 +314,7 @@ class ConstantBase(Terminal):
         return self._value
 
     def assign(self, value):
-        v = np.asarray(value, dtype=np.float64)
+        v = self._coerce(value)
         assert v.shape == self.shape or self.shape == ()
         self._value = v.reshape(self.shape)
         return self
@@ -484,6 +496,73 @@ class Abs(Expr):
         a = as_expr(a)
         super().__init__(a)
         self.shape = a.shape
+
+
+# -------------------------------------------------------- complex support
+# Reference: complex UFL preprocessing (tsfc/ufl_utils.py:18,48-70) and
+# complex-mode selection (tsfc/driver.py:86,247).  Complex-mode here is a
+# process-level switch: when enabled, inner() conjugates its second
+# argument (the UFL sesquilinear convention; dot() stays bilinear) so
+# reference complex demos port unchanged; Conj/Real/Imag lower to
+# jnp.conj/.real/.imag (identity / projection on real data).
+
+_COMPLEX_MODE = [False]
+
+
+def set_complex_mode(on: bool):
+    """Enable the sesquilinear convention (inner conjugates its second
+    argument).  Matches the reference's complex-build behavior."""
+    prev = _COMPLEX_MODE[0]
+    _COMPLEX_MODE[0] = bool(on)
+    return prev
+
+
+def is_complex_mode() -> bool:
+    return _COMPLEX_MODE[0]
+
+
+class _ComplexUnary(Expr):
+    """Shape-preserving pointwise complex projection/involution."""
+    __slots__ = ("shape",)
+
+    def __new__(cls, a):
+        a = as_expr(a)
+        if a.is_zero():
+            return Zero(a.shape)
+        return object.__new__(cls)
+
+    def __init__(self, a):
+        if getattr(self, "operands", None) is not None:
+            return
+        a = as_expr(a)
+        super().__init__(a)
+        self.shape = a.shape
+
+
+class Conj(_ComplexUnary):
+    """Complex conjugate (identity on real data)."""
+
+    def __new__(cls, a):
+        a = as_expr(a)
+        if isinstance(a, ScalarValue):
+            v = a.value
+            return ScalarValue(v.conjugate() if isinstance(v, complex)
+                               else v)
+        if isinstance(a, Conj):               # conj(conj(x)) == x
+            return a.operands[0]
+        return super().__new__(cls, a)
+
+
+class Real(_ComplexUnary):
+    pass
+
+
+class Imag(_ComplexUnary):
+    def __new__(cls, a):
+        a = as_expr(a)
+        if isinstance(a, ScalarValue) and not isinstance(a.value, complex):
+            return Zero(())
+        return super().__new__(cls, a)
 
 
 class MathFunction(Expr):

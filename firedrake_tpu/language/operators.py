@@ -96,6 +96,23 @@ ln = _mf("log")
 erf = _mf("erf")
 
 
+def conj(x):
+    """Complex conjugate (identity on real data).  Reference: ufl.conj,
+    compiled by tsfc's complex mode (tsfc/ufl_utils.py:48-70)."""
+    from .core import Conj
+    return Conj(x)
+
+
+def real(x):
+    from .core import Real
+    return Real(x)
+
+
+def imag(x):
+    from .core import Imag
+    return Imag(x)
+
+
 def sqrt(x):
     return MathFunction("sqrt", x)
 

@@ -160,6 +160,11 @@ class ListTensor(Expr):
 
 # ------------------------------------------------------------------ helpers
 def inner(a, b):
+    from .core import is_complex_mode, Conj
+    if is_complex_mode():
+        # sesquilinear convention (UFL/tsfc complex mode): conjugate-
+        # linear in the second argument
+        return Inner(a, Conj(as_expr(b)))
     return Inner(a, b)
 
 

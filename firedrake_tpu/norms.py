@@ -25,7 +25,10 @@ def norm(v, norm_type="L2", mesh=None):
         return float(np.max(np.abs(np.asarray(v.dat))))
     else:
         raise ValueError(f"unknown norm type {norm_type!r}")
-    return float(assemble(form)) ** 0.5
+    val = assemble(form)
+    # complex mode: inner() is sesquilinear so the norm-square is real
+    # up to quadrature roundoff in the imaginary part
+    return float(np.real(val)) ** 0.5
 
 
 def errornorm(u, uh, norm_type="L2", degree_rise=None, mesh=None):

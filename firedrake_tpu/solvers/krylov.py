@@ -37,7 +37,10 @@ def _inner(dot):
     from parallel/dsolve.py) — the PETSc VecDot-over-the-communicator
     role without a second code path."""
     dot = dot or jnp.vdot
-    return dot, lambda v: jnp.sqrt(dot(v, v))
+    # complex-safe: vdot conjugates its first argument, so
+    # dot(v, v) is real-valued — take .real to keep norms (and
+    # every while_loop comparison fed by them) real-dtyped
+    return dot, lambda v: jnp.sqrt(jnp.real(dot(v, v)))
 
 
 def cg(op: Callable, b, x0=None, pc: Callable = None, rtol=1e-7,
@@ -102,7 +105,7 @@ def bicgstab(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50,
         return (x, r, p, v, rho_new, alpha, omega, it + 1,
                 _norm(r))
 
-    one = jnp.ones(())
+    one = jnp.ones((), b.dtype)
     init = (x0, r0, b * 0.0, b * 0.0, one, one, one,
             jnp.zeros((), jnp.int32), r0norm)
     out = jax.lax.while_loop(cond, body, init)
@@ -135,28 +138,38 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
             w = w - hk * V[k]
             return w, hcol.at[k].set(hk)
         w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
-                                    (w, jnp.zeros(m + 1)))
+                                    (w, jnp.zeros(m + 1, b.dtype)))
         hj1 = _norm(w)
         hcol = hcol.at[j + 1].set(hj1)
         V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
         # apply existing Givens rotations to hcol
         def rot(k, hc):
             t = cs[k] * hc[k] + sn[k] * hc[k + 1]
-            hc = hc.at[k + 1].set(-sn[k] * hc[k] + cs[k] * hc[k + 1])
+            hc = hc.at[k + 1].set(-jnp.conj(sn[k]) * hc[k]
+                                  + cs[k] * hc[k + 1])
             return hc.at[k].set(t)
         def rot_masked(k, hc):
             return jax.lax.cond(k < j, lambda: rot(k, hc), lambda: hc)
         hcol = jax.lax.fori_loop(0, m, rot_masked, hcol)
         # new rotation to kill hcol[j+1]
-        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-        c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
-        s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+        # complex-safe Givens (G = [[c, s], [-conj(s), c]], c real;
+        # real data reduces to the classical rotation up to sign)
+        a1 = jnp.abs(hcol[j])
+        denom = jnp.sqrt(a1 ** 2 + jnp.abs(hcol[j + 1]) ** 2)
+        sign1 = jnp.where(a1 > 0,
+                          hcol[j] / jnp.where(a1 > 0, a1, 1.0),
+                          1.0 + 0.0 * hcol[j])
+        c = jnp.where(denom > 0, a1 / denom, 1.0)
+        s = jnp.where(denom > 0,
+                      sign1 * jnp.conj(hcol[j + 1])
+                      / jnp.where(denom > 0, denom, 1.0),
+                      0.0 * hcol[j])
         cs2 = cs.at[j].set(c)
         sn2 = sn.at[j].set(s)
         hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
         hcol = hcol.at[j + 1].set(0.0)
         H = H.at[:, j].set(hcol)
-        g2 = g.at[j + 1].set(-s * g[j])
+        g2 = g.at[j + 1].set(-jnp.conj(s) * g[j])
         g2 = g2.at[j].set(c * g[j])
         return (V, H, cs2, sn2, g2)
 
@@ -165,10 +178,10 @@ def gmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
         beta = _norm(r)
         V = (jnp.zeros((m + 1, n)) + 0.0 * b).at[0].set(
             jnp.where(beta > 0, r / beta, r))
-        H = jnp.zeros((m + 1, m))
+        H = jnp.zeros((m + 1, m), b.dtype)
         cs = jnp.zeros(m)
-        sn = jnp.zeros(m)
-        g = jnp.zeros(m + 1).at[0].set(beta)
+        sn = jnp.zeros(m, b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
 
         def inner_cond(st):
             V, H, cs, sn, g, j = st
@@ -237,28 +250,38 @@ def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
             w = w - hk * V[k]
             return w, hcol.at[k].set(hk)
         w, hcol = jax.lax.fori_loop(0, m + 1, mgs,
-                                    (w, jnp.zeros(m + 1)))
+                                    (w, jnp.zeros(m + 1, b.dtype)))
         hj1 = _norm(w)
         hcol = hcol.at[j + 1].set(hj1)
         V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1, w))
 
         def rot(k, hc):
             t = cs[k] * hc[k] + sn[k] * hc[k + 1]
-            hc = hc.at[k + 1].set(-sn[k] * hc[k] + cs[k] * hc[k + 1])
+            hc = hc.at[k + 1].set(-jnp.conj(sn[k]) * hc[k]
+                                  + cs[k] * hc[k + 1])
             return hc.at[k].set(t)
 
         def rot_masked(k, hc):
             return jax.lax.cond(k < j, lambda: rot(k, hc), lambda: hc)
         hcol = jax.lax.fori_loop(0, m, rot_masked, hcol)
-        denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
-        c = jnp.where(denom > 0, hcol[j] / denom, 1.0)
-        s = jnp.where(denom > 0, hcol[j + 1] / denom, 0.0)
+        # complex-safe Givens (G = [[c, s], [-conj(s), c]], c real;
+        # real data reduces to the classical rotation up to sign)
+        a1 = jnp.abs(hcol[j])
+        denom = jnp.sqrt(a1 ** 2 + jnp.abs(hcol[j + 1]) ** 2)
+        sign1 = jnp.where(a1 > 0,
+                          hcol[j] / jnp.where(a1 > 0, a1, 1.0),
+                          1.0 + 0.0 * hcol[j])
+        c = jnp.where(denom > 0, a1 / denom, 1.0)
+        s = jnp.where(denom > 0,
+                      sign1 * jnp.conj(hcol[j + 1])
+                      / jnp.where(denom > 0, denom, 1.0),
+                      0.0 * hcol[j])
         cs2 = cs.at[j].set(c)
         sn2 = sn.at[j].set(s)
         hcol = hcol.at[j].set(c * hcol[j] + s * hcol[j + 1])
         hcol = hcol.at[j + 1].set(0.0)
         H = H.at[:, j].set(hcol)
-        g2 = g.at[j + 1].set(-s * g[j])
+        g2 = g.at[j + 1].set(-jnp.conj(s) * g[j])
         g2 = g2.at[j].set(c * g[j])
         return (V, Z, H, cs2, sn2, g2)
 
@@ -268,10 +291,10 @@ def fgmres(op, b, x0=None, pc=None, rtol=1e-7, atol=1e-50, max_it=10000,
         V = (jnp.zeros((m + 1, n)) + 0.0 * b).at[0].set(
             jnp.where(beta > 0, r / beta, r))
         Z = jnp.zeros((m, n)) + 0.0 * b
-        H = jnp.zeros((m + 1, m))
+        H = jnp.zeros((m + 1, m), b.dtype)
         cs = jnp.zeros(m)
-        sn = jnp.zeros(m)
-        g = jnp.zeros(m + 1).at[0].set(beta)
+        sn = jnp.zeros(m, b.dtype)
+        g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
 
         def inner_cond(st):
             V, Z, H, cs, sn, g, j = st

@@ -91,6 +91,11 @@ def _run_ksp(op, b, params, pc=None, x0=None):
     ksp_type = params.get("ksp_type", "cg")
     if ksp_type == "preonly":
         raise RuntimeError("preonly handled by caller")
+    if x0 is not None and x0.dtype != b.dtype:
+        # complex systems with a real initial guess (and vice versa):
+        # while_loop carries need one consistent dtype
+        ct = jnp.result_type(b.dtype, x0.dtype)
+        b, x0 = b.astype(ct), x0.astype(ct)
     meth = KSP_METHODS[ksp_type]
     kw = dict(rtol=params.get("ksp_rtol", 1e-7),
               atol=params.get("ksp_atol", 1e-50),
