@@ -70,6 +70,7 @@ from .mg.mesh import (MeshHierarchy, HierarchyBase,
                       ExtrudedMeshHierarchy,
                       SemiCoarsenedExtrudedHierarchy)
 from .mg.transfer import prolong, restrict, inject, TransferManager
+from .solvers.snes import AuxiliaryOperatorSNES
 from .solvers.pcs import (PCBase, AssembledPC, AuxiliaryOperatorPC,
                           MassInvPC, PCDPC)
 from .solving import (solve, LinearVariationalProblem,
@@ -110,6 +111,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "homogenize",
     "assemble", "interpolate", "Interpolator", "project", "Projector",
     "PCBase", "AssembledPC", "AuxiliaryOperatorPC", "MassInvPC", "PCDPC",
+    "AuxiliaryOperatorSNES",
     "norm", "errornorm", "solve", "VectorSpaceBasis",
     "VTKFile", "File", "CheckpointFile", "DumbCheckpoint",
     "FILE_CREATE", "FILE_READ", "FILE_UPDATE",

@@ -6,6 +6,7 @@ from .tape import (annotate_tape, continue_annotation, pause_annotation,
                    taylor_test, AdjFloat, SolveBlock, FunctionalBlock,
                    enable_disk_checkpointing)
 from .ensemble_rf import EnsembleReducedFunctional
+from .transformed import L2RieszMap, L2TransformedFunctional
 from .optimization import (minimize, maximize, MinimizationProblem,
                            MinimizationSolver, EqualityConstraint,
                            InequalityConstraint, UFLEqualityConstraint,
@@ -21,6 +22,7 @@ __all__ = ["annotate_tape", "continue_annotation", "pause_annotation",
            "ReducedFunctional", "compute_gradient", "compute_hessian",
            "taylor_test", "AdjFloat", "enable_disk_checkpointing",
            "EnsembleReducedFunctional", "minimize", "maximize",
+           "L2RieszMap", "L2TransformedFunctional",
            "MinimizationProblem", "MinimizationSolver",
            "EqualityConstraint", "InequalityConstraint",
            "UFLEqualityConstraint", "UFLInequalityConstraint",

@@ -58,8 +58,25 @@ class PLevelTransfer:
             out = jnp.zeros(self.nVc, dtype=fdual.dtype)
             return out.at[self.cmap.reshape(-1)].add(vals.reshape(-1))
 
+        # primal injection for FAS over p-levels (PMGSNES role): the
+        # coarse state is the fine function evaluated at coarse nodes
+        T2 = ef.tabulate(ec.nodes, 0)[0]          # (ndof_c, ndof_f)
+        T2j = jnp.asarray(T2)
+        cmult = np.zeros(Vc.dim)
+        np.add.at(cmult, np.asarray(Vc.cell_dof_map).reshape(-1), 1.0)
+        cmult = jnp.asarray(np.where(cmult > 0, cmult, 1.0))
+
+        @jax.jit
+        def inject(fdat):
+            fd = _blk(fdat[self.fmap], ndf)
+            vals = jnp.einsum("cj,njb->ncb", T2j, fd)
+            out = jnp.zeros(self.nVc, dtype=fdat.dtype)
+            out = out.at[self.cmap.reshape(-1)].add(vals.reshape(-1))
+            return out / cmult
+
         self.prolong_fn = prolong
         self.restrict_fn = restrict_
+        self.inject_fn = inject
 
 
 def _coarsen_degree_form(form: Form, space_map):

@@ -42,9 +42,18 @@ from ..mg.transfer import get_transfer
 
 
 class FASSolver:
-    """Nonlinear multigrid for F(u; v) == 0 over a MeshHierarchy."""
+    """Nonlinear multigrid for F(u; v) == 0.
 
-    def __init__(self, F, u, bcs=(), params=None, appctx=None):
+    mode "h": levels are a MeshHierarchy (PETSc SNESFAS role).
+    mode "p": levels are degree-coarsened spaces on the SAME mesh —
+    the PMGSNES role (reference: preconditioners/pmg.py:1484 class
+    PMGSNES, nonlinear p-coarsening with psnes type 'fas'); transfers
+    are the PLevelTransfer prolong/restrict/inject triples and level
+    forms swap argument/solution spaces only (coefficients and
+    geometry live on the one mesh unchanged)."""
+
+    def __init__(self, F, u, bcs=(), params=None, appctx=None,
+                 mode="h"):
         from ..function import Function
         from ..language.calculus import derivative
         from ..bcs import DirichletBC
@@ -55,28 +64,63 @@ class FASSolver:
         self.params = params
         V = u.function_space()
         mesh = V.mesh_obj
-        hierarchy = getattr(mesh, "_mg_hierarchy", None)
-        if hierarchy is None:
-            raise ValueError("snes_type 'fas' needs a mesh from "
-                             "MeshHierarchy")
-        lvl = mesh._mg_level
-        meshes = hierarchy.meshes[:lvl + 1]
-        elem = V.element
-        spaces = [FunctionSpace(m, elem) for m in meshes[:-1]] + [V]
-        self.spaces = spaces
         self.u = u
-        self.us = [Function(Vl, name=f"fas_u{i}")
-                   for i, Vl in enumerate(spaces[:-1])] + [u]
+        if mode == "p":
+            from ..mg.pmg import PLevelTransfer, _coarsen_degree_form
+            k = V.scalar_element.degree
+            if k < 2:
+                raise ValueError("snes_type 'pfas' needs degree >= 2")
+            degrees = [k]
+            while degrees[-1] > 1:
+                degrees.append(max(degrees[-1] // 2, 1))
+            degrees = degrees[::-1]          # coarse -> fine
+            fam = V.scalar_element.family
+            shp = V.value_shape
+            def mkspace(d):
+                from ..functionspace import (FunctionSpace as FS,
+                                             VectorFunctionSpace as VFS)
+                if shp:
+                    return VFS(mesh, fam, d, dim=shp[0])
+                return FS(mesh, fam, d)
+            spaces = [mkspace(d) for d in degrees[:-1]] + [V]
+            self.spaces = spaces
+            self.us = [Function(Vl, name=f"pfas_u{i}")
+                       for i, Vl in enumerate(spaces[:-1])] + [u]
+            forms = []
+            for i, Vl in enumerate(spaces):
+                if i == len(spaces) - 1:
+                    forms.append(F)
+                    continue
+                fl = _coarsen_degree_form(F, lambda _V, i=i: spaces[i])
+                from ..language.calculus import replace as _replace
+                fl = _replace(fl, {u: self.us[i]})
+                forms.append(fl)
+            self.transfers = [PLevelTransfer(spaces[i], spaces[i + 1])
+                              for i in range(len(spaces) - 1)]
+        else:
+            hierarchy = getattr(mesh, "_mg_hierarchy", None)
+            if hierarchy is None:
+                raise ValueError("snes_type 'fas' needs a mesh from "
+                                 "MeshHierarchy")
+            lvl = mesh._mg_level
+            meshes = hierarchy.meshes[:lvl + 1]
+            elem = V.element
+            spaces = [FunctionSpace(m, elem) for m in meshes[:-1]] + [V]
+            self.spaces = spaces
+            self.us = [Function(Vl, name=f"fas_u{i}")
+                       for i, Vl in enumerate(spaces[:-1])] + [u]
 
-        # level residual forms: the solution coefficient stays LIVE
-        # (mapped to the level state), other coefficients inject
-        forms = [F]
-        for i in range(len(meshes) - 2, -1, -1):
-            fm = meshes[i + 1]
-            forms.insert(0, coarsen_form(
-                forms[0], fm, meshes[i],
-                lambda Vf, i=i: spaces[i],
-                replace={self.us[i + 1]: self.us[i]}))
+            # level residual forms: the solution coefficient stays LIVE
+            # (mapped to the level state), other coefficients inject
+            forms = [F]
+            for i in range(len(meshes) - 2, -1, -1):
+                fm = meshes[i + 1]
+                forms.insert(0, coarsen_form(
+                    forms[0], fm, meshes[i],
+                    lambda Vf, i=i: spaces[i],
+                    replace={self.us[i + 1]: self.us[i]}))
+            self.transfers = [get_transfer(spaces[i], spaces[i + 1])
+                              for i in range(len(spaces) - 1)]
         self.res_asms = [get_assembler(f) for f in forms]
         jacs = [derivative(f, ul) for f, ul in zip(forms, self.us)]
         self.jac_asms = [get_assembler(J) for J in jacs]
@@ -96,8 +140,6 @@ class FASSolver:
         _, gf = _bc_data(list(bcs or ()), V.dim)
         self.g_fine = jnp.asarray(gf)
 
-        self.transfers = [get_transfer(spaces[i], spaces[i + 1])
-                          for i in range(len(spaces) - 1)]
         self.nlevels = len(spaces)
         self.smooth_its = int(params.get("fas_levels_max_it", 3))
         self.damping = float(params.get("fas_levels_damping", 2.0 / 3))

@@ -380,12 +380,33 @@ class NonlinearVariationalSolver:
             u = u.at[jnp.asarray(bc_idx)].set(jnp.asarray(g)[
                 jnp.asarray(bc_idx)])
 
-        if params.get("snes_type") == "fas":
-            # FAS nonlinear multigrid (PETSc SNESFAS role): the
-            # nonlinearity is smoothed on every hierarchy level
+        spt = params.get("snes_python_type", "")
+        if params.get("snes_type") == "python" and spt \
+                and not spt.endswith("PMGSNES"):
+            # SNES-level python types (reference SNESBase subclasses):
+            # AuxiliaryOperatorSNES-style nonlinear Richardson
+            from .solvers.snes import (resolve_snes_python,
+                                       AuxiliaryOperatorSNES)
+            cls = resolve_snes_python(spt)
+            if not issubclass(cls, AuxiliaryOperatorSNES):
+                raise TypeError(f"snes_python_type {spt!r} must "
+                                "subclass AuxiliaryOperatorSNES")
+            obj = cls()
+            self.snes_iterations = obj.solve(p, params,
+                                             appctx=self.appctx)
+            self.converged = obj.converged
+            return
+
+        if params.get("snes_type") in ("fas", "pfas") \
+                or spt.endswith("PMGSNES"):
+            # FAS nonlinear multigrid (PETSc SNESFAS role): h-levels
+            # from the MeshHierarchy, or p-levels (degree coarsening,
+            # the reference PMGSNES, pmg.py:1484) for 'pfas'
             from .solvers.fas import FASSolver
+            mode = "p" if (params.get("snes_type") == "pfas"
+                           or spt.endswith("PMGSNES")) else "h"
             fas = FASSolver(p.F, p.u, bcs=p.bcs, params=params,
-                            appctx=self.appctx)
+                            appctx=self.appctx, mode=mode)
             fas.solve()
             self.snes_iterations = fas.iterations
             self.converged = fas.converged
