@@ -50,9 +50,10 @@ except Exception:          # pragma: no cover
     _HAS_PALLAS = False
 
 # C-axis block per grid step.  8 sublanes x 128 lanes is one f32 tile;
-# 32k elements = 32 tiles keeps the whole intermediate chain of a P2
-# kernel well under VMEM while amortizing grid overhead.
-_DEF_BLK = 32768
+# 16k elements keeps the whole intermediate chain of a P1/P2 kernel
+# under the 16 MB scoped-VMEM limit (32k measured 20.3 MB on v5e —
+# the first on-chip run) while amortizing grid overhead.
+_DEF_BLK = 16384
 
 
 def _blk():
@@ -123,23 +124,36 @@ def pallas_cell_eval(kb, ce, ws, consts, interpret=False):
     cep = _pad_c(ce, cpad)
     wsp = tuple(_pad_c(w, cpad) for w in ws)
     smalls = tuple(consts) + tuple(hoisted)
-    sshapes = tuple(tuple(s.shape) for s in smalls)
+    sshapes = tuple(tuple(np.shape(s)) for s in smalls)
+    # Mosaic supports only reshapes that keep the minor (lane) dim, so
+    # small constants are passed at their NATURAL shape, padded with
+    # leading unit dims to rank >= 2; the kernel drops the padding by
+    # indexing (no reshape op reaches the lane dim).
     s2d = tuple(jnp.asarray(s).reshape(
-        1, max(int(np.prod(s.shape)), 1)) for s in smalls)
+        (1,) * max(0, 2 - np.ndim(s)) + tuple(np.shape(s)))
+        for s in smalls)
 
     def kernel(*refs):
         ce_r = refs[0]
         w_rs = refs[1:1 + nw]
         s_rs = refs[1 + nw:-1]
         o_r = refs[-1]
-        sm = [r[...].reshape(shp) for r, shp in zip(s_rs, sshapes)]
+        sm = []
+        for r, shp in zip(s_rs, sshapes):
+            v = r[...]
+            if len(shp) == 0:
+                v = v[0, 0]
+            elif len(shp) == 1:
+                v = v[0]
+            sm.append(v)
         o_r[...] = g2(ce_r[...], *(r[...] for r in w_rs), *sm)
 
     in_specs = [pl.BlockSpec((ce.shape[0], ce.shape[1], blk),
                              lambda i: (0, 0, i))]
     in_specs += [pl.BlockSpec((w.shape[0], blk), lambda i: (0, i))
                  for w in ws]
-    in_specs += [pl.BlockSpec(s.shape, lambda i: (0, 0)) for s in s2d]
+    in_specs += [pl.BlockSpec(s.shape, (lambda nd: (lambda i: (0,) * nd))
+                              (s.ndim)) for s in s2d]
 
     out = pl.pallas_call(
         kernel,

@@ -10,6 +10,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def measure(pallas, n=1024):
     os.environ["FDTPU_PREC"] = "f32"

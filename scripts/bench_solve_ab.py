@@ -13,7 +13,11 @@ Protocol: fresh process -> solve_66k and solve_1m timed BOTH ways
 single-call.  Writes /tmp/solve_ab.json.  Run ALONE on the TPU.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def solve_setup(jax, nbase, levels, degree):
