@@ -450,6 +450,9 @@ class FormAssembler:
                 sd = ci.subdomain_id
                 if isinstance(sd, (int, np.integer)):
                     sd = (int(sd),)
+                # UNMARKED (= -1, the reference's mesh.py:87 label for
+                # untagged facets) selects marker 0 (our untagged value)
+                sd = tuple(0 if s == -1 else s for s in sd)
                 facets = facets[np.isin(
                     mesh.facet_markers[facets], np.asarray(sd))]
             if getattr(ci, "ftype", None) is not None:
@@ -844,14 +847,24 @@ def get_assembler(form: Form, bcs=None, mat_type="aij",
 
 
 def assemble(form, tensor=None, bcs=None, mat_type="aij",
-             zero_bc_nodes=False, **kwargs):
-    """Assemble a 0/1/2-form (reference: firedrake/assemble.py:48)."""
+             zero_bc_nodes=False, diagonal=False, **kwargs):
+    """Assemble a 0/1/2-form (reference: firedrake/assemble.py:48).
+    `diagonal=True` on a bilinear form returns the matrix diagonal as a
+    Cofunction without materializing the matrix (reference assemble's
+    diagonal kwarg; backed by FormAssembler.assemble_diagonal)."""
     if isinstance(form, (int, float)):
         return float(form)
     if not isinstance(form, Form):
         raise TypeError(f"cannot assemble {type(form)}")
     if form.empty():
         return 0.0
+    if diagonal:
+        assembler = get_assembler(form, bcs, mat_type, zero_bc_nodes)
+        d = assembler.assemble_diagonal()
+        test = [a for a in form.arguments() if a.number == 0][0]
+        out = Cofunction(test.space)
+        out.dat = d
+        return out
     if getattr(form.mesh(), "is_vertex_only", False):
         from .vertexonly import vom_assemble
         return vom_assemble(form)

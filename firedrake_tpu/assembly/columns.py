@@ -404,6 +404,11 @@ class ColumnMatrix:
     def to_dense(self):
         return self.to_scipy().toarray()
 
+    @property
+    def M(self):
+        from .matrix import MatView
+        return MatView(self)
+
     def to_dense_device(self):
         rows, cols, (ii, nn, dd, zz) = self._band_indices()
         vals = self.data[jnp.asarray(ii), jnp.asarray(nn),

@@ -28,6 +28,29 @@ def csr_matvec(data, x, coo_cols, coo_rows, nrows):
                                indices_are_sorted=True)
 
 
+class MatView:
+    """Reference-compat `A.M` handle (pyop2 Mat role): `.values` is the
+    dense array; mixed matrices support `A.M[i, j].values` per block
+    (reference: pyop2/types/mat.py Mat.values / MatBlock)."""
+
+    def __init__(self, mat, getblock=None):
+        self._mat = mat
+        self._getblock = getblock
+
+    @property
+    def values(self):
+        return self._mat.to_dense()
+
+    def __getitem__(self, ij):
+        if self._getblock is None:
+            raise TypeError("not a mixed matrix")
+        return MatView(self._getblock(ij))
+
+    @property
+    def handle(self):
+        return self._mat
+
+
 class Matrix:
     """Sparse matrix: static Sparsity + device data (nnz,)."""
 
@@ -48,6 +71,10 @@ class Matrix:
     @property
     def shape(self):
         return (self.sparsity.nrows, self.sparsity.ncols)
+
+    @property
+    def M(self):
+        return MatView(self)
 
     # --------------------------------------------------------------- ops
     def matvec(self, x):

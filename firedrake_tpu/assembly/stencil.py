@@ -604,6 +604,11 @@ class StencilMatrix:
     def to_dense(self):
         return self.to_scipy().toarray()
 
+    @property
+    def M(self):
+        from .matrix import MatView
+        return MatView(self)
+
     def to_dense_device(self):
         n = int(np.prod(self.gdims))
         rows, cols, chs = self._index_pairs()

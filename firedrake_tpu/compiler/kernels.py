@@ -44,6 +44,10 @@ class CompiledIntegral:
             key=lambda c: c.count))
         cd = getattr(mesh, "_coord_degree", 1)  # coordinate degree
         md = integral.metadata or {}
+        # explicit rule: dx(scheme=QuadratureRule(...)) — reference
+        # consumes FInAT rules through tsfc; here the rule's points/
+        # weights replace the estimated Gauss rule (cell integrals)
+        self.qrule = md.get("quadrature_rule")
         deg = md.get("quadrature_degree")
         if deg is None or deg == "auto":
             deg = estimate_degree(integrand, cd)
@@ -59,7 +63,7 @@ class CompiledIntegral:
         mesh, deg = self.mesh, self.degree
 
         def fn(coords_e, coeffs, consts):
-            ctx = CellContext(mesh, deg, coords_e)
+            ctx = CellContext(mesh, deg, coords_e, rule=self.qrule)
             low = Lowerer(ctx, self.test, self.trial,
                           {c.count: w for c, w in zip(self.coefficients,
                                                       coeffs)},
@@ -115,7 +119,8 @@ class CompiledIntegral:
         mesh, deg = self.mesh, self.degree
 
         def fn(coords_T, coeffs_T, consts):
-            ctx = BatchedCellContext(mesh, deg, coords_T)
+            ctx = BatchedCellContext(mesh, deg, coords_T,
+                                     rule=self.qrule)
             low = BatchedLowerer(
                 ctx, self.test, self.trial,
                 {c.count: w for c, w in zip(self.coefficients, coeffs_T)},

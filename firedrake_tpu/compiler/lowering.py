@@ -205,9 +205,16 @@ class BaseContext:
 class CellContext(BaseContext):
     kind = "cell"
 
-    def __init__(self, mesh, degree, coords_e):
+    def __init__(self, mesh, degree, coords_e, rule=None):
         super().__init__(mesh, degree)
-        self.qpts, self.qwts = _cell_rule(self.cell.name, degree)
+        if rule is not None:
+            # user-supplied rule (dx(scheme=...), the reference's FInAT
+            # QuadratureRule path — e.g. GLL collocation for spectral
+            # mass lumping, tests/.../test_mass_lumping.py)
+            self.qpts = np.asarray(rule.points, dtype=float)
+            self.qwts = np.asarray(rule.weights, dtype=float)
+        else:
+            self.qpts, self.qwts = _cell_rule(self.cell.name, degree)
         self._coords = coords_e
 
     def coords_of(self, side):

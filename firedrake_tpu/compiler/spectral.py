@@ -260,6 +260,8 @@ def build_spectral_plan(ci, test, trial):
         return None
     if ci.integral_type != "cell":
         return None
+    if getattr(ci, "qrule", None) is not None:
+        return None     # user rule: the sum-factored Gauss grid differs
     if ci.mesh.cell.name not in _TP_CELLS:
         return None
     spaces = [a.space for a in (test, trial) if a is not None]

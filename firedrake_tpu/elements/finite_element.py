@@ -40,6 +40,12 @@ class FiniteElement:
     def reference_value_shape(self):
         return self.value_shape
 
+    @property
+    def sub_elements(self):
+        """ufl compat: component elements (empty for scalar elements;
+        VectorElement overrides with ncomp copies of its scalar)."""
+        return []
+
     # nodes: (ndof, dim) point-evaluation locations
     # entity_dofs: {entity_dim: {entity_local_id: [dof ids]}}
 
@@ -90,6 +96,64 @@ class FiniteElement:
                      getattr(self, "variant", None)))
 
 
+class Broken(FiniteElement):
+    """The broken (fully discontinuous) version of an element: same
+    local basis, every dof attached to the cell interior so nothing is
+    shared between cells (reference: ufl BrokenElement, consumed by
+    e.g. the vertex-based limiter's P1-DG space,
+    tests/firedrake/regression/test_vertex_based_limiter.py:18)."""
+
+    continuous = False
+
+    def __init__(self, sub: FiniteElement):
+        self.sub = sub
+        self.cell = sub.cell
+        self.degree = sub.degree
+        self.family = f"Broken({sub.family})"
+        self.value_shape = sub.value_shape
+        self.mapping = getattr(sub, "mapping", "identity")
+
+    @property
+    def nodes(self):
+        return self.sub.nodes
+
+    @cached_property
+    def embedded_superdegree(self):
+        return getattr(self.sub, "embedded_superdegree", self.sub.degree)
+
+    @cached_property
+    def entity_dofs(self):
+        ed = {d: {e: [] for e in range(len(self.cell.topology[d]))}
+              for d in self.cell.topology}
+        ed[self.cell.dim][0] = list(range(self.sub.ndof))
+        return ed
+
+    def tabulate(self, points, order=1):
+        return self.sub.tabulate(points, order)
+
+    def entity_permutation(self, dim, orientation, entity=0):
+        return np.arange(0, dtype=np.int32)
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.sub == other.sub
+
+    def __hash__(self):
+        return hash(("Broken", hash(self.sub)))
+
+    def __repr__(self):
+        return f"Broken({self.sub!r})"
+
+
+def BrokenElement(element):
+    """ufl.BrokenElement analogue; accepts a concrete element or a
+    FiniteElement(...) spec."""
+    if hasattr(element, "resolve"):
+        element = element.resolve()
+    if isinstance(element, VectorElement):
+        return VectorElement(Broken(element.sub), element.ncomp)
+    return Broken(element)
+
+
 class VectorElement(FiniteElement):
     """Vector-valued element = ncomp copies of a scalar sub-element.
 
@@ -123,6 +187,10 @@ class VectorElement(FiniteElement):
                 out[d][e] = [s * self.ncomp + c for s in dofs
                              for c in range(self.ncomp)]
         return out
+
+    @property
+    def sub_elements(self):
+        return [self.sub] * self.ncomp
 
     def tabulate(self, points, order=1):
         return self.sub.tabulate(points, order)

@@ -394,6 +394,165 @@ class Lagrange(FiniteElement):
         return math.factorial(entity_nverts)
 
 
+class Bubble(FiniteElement):
+    """Interior bubble on a simplex: b = c * prod(barycentric coords),
+    one cell-interior dof (value 1 at the centroid).  Reference: FIAT
+    Bubble (family "B"/"Bubble"), the enrichment of the MINI Stokes
+    element (reference tests/firedrake/regression/test_stokes_mini.py).
+    Degree is dim+1 (the minimal bubble); tabulation is analytic —
+    barycentrics are affine so all derivative products are cheap."""
+
+    continuous = True
+    family = "Bubble"
+
+    def __init__(self, cell, degree=None):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        if cell.name not in ("interval", "triangle", "tetrahedron"):
+            raise NotImplementedError(f"Bubble on {cell.name!r}")
+        d = cell.dim
+        if degree is not None and int(degree) != d + 1:
+            raise NotImplementedError(
+                f"Bubble degree {degree} on {cell.name} (minimal bubble "
+                f"degree is {d + 1})")
+        self.cell = cell
+        self.degree = d + 1
+        self.value_shape = ()
+        self.nodes = cell.vertices.mean(axis=0)[None, :]
+        # barycentric gradients: lambda_0 = 1 - sum(x), lambda_i = x_i
+        G = np.vstack([-np.ones((1, d)), np.eye(d)])     # (d+1, d)
+        self._G = G
+        self._scale = float((d + 1) ** (d + 1))
+
+    embedded_superdegree = property(lambda self: self.degree)
+
+    @property
+    def entity_dofs(self):
+        ed = {dd: {e: [] for e in range(len(self.cell.topology[dd]))}
+              for dd in self.cell.topology}
+        ed[self.cell.dim][0] = [0]
+        return ed
+
+    def _bary(self, pts):
+        pts = np.asarray(pts, dtype=float)
+        lam0 = 1.0 - pts.sum(axis=1, keepdims=True)
+        return np.concatenate([lam0, pts], axis=1)       # (nq, d+1)
+
+    def tabulate(self, points, order=1):
+        pts = np.asarray(points, dtype=float)
+        d = self.cell.dim
+        lam = self._bary(pts)                            # (nq, d+1)
+        c = self._scale
+        nq = len(pts)
+        tabs = {0: (c * lam.prod(axis=1))[:, None]}
+        if order >= 1:
+            g = np.zeros((nq, 1, d))
+            for j in range(d + 1):
+                others = np.delete(lam, j, axis=1).prod(axis=1)
+                g[:, 0, :] += others[:, None] * self._G[j][None, :] * c
+            tabs[1] = g
+        if order >= 2:
+            h = np.zeros((nq, 1, d, d))
+            for j in range(d + 1):
+                for k in range(d + 1):
+                    if j == k:
+                        continue
+                    rest = np.delete(lam, (min(j, k), max(j, k)),
+                                     axis=1).prod(axis=1)
+                    h[:, 0] += (rest[:, None, None]
+                                * np.einsum("a,b->ab", self._G[j],
+                                            self._G[k])[None] * c)
+            tabs[2] = h
+        return tabs
+
+    def entity_permutation(self, dim, orientation, entity=0):
+        n = len(self.entity_dofs.get(dim, {}).get(entity, []))
+        return np.arange(n, dtype=np.int32)
+
+    def __eq__(self, other):
+        return (type(self) is type(other)
+                and self.cell.name == other.cell.name)
+
+    def __hash__(self):
+        return hash(("Bubble", self.cell.name))
+
+    def __repr__(self):
+        return f"Bubble({self.cell.name!r})"
+
+
+class NodalEnriched(FiniteElement):
+    """Nodal enrichment: span(sub_1 + ... + sub_n) re-nodalized at the
+    union of the sub-elements' nodes (reference: FIAT
+    NodalEnrichedElement; ufl EnrichedElement, the `P1 + B` MINI
+    spelling in tests/firedrake/regression/test_stokes_mini.py:12).
+    The raw concatenated basis is re-nodalized by inverting the
+    point-evaluation Vandermonde so point interpolation stays exact."""
+
+    continuous = True
+
+    def __init__(self, *subs):
+        cells = {s.cell.name for s in subs}
+        if len(cells) != 1:
+            raise ValueError(f"enrichment across cells {cells}")
+        if any(s.value_shape for s in subs):
+            raise NotImplementedError("enrichment of non-scalar elements")
+        self.subs = tuple(subs)
+        self.cell = subs[0].cell
+        self.degree = max(s.degree for s in subs)
+        self.family = "NodalEnriched(" + "+".join(
+            s.family for s in subs) + ")"
+        self.value_shape = ()
+        self.nodes = np.concatenate([np.asarray(s.nodes) for s in subs],
+                                    axis=0)
+        # raw basis -> nodal basis: A = V^-1 with V[i, j] = phi_j(z_i)
+        V = np.concatenate(
+            [s.tabulate(self.nodes, order=0)[0] for s in subs], axis=1)
+        if abs(np.linalg.det(V)) < 1e-12:
+            raise ValueError("enriched element is not unisolvent at the "
+                             "union of sub-element nodes")
+        self._A = np.linalg.inv(V)                       # (nraw, ndof)
+        # merged entity dofs (sub order preserves entity grouping for
+        # the standard vertex-elements + interior-bubble case)
+        ed = {d: {e: [] for e in range(len(self.cell.topology[d]))}
+              for d in self.cell.topology}
+        off = 0
+        for s in subs:
+            for d, ents in s.entity_dofs.items():
+                for e, dofs in ents.items():
+                    ed[d][e].extend(off + k for k in dofs)
+            off += s.ndof
+        self.entity_dofs = ed
+
+    @property
+    def embedded_superdegree(self):
+        return max(getattr(s, "embedded_superdegree", s.degree)
+                   for s in self.subs)
+
+    def tabulate(self, points, order=1):
+        raws = [s.tabulate(points, order) for s in self.subs]
+        out = {}
+        for k in raws[0]:
+            raw = np.concatenate([r[k] for r in raws], axis=1)
+            out[k] = np.einsum("qj...,ji->qi...", raw, self._A)
+        return out
+
+    def entity_permutation(self, dim, orientation, entity=0):
+        dofs = self.entity_dofs.get(dim, {}).get(entity, [])
+        if len(dofs) <= 1:
+            return np.arange(len(dofs), dtype=np.int32)
+        raise NotImplementedError(
+            "NodalEnriched orientation algebra with multi-dof entities")
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.subs == other.subs
+
+    def __hash__(self):
+        return hash(("NodalEnriched",) + tuple(hash(s) for s in self.subs))
+
+    def __repr__(self):
+        return f"NodalEnriched{self.subs!r}"
+
+
 class DiscontinuousLagrange(Lagrange):
     continuous = False
 
@@ -470,6 +629,7 @@ def make_scalar_element(cell_name: str, family: str, degree: int,
         "DG": "DG", "DP": "DG", "Discontinuous Lagrange": "DG",
         "DQ": "DG",
         "R": "Real", "Real": "Real",
+        "B": "Bubble", "Bubble": "Bubble",
         "RT": "RT", "Raviart-Thomas": "RT", "RTF": "RT",
         "BDM": "BDM", "Brezzi-Douglas-Marini": "BDM",
         "N1curl": "N1curl", "Nedelec 1st kind H(curl)": "N1curl",
@@ -480,6 +640,8 @@ def make_scalar_element(cell_name: str, family: str, degree: int,
         return DiscontinuousLagrange(cell_name, degree, variant=variant)
     if family == "Real":
         return Real(cell_name, degree)
+    if family == "Bubble":
+        return Bubble(cell_name, degree)
     if family == "RT":
         from .hdiv import RaviartThomas
         return RaviartThomas(cell_name, degree)

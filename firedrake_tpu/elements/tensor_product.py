@@ -189,9 +189,38 @@ class _ElementSpec:
         return make_scalar_element(self.cell_name, self.family,
                                    self.degree, variant=self.variant)
 
+    def __add__(self, other):
+        """P1 + B -> the nodal-enriched (MINI-style) element spec
+        (reference: ufl EnrichedElement via `+`,
+        tests/firedrake/regression/test_stokes_mini.py:12)."""
+        return _EnrichedSpec(self, other)
+
     def __repr__(self):
         return (f"FiniteElement({self.family!r}, {self.cell_name!r}, "
                 f"{self.degree})")
+
+
+class _EnrichedSpec(_ElementSpec):
+    def __init__(self, *specs):
+        subs = []
+        for s in specs:
+            subs.extend(s.specs if isinstance(s, _EnrichedSpec) else [s])
+        self.specs = tuple(subs)
+        self.family = "Enriched"
+        self.cell_name = subs[0].cell_name
+        self.degree = max(s.degree or 0 for s in subs)
+        self.variant = None
+
+    def resolve(self):
+        from .lagrange import NodalEnriched
+        return NodalEnriched(*[s.resolve() for s in self.specs])
+
+    def __repr__(self):
+        return " + ".join(repr(s) for s in self.specs)
+
+
+def EnrichedElement(*specs):
+    return _EnrichedSpec(*specs)
 
 
 def FiniteElement(family, cell=None, degree=None, variant=None):

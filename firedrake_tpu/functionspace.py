@@ -433,6 +433,12 @@ class FunctionSpace:
             family = family.resolve()
         if isinstance(family, FiniteElement):
             elem = family
+            if (tensor_shape is not None
+                    and not isinstance(elem, TensorElement)):
+                elem = TensorElement(elem, tensor_shape)
+            elif (vector_dim is not None
+                    and not isinstance(elem, VectorElement)):
+                elem = VectorElement(elem, vector_dim)
             scalar = elem.sub if isinstance(elem, VectorElement) else elem
         else:
             if vfamily is not None:

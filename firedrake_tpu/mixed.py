@@ -96,6 +96,12 @@ class MixedFunctionSpace:
     def __iter__(self):
         return iter(self.split())
 
+    def __getitem__(self, i):
+        return self.sub(i)
+
+    def __len__(self):
+        return self.num_sub_spaces
+
     def __mul__(self, other):
         if isinstance(other, (FunctionSpace, MixedFunctionSpace)):
             return MixedFunctionSpace([self, other])
@@ -158,6 +164,25 @@ class BlockMatrix:
         self.row_offsets = W_test.offsets
         self.col_offsets = W_trial.offsets
         self.shape = (W_test.dim, W_trial.dim)
+
+    @property
+    def M(self):
+        from .assembly.matrix import MatView
+
+        def getblock(ij):
+            B = self.blocks.get(tuple(ij))
+            if B is None:
+                i, j = ij
+                import numpy as _np
+
+                class _Zero:
+                    def to_dense(inner):
+                        return _np.zeros(
+                            (self.W_test.subspaces[i].dim,
+                             self.W_trial.subspaces[j].dim))
+                return _Zero()
+            return B
+        return MatView(self, getblock)
 
     def matvec(self, x):
         outs = []
