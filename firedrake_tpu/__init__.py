@@ -48,8 +48,14 @@ from .pointeval import PointNotInDomainError
 from .deflation import Deflation, DeflatedSNES
 from .slate import (Tensor, AssembledVector, assemble_slate,
                     DiagonalTensor, Reciprocal, Factorization)
-from .elements.tensor_product import (FiniteElement,
+from .elements.tensor_product import (FiniteElement, EnrichedElement,
                                       TensorProductElement, HDiv)
+from .elements.finite_element import BrokenElement
+from math import pi
+
+#: the reference's label for untagged facets (firedrake/mesh.py:87);
+#: dS(UNMARKED)/ds(UNMARKED) select facets with no marker
+UNMARKED = -1
 from . import fml
 from .slope_limiter import VertexBasedLimiter
 from .eigensolver import LinearEigenproblem, LinearEigensolver
@@ -82,7 +88,9 @@ from .solving import (solve, LinearVariationalProblem,
 def Mesh(arg, name=None, **kwargs):
     """Mesh factory (reference: firedrake/mesh.py:3275): pass a mesh
     object, a vector coordinate Function (curved / higher-order
-    geometry), or a gmsh .msh file path (ASCII v2.2/v4.1)."""
+    geometry), or a mesh file path — gmsh .msh (ASCII v2.2/v4.1),
+    Exodus II .e/.exo, or CGNS .cgns (reference reads all three via
+    DMPlex, firedrake/mesh.py:376-461)."""
     if isinstance(arg, _MeshClass):
         return arg
     if isinstance(arg, Function):
@@ -92,7 +100,14 @@ def Mesh(arg, name=None, **kwargs):
         if arg.endswith(".msh"):
             from .mesh.io_msh import read_msh
             return read_msh(arg, name=name)
-        raise NotImplementedError(f"mesh format of {arg!r} (only .msh)")
+        if arg.endswith((".e", ".exo", ".exo2", ".gen")):
+            from .mesh.io_exodus import read_exodus
+            return read_exodus(arg, name=name)
+        if arg.endswith(".cgns"):
+            from .mesh.io_cgns import read_cgns
+            return read_cgns(arg, name=name)
+        raise NotImplementedError(
+            f"mesh format of {arg!r} (.msh/.exo/.cgns supported)")
     if hasattr(arg, "Coordinates") and (hasattr(arg, "Elements2D")
                                         or hasattr(arg, "Elements3D")):
         # netgen/NGSolve mesh (reference: firedrake/netgen.py)
@@ -121,6 +136,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "Tensor", "AssembledVector",
     "assemble_slate", "DiagonalTensor", "Reciprocal", "Factorization",
     "FiniteElement", "TensorProductElement", "HDiv",
+    "EnrichedElement", "BrokenElement", "UNMARKED", "pi",
     "VertexOnlyMesh", "refine_marked", "adapt",
     "point_expr", "PointwiseOperator", "assemble_mixed_mass_matrix",
     "VertexBasedLimiter", "LinearEigenproblem", "LinearEigensolver",

@@ -161,9 +161,23 @@ def _build(nodes, elements, name):
     if dim == 1 and np.allclose(coords[:, 1], 0.0):
         gdim = 1
     verts = coords[:, :gdim]
+    return mesh_from_arrays(verts, cells, cell_name, name,
+                            cell_tags=cell_tags, facet_elems=facet_elems)
+
+
+def mesh_from_arrays(verts, cells, cell_name, name, cell_tags=None,
+                     facet_elems=None):
+    """Build a tagged Mesh from vertex coordinates + 0-based cell
+    connectivity (OUR node order).  `cell_tags` is a per-cell marker
+    array; `facet_elems` is a list of (sorted vertex tuple, tag) pairs
+    matched against the facet table to set facet markers.  Shared tail
+    of the gmsh/exodus/cgns readers (reference: firedrake/mesh.py
+    plex-from-cell-list path, mesh.py:376-461)."""
+    cells = np.asarray(cells, dtype=_IDX)
     topo = MeshTopology(cells, len(verts), cell_name, name)
-    mesh = Mesh(topo, verts, name=name)
-    mesh.cell_markers = np.asarray(cell_tags, dtype=_IDX)
+    mesh = Mesh(topo, np.asarray(verts, dtype=float), name=name)
+    if cell_tags is not None and len(cell_tags):
+        mesh.cell_markers = np.asarray(cell_tags, dtype=_IDX)
     # facet markers: match tagged codim-1 elements to facet table
     if facet_elems:
         fv = topo.facet_vertices
