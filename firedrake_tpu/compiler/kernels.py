@@ -133,6 +133,14 @@ class CompiledIntegral:
 
         return fn
 
+    def num_quad_points(self):
+        """Cell-rule point count (sizes the (ni, nj, nq, C) batched
+        intermediate; feeds the kernel-chunking memory bound)."""
+        if self.qrule is not None:
+            return len(np.asarray(self.qrule.points))
+        from .lowering import _cell_rule
+        return len(_cell_rule(self.mesh.cell.name, self.degree)[0])
+
     def kernel(self):
         return {
             "cell": self.cell_kernel,

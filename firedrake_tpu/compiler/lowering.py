@@ -561,6 +561,10 @@ class Lowerer:
         if t is CellVolume:
             return self.ctx.cell_volume(side or "+").reshape(1, 1, 1)
         if t is FacetArea:
+            if not hasattr(self.ctx, "facet_area"):
+                raise ValueError(
+                    "FacetArea is only defined in facet integrals "
+                    "(ds/dS), not dx")
             return self.ctx.facet_area().reshape(1, 1, 1)
         if t is CellOrientation:
             return jnp.ones((1, 1, 1))
@@ -655,6 +659,9 @@ class Lowerer:
         if t is Curl:
             g = Grad(e.operands[0])
             vg = ev(g, side)     # (..., comp, gdim)
+            if e.operands[0].shape == ():
+                # 2D scalar curl = perp gradient (du/dy, -du/dx)
+                return jnp.stack([vg[..., 1], -vg[..., 0]], axis=-1)
             if e.operands[0].shape == (2,):
                 return vg[..., 1, 0] - vg[..., 0, 1]
             c0 = vg[..., 2, 1] - vg[..., 1, 2]
@@ -719,9 +726,15 @@ class Lowerer:
             return P[None]                             # (1, nj, nq, ...)
         if isinstance(base, Coefficient):
             if self.interior and side is None:
-                raise ValueError(
-                    "coefficients must be restricted ('+'/'-') in dS "
-                    "integrals")
+                if getattr(base.space.element, "continuous", False):
+                    # ufl apply_default_restrictions: continuous (H1)
+                    # terminals default to '+' in dS — single-valued,
+                    # so the side is arbitrary
+                    side = "+"
+                else:
+                    raise ValueError(
+                        "coefficients must be restricted ('+'/'-') in "
+                        "dS integrals")
             dat = self.coeff_dats[base.count]
             if isinstance(dat, dict):
                 dat = dat[side or "+"]

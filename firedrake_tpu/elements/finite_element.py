@@ -146,11 +146,16 @@ class Broken(FiniteElement):
 
 def BrokenElement(element):
     """ufl.BrokenElement analogue; accepts a concrete element or a
-    FiniteElement(...) spec."""
+    FiniteElement(...) spec.  Breaking an already fully-discontinuous
+    element is the identity (every dof is already cell-interior), so
+    the element is returned unchanged — keeps e.g. VertexBasedLimiter's
+    DG1 recognition working on BrokenElement(DG1) spaces."""
     if hasattr(element, "resolve"):
         element = element.resolve()
     if isinstance(element, VectorElement):
-        return VectorElement(Broken(element.sub), element.ncomp)
+        return VectorElement(BrokenElement(element.sub), element.ncomp)
+    if not getattr(element, "continuous", True):
+        return element
     return Broken(element)
 
 
@@ -169,6 +174,10 @@ class VectorElement(FiniteElement):
         self.degree = sub.degree
         self.family = sub.family
         self.value_shape = sub.value_shape + (ncomp,) if sub.value_shape else (ncomp,)
+
+    @property
+    def continuous(self):
+        return getattr(self.sub, "continuous", False)
 
     @property
     def nodes(self):

@@ -522,6 +522,261 @@ class BrezziDouglasMarini(_MomentElement):
         return np.array([-((-1.0) ** j) for j in range(self.degree + 1)])
 
 
+class BrezziDouglasFortinMarini(_MomentElement):
+    """BDFM_2 on triangles: span {v in (P_2)^2 : v.n|_e in P_1(e)}
+    — the quadratic edge-normal Legendre mode of each edge constrained
+    away from (P_2)^2, dim 12 - 3 = 9.  Dofs: per-edge normal moments
+    against Legendre P_0, P_1 (6, single-valued -> H(div) conforming)
+    plus three cell-interior tangential edge means
+    l_e(v) = int_0^1 v(x(s)) . (v1 - v0) ds / |v1 - v0|^2.
+
+    Reference: firedrake FunctionSpace(mesh, "BDFM", 2) resolves to
+    FIAT's BDFM (exercised by
+    tests/firedrake/regression/test_bubble.py test_BDFM); the span
+    constraint is the element's defining property (Brezzi-Douglas-
+    Fortin-Marini 1987), built here numerically as the SVD nullspace
+    of the three quadratic-Legendre edge-normal moment functionals."""
+
+    family = "Brezzi-Douglas-Fortin-Marini"
+    continuity = "HDiv"
+
+    def __init__(self, cell, degree):
+        if int(degree) != 2:
+            raise NotImplementedError("BDFM is defined for degree 2")
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        if cell.dim != 2:
+            raise NotImplementedError("BDFM: triangles only")
+        super().__init__(cell, degree)
+
+    def _edge_chart(self, lf, deg=8):
+        """(pts, wts, nref, s, dvec) for local edge lf: cell-coord
+        quadrature points, weights*|edge scale|, reference normal,
+        [0,1] edge parameter, vertex-order edge vector."""
+        cell = self.cell
+        pts, wts, nref = _facet_quad(cell, lf, deg)
+        fverts = cell.vertices[list(cell.facets[lf])]
+        dvec = fverts[1] - fverts[0]
+        s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+        return pts, wts, nref, s, dvec
+
+    def _span_terms(self):
+        cell = self.cell
+        raw = []
+        for (a, b) in _monomials2(2):
+            for i in range(2):
+                e = np.zeros(2)
+                e[i] = 1.0
+                raw.append(lambda x, e=e, a=a, b=b:
+                           e * (x[0] ** a * x[1] ** b))
+        nfac = len(cell.facets)
+        C = np.zeros((nfac, len(raw)))
+        for lf in range(nfac):
+            pts, wts, nref, s, _ = self._edge_chart(lf)
+            leg2 = _legendre01(2, s)
+            for j, t in enumerate(raw):
+                vals = np.array([t(p) for p in pts])
+                C[lf, j] = np.sum(wts * leg2 * (vals @ nref))
+        _, sv, VT = np.linalg.svd(C)
+        assert (sv > 1e-10).sum() == nfac, "BDFM constraint rank"
+        N = VT[nfac:]                                   # (9, 12)
+        return [lambda x, r=r, raw=raw:
+                sum(c * t(x) for c, t in zip(r, raw)) for r in N]
+
+    def _dof_functionals(self):
+        cell = self.cell
+        out = []
+        for lf in range(len(cell.facets)):
+            pts, wts, nref, s, _ = self._edge_chart(lf)
+            for j in range(2):
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * nref[None, :]))
+        for lf in range(len(cell.facets)):
+            pts, wts, nref, s, dvec = self._edge_chart(lf)
+            scale = cell.facet_area_scale(lf)
+            tvec = dvec / (dvec @ dvec) / scale
+            out.append(_PtVecDual(pts, wts[:, None] * tvec[None, :]))
+        return out
+
+    @property
+    def entity_dofs(self):
+        cell = self.cell
+        ed = {d: {e: [] for e in range(len(cell.topology[d]))}
+              for d in cell.topology}
+        for lf in range(len(cell.facets)):
+            ed[1][lf] = [2 * lf, 2 * lf + 1]
+        ed[2][0] = list(range(6, 9))
+        return ed
+
+    @property
+    def has_dof_transforms(self):
+        return False
+
+    @property
+    def facet_dof_sign_flip(self):
+        return True
+
+    def facet_dof_signs(self, orientation):
+        """Normal flip x Legendre parity for the two P_0, P_1 edge
+        moments (same rule as BDM's -(-1)^j)."""
+        if orientation == 0:
+            return np.ones(2)
+        return np.array([-1.0, 1.0])
+
+
+class RaviartThomasCubeFace(_MomentElement):
+    """RTCF_k on quadrilaterals — the tensor-product Raviart-Thomas
+    family (FIAT/FInAT 'RTCF'): x-component spans Q_{k,k-1}, y-component
+    Q_{k-1,k} (dim 2k(k+1)); dofs are per-edge normal moments against
+    Legendre P_{k-1} plus interior per-component moments (greedy rank
+    completion); contravariant Piola.  Reference: firedrake
+    FunctionSpace(mesh, 'RTCF', k) via FIAT's RTCF construction
+    (exercised by tests/firedrake/regression/test_interior_facets.py)."""
+
+    family = "RTCF"
+    continuity = "HDiv"
+
+    def __init__(self, cell, degree):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        if cell.name != "quadrilateral":
+            raise NotImplementedError("RTCF: quadrilaterals only")
+        super().__init__(cell, degree)
+
+    def _span_terms(self):
+        k = self.degree
+        terms = []
+        for comp in range(2):
+            e = np.zeros(2)
+            e[comp] = 1.0
+            arange = range(k + 1) if comp == 0 else range(k)
+            brange = range(k) if comp == 0 else range(k + 1)
+            for a in arange:
+                for b in brange:
+                    terms.append(lambda x, e=e, a=a, b=b:
+                                 e * (x[0] ** a * x[1] ** b))
+        return terms
+
+    _greedy_complete = BrezziDouglasMarini._greedy_complete
+
+    def _dof_functionals(self):
+        cell = self.cell
+        k = self.degree
+        out = []
+        for lf in range(len(cell.facets)):
+            pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
+            fverts = cell.vertices[list(cell.facets[lf])]
+            dvec = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            for j in range(k):
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * nref[None, :]))
+        if k > 1:
+            q = make_quadrature(cell.name, 2 * k + 2)
+            cands = []
+            for comp in range(2):
+                e = np.zeros(2)
+                e[comp] = 1.0
+                for a in range(k):
+                    for b in range(k):
+                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
+                        cands.append(_PtVecDual(
+                            q.points,
+                            (q.weights * m)[:, None] * e[None, :]))
+            out = self._greedy_complete(out, cands)
+        return out
+
+    @property
+    def entity_dofs(self):
+        cell = self.cell
+        k = self.degree
+        ed = {d: {e: [] for e in range(len(cell.topology[d]))}
+              for d in cell.topology}
+        for lf in range(len(cell.facets)):
+            ed[1][lf] = list(range(k * lf, k * (lf + 1)))
+        ed[2][0] = list(range(4 * k, self.ndof))
+        return ed
+
+    def facet_dof_signs(self, orientation):
+        if orientation == 0:
+            return np.ones(self.degree)
+        return np.array([-((-1.0) ** j) for j in range(self.degree)])
+
+
+class NedelecCubeEdge(_MomentElement):
+    """RTCE_k on quadrilaterals — tensor-product Nedelec (FInAT 'RTCE',
+    the 90-degree rotation of RTCF_k): x-component Q_{k-1,k},
+    y-component Q_{k,k-1}; per-edge tangential Legendre moments +
+    interior moments; covariant Piola."""
+
+    family = "RTCE"
+    continuity = "HCurl"
+    mapping = "covariant"
+
+    def __init__(self, cell, degree):
+        if isinstance(cell, str):
+            cell = by_name(cell)
+        if cell.name != "quadrilateral":
+            raise NotImplementedError("RTCE: quadrilaterals only")
+        super().__init__(cell, degree)
+
+    def _span_terms(self):
+        k = self.degree
+        terms = []
+        for comp in range(2):
+            e = np.zeros(2)
+            e[comp] = 1.0
+            arange = range(k) if comp == 0 else range(k + 1)
+            brange = range(k + 1) if comp == 0 else range(k)
+            for a in arange:
+                for b in brange:
+                    terms.append(lambda x, e=e, a=a, b=b:
+                                 e * (x[0] ** a * x[1] ** b))
+        return terms
+
+    _greedy_complete = BrezziDouglasMarini._greedy_complete
+
+    def _dof_functionals(self):
+        cell = self.cell
+        k = self.degree
+        out = []
+        for lf in range(len(cell.facets)):
+            pts, wts, nref = _facet_quad(cell, lf, 2 * k + 2)
+            fverts = cell.vertices[list(cell.facets[lf])]
+            dvec = fverts[1] - fverts[0]
+            s = ((pts - fverts[0]) @ dvec) / (dvec @ dvec)
+            tref = np.array([-nref[1], nref[0]])
+            for j in range(k):
+                out.append(_PtVecDual(
+                    pts, (wts * _legendre01(j, s))[:, None]
+                    * tref[None, :]))
+        if k > 1:
+            q = make_quadrature(cell.name, 2 * k + 2)
+            cands = []
+            for comp in range(2):
+                e = np.zeros(2)
+                e[comp] = 1.0
+                for a in range(k):
+                    for b in range(k):
+                        m = q.points[:, 0] ** a * q.points[:, 1] ** b
+                        cands.append(_PtVecDual(
+                            q.points,
+                            (q.weights * m)[:, None] * e[None, :]))
+            out = self._greedy_complete(out, cands)
+        return out
+
+    @property
+    def entity_dofs(self):
+        return RaviartThomasCubeFace.entity_dofs.fget(self)
+
+    def facet_dof_signs(self, orientation):
+        if orientation == 0:
+            return np.ones(self.degree)
+        return np.array([-((-1.0) ** j) for j in range(self.degree)])
+
+
 class NedelecFirstKind2D(_MomentElement):
     """N1curl_k on triangles = 90-degree rotation of RT_k: span
     (P_{k-1})^2 + rot(x) hom(P_{k-1}); tangential Legendre moments per

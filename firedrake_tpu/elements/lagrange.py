@@ -135,6 +135,13 @@ class Lagrange(FiniteElement):
         self.cell = cell
         self.degree = int(degree)
         self.variant = _normalize_variant(variant)
+        if variant is None and cell.name in ("interval", "quadrilateral",
+                                             "hexahedron"):
+            # reference default: FIAT Lagrange on tensor-product cells
+            # places nodes at GLL points when no variant is requested —
+            # a GLL collocation rule then lumps the mass matrix exactly
+            # (reference tests/firedrake/regression/test_mass_lumping.py)
+            self.variant = "spectral"
         self.family = ("Lagrange" if self.continuous
                        else "Discontinuous Lagrange")
         self._build()
@@ -562,6 +569,9 @@ class DiscontinuousLagrange(Lagrange):
         self.cell = cell
         self.degree = int(degree)
         self.variant = _normalize_variant(variant)
+        if variant is None and cell.name in ("interval", "quadrilateral",
+                                             "hexahedron"):
+            self.variant = "spectral"     # DQ default, as for Q (FIAT)
         self.family = "Discontinuous Lagrange"
         self._build()
 
@@ -632,6 +642,7 @@ def make_scalar_element(cell_name: str, family: str, degree: int,
         "B": "Bubble", "Bubble": "Bubble",
         "RT": "RT", "Raviart-Thomas": "RT", "RTF": "RT",
         "BDM": "BDM", "Brezzi-Douglas-Marini": "BDM",
+        "BDFM": "BDFM", "Brezzi-Douglas-Fortin-Marini": "BDFM",
         "N1curl": "N1curl", "Nedelec 1st kind H(curl)": "N1curl",
     }.get(family, family)
     if family == "Lagrange":
@@ -648,6 +659,15 @@ def make_scalar_element(cell_name: str, family: str, degree: int,
     if family == "BDM":
         from .hdiv import BrezziDouglasMarini
         return BrezziDouglasMarini(cell_name, degree)
+    if family == "BDFM":
+        from .hdiv import BrezziDouglasFortinMarini
+        return BrezziDouglasFortinMarini(cell_name, degree)
+    if family == "RTCF":
+        from .hdiv import RaviartThomasCubeFace
+        return RaviartThomasCubeFace(cell_name, degree)
+    if family == "RTCE":
+        from .hdiv import NedelecCubeEdge
+        return NedelecCubeEdge(cell_name, degree)
     if family == "N1curl":
         from .hdiv import NedelecFirstKind2D, NedelecFirstKindTet
         if by_name(cell_name).dim == 3:

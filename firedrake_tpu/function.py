@@ -193,6 +193,26 @@ class MixedFunction(Function):
     def sub(self, i):
         return self.parts[i]
 
+    def __getitem__(self, idx):
+        """Flat value-component indexing, the ufl mixed-element
+        convention: subspace components concatenate, so w[2] on
+        RT1 x DG0 is the DG scalar and w[0], w[1] are the RT vector's
+        components (reference: ufl MixedElement extract_component,
+        exercised by tests/firedrake/regression/test_helmholtz_mixed.py
+        `sol[2]`)."""
+        single = idx[0] if (isinstance(idx, tuple)
+                            and len(idx) == 1) else idx
+        if isinstance(single, (int, np.integer)):
+            i = int(single)
+            for p in self.parts:
+                vs = p.space.value_shape
+                n = int(np.prod(vs)) if vs else 1
+                if i < n:
+                    return p[i] if vs else p
+                i -= n
+            raise IndexError(f"component {int(single)} out of range")
+        return super().__getitem__(idx)
+
     def assign(self, other):
         if isinstance(other, MixedFunction):
             for p, q in zip(self.parts, other.parts):

@@ -345,8 +345,16 @@ def interpolate_onto(expr, f: Function):
                                   "expressions: wrap in a Function first")
     expr = _as_expr_checked(expr, f.space)
     V = f.space
+    # constants MUST key the cache: the compiled program binds the
+    # cached expression's Constant objects (values are runtime args
+    # looked up by count), and expr.signature() renumbers constants
+    # structurally — without this, interpolate(Constant((0, 1))) after
+    # interpolate(Constant((1, 0))) replayed the first program with the
+    # first constant's values (caught by the round-5 acceptance port of
+    # test_facet_normal.py)
     key = (expr.signature(), id(V.mesh_obj), hash(V.element),
-           tuple(id(c) for c in _expr_coeffs(expr)))
+           tuple(id(c) for c in _expr_coeffs(expr)),
+           tuple(c.count for c in _expr_constants(expr)))
     if key not in _interp_cache:
         _interp_cache[key] = _build(expr, V)
     run, coeffs, consts = _interp_cache[key]
@@ -361,6 +369,13 @@ def _expr_coeffs(expr):
     from .language.core import Coefficient
     return tuple(sorted({t.count: t for t in expr.traverse()
                          if isinstance(t, Coefficient)}.values(),
+                        key=lambda c: c.count))
+
+
+def _expr_constants(expr):
+    from .language.core import ConstantBase
+    return tuple(sorted({t.count: t for t in expr.traverse()
+                         if isinstance(t, ConstantBase)}.values(),
                         key=lambda c: c.count))
 
 

@@ -58,6 +58,14 @@ def reconstruct(node: Expr, ops):
         return BoolOp(node.op, *ops)
     if t is MinMax:
         return MinMax(node.which, *ops)
+    if t is Product and len(ops) == 2 \
+            and ops[0].shape != () and ops[0].shape == ops[1].shape:
+        # a scalar product whose operands became equal-shaped vectors
+        # under substitution (unsplit mixed terminals rewritten to their
+        # flat component vectors): the contraction is the ufl semantics
+        # of the original inner/dot on the mixed values
+        from .tensor_algebra import Dot
+        return Dot(ops[0], ops[1])
     return t(*ops)
 
 
@@ -250,6 +258,11 @@ def derivative(form, u, du=None):
     part (reference: ufl derivative over mixed coefficients)."""
     parts = getattr(u, "parts", None)
     if parts is not None and du is None:
+        if isinstance(form, Form):
+            # unsplit mixed terminals (incl. u itself) must become their
+            # split parts first, else d/d(part) misses them
+            from ..mixed import split_mixed_terminals
+            form = split_mixed_terminals(form)
         nums = [arg.number for arg in form.arguments()]
         n = max(nums) + 1 if nums else 0
         trials = tuple(Argument(u.function_space().sub(i), n, part=i)
@@ -280,12 +293,28 @@ def derivative(form, u, du=None):
 
 # ------------------------------------------------------------ form algebra
 def action(form: Form, w):
-    """Replace the trial function (highest-numbered argument) with w."""
+    """Replace the trial function (highest-numbered argument) with w.
+    On a mixed space the trial appears as per-part split Arguments —
+    each part maps to the matching part of w (reference: ufl action +
+    firedrake's argument splitting)."""
     args = form.arguments()
     if not args:
         raise ValueError("action needs a form with arguments")
-    trial = args[-1]
-    return replace(form, {trial: w})
+    n = max(a.number for a in args)
+    mapping = {}
+    for t in (a for a in args if a.number == n):
+        part = getattr(t, "part", None)
+        if part is None:
+            mapping[t] = w
+        elif getattr(w, "parts", None) is not None:
+            mapping[t] = w.parts[part]
+        elif isinstance(w, Argument):
+            from ..mixed import mixed_arguments, is_mixed
+            mapping[t] = (mixed_arguments(w.space, w.number)[part]
+                          if is_mixed(w.space) else w)
+        else:
+            mapping[t] = w
+    return replace(form, mapping)
 
 
 def adjoint(form: Form):

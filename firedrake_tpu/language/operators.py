@@ -34,7 +34,10 @@ class Div(Expr):
 
 
 class Curl(Expr):
-    """3D: vector -> vector. 2D: vector -> scalar (rot)."""
+    """3D: vector -> vector. 2D: vector -> scalar (rot), and scalar ->
+    vector (the perp gradient (du/dy, -du/dx) — ufl's algebra lowering
+    of curl on a 2D scalar, exercised by the reference's
+    tests/firedrake/regression/test_bubble.py BDFM case)."""
     __slots__ = ("shape",)
 
     def __init__(self, e):
@@ -43,8 +46,10 @@ class Curl(Expr):
             shape = (3,)
         elif e.shape == (2,):
             shape = ()
+        elif e.shape == ():
+            shape = (2,)
         else:
-            raise ValueError("curl needs a 2- or 3-vector")
+            raise ValueError("curl needs a scalar, 2- or 3-vector")
         super().__init__(e)
         self.shape = shape
 
@@ -75,8 +80,25 @@ def nabla_div(e):
 
 
 # ---------------------------------------------------------------- math fns
+def _fold_number(name, x):
+    """ufl's math functions return plain numbers for plain-number
+    arguments (ufl.operators apply the operation eagerly to
+    ScalarValue); match that so e.g. ``sqrt(0.5)`` can feed Python
+    arithmetic (mesh sizes, tolerances) outside a form."""
+    import numbers
+    import numpy as _np
+    if isinstance(x, numbers.Number) or isinstance(x, _np.generic):
+        import scipy.special as _sp
+        fn = _sp.erf if name == "erf" else getattr(_np, name)
+        return float(fn(x))
+    return None
+
+
 def _mf(name):
     def f(x):
+        v = _fold_number(name, x)
+        if v is not None:
+            return v
         return MathFunction(name, x)
     f.__name__ = name
     return f
@@ -114,6 +136,9 @@ def imag(x):
 
 
 def sqrt(x):
+    v = _fold_number("sqrt", x)
+    if v is not None:
+        return v
     return MathFunction("sqrt", x)
 
 

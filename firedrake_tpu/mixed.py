@@ -121,6 +121,47 @@ def is_mixed(space):
     return isinstance(space, MixedFunctionSpace)
 
 
+def split_mixed_terminals(form):
+    """Rewrite UNSPLIT mixed-space terminals — Argument(W, n) on a
+    MixedFunctionSpace, or a MixedFunction coefficient — into flat
+    component vectors of their split parts, so `TestFunction(W)` and
+    `inner(sol, test)` work without an explicit split() (ufl's
+    mixed-element flat-component convention; the reference splits these
+    in compute_form_data.  Exercised by the reference's
+    tests/firedrake/regression/test_interior_facets.py
+    test_interior_facet_solve).  Identity when nothing is unsplit."""
+    from .language.tensor_algebra import as_vector
+    from .language.calculus import replace
+    from .language.core import Coefficient
+
+    def flat_components(parts):
+        comps = []
+        for p in parts:
+            vs = tuple(getattr(p, "shape", ()) or ())
+            if vs == ():
+                comps.append(p)
+            elif len(vs) == 1:
+                comps.extend(p[i] for i in range(vs[0]))
+            else:
+                raise NotImplementedError(
+                    "unsplit mixed terminal with a tensor-valued part; "
+                    "use split()")
+        return as_vector(comps)
+
+    mapping = {}
+    for it in form.integrals():
+        for t in it.integrand.traverse():
+            if any(t is k for k in mapping):
+                continue
+            if isinstance(t, Argument) and is_mixed(t.space):
+                mapping[t] = flat_components(
+                    mixed_arguments(t.space, t.number))
+            elif (isinstance(t, Coefficient)
+                  and getattr(t, "parts", None) is not None):
+                mapping[t] = flat_components(t.parts)
+    return replace(form, mapping) if mapping else form
+
+
 # --------------------------------------------------------- block extraction
 def form_parts(form: Form, number: int):
     """All distinct part indices of arguments with the given number."""
