@@ -47,6 +47,22 @@ __all__ = ["assemble", "FormAssembler", "get_assembler"]
 _assembler_cache: dict = {}
 
 
+def _kernel_chunk(ci, ce):
+    """Cell-axis chunk size bounding the batched kernel's live
+    (ni, nj, nq, chunk) quadrature intermediate to FDTPU_KERNEL_BYTES
+    (default 1 GiB).  None = no chunking (the common case; only
+    north-star-scale meshes with high-degree rules trip the bound)."""
+    import os as _os
+    C = ce.shape[-1]
+    ni, nj = ci.local_shape()
+    per_cell = max(ni * nj * ci.num_quad_points(), 1) * ce.dtype.itemsize
+    budget = float(_os.environ.get("FDTPU_KERNEL_BYTES", 2 ** 30))
+    chunk = int(budget / per_cell)
+    if chunk >= C:
+        return None
+    return max(chunk, 1024)
+
+
 def _perm_index_map(cell, nfv=None):
     """permutation tuple -> orientation index (itertools order)."""
     import itertools
@@ -722,7 +738,8 @@ class FormAssembler:
             consts = tuple(const_vals[c.count] for c in ci.constants)
             ce, ws = plan.gather_cell_inputs(coords_dat, coeff_dats, ci)
             with trace_ctx(prec):
-                li = run_cell_kernel(kb, ce, ws, consts)  # (ni, nj, C)
+                li = run_cell_kernel(kb, ce, ws, consts,
+                                     chunk=_kernel_chunk(ci, ce))
             loc = li if loc is None else loc + li
         if prec is not None:
             loc = widen(loc)              # f64 pad/scatter accumulation
@@ -748,7 +765,8 @@ class FormAssembler:
                 ce, ws = plan.gather_cell_inputs(t, coords_dat, coeff_dats,
                                                  ci)
                 with trace_ctx(prec):
-                    loc = run_cell_kernel(kb, ce, ws, consts)  # (ni,nj,C)
+                    loc = run_cell_kernel(kb, ce, ws, consts,
+                                          chunk=_kernel_chunk(ci, ce))
                 locs[t] = loc if locs[t] is None else locs[t] + loc
         if prec is not None:
             locs = [widen(l) for l in locs]   # f64 pad-add accumulation
@@ -835,9 +853,18 @@ def get_assembler(form: Form, bcs=None, mat_type="aij",
                   zero_bc_nodes=False) -> FormAssembler:
     import os as _os
     bcs = as_bcs(bcs)
+    from .mixed import split_mixed_terminals
+    form = split_mixed_terminals(form)
+    # constants must key the cache alongside coefficients: signature()
+    # renumbers Constant terminals structurally, and the assembler binds
+    # ITS form's Constant objects (values read at call time by count) —
+    # without this, assemble(Constant(3)*dx) after assemble(Constant(2)
+    # *dx) replayed the first program with the first constant's value
+    # (caught by the round-5 acceptance battery, test_facet_normal port)
     key = (form.signature(), id(form.mesh()), _bc_key(bcs), mat_type,
            zero_bc_nodes, _os.environ.get("FDTPU_PREC", ""),
-           tuple(id(c) for c in form.coefficients()))
+           tuple(id(c) for c in form.coefficients()),
+           tuple(c.count for c in form.constants()))
     if key not in _assembler_cache:
         cls = MixedFormAssembler if _form_is_mixed(form) else FormAssembler
         _assembler_cache[key] = cls(form, bcs, mat_type, zero_bc_nodes)

@@ -166,12 +166,46 @@ def pallas_cell_eval(kb, ce, ws, consts, interpret=False):
     return out[..., :C] if cpad != C else out
 
 
-def run_cell_kernel(kb, ce, ws, consts):
+def run_cell_kernel(kb, ce, ws, consts, chunk=None):
     """Dispatch: fused Pallas evaluation when enabled + dtype-eligible,
     the direct XLA trace otherwise.  Call sites wrap this in
     trace_ctx(prec) so both paths see the same constant dtypes.  On
-    non-TPU backends the kernel runs in interpreter mode (CPU tests)."""
+    non-TPU backends the kernel runs in interpreter mode (CPU tests).
+
+    `chunk`: evaluate the kernel over cell-axis chunks of this size.
+    The XLA trace holds (ni, nj, nq, C) quadrature intermediates; at
+    north-star scale (2M cells x 216-point rules for a sin^3 RHS) that
+    is an 18 GB allocation — past HBM.  Chunking bounds the live
+    intermediate to (ni, nj, nq, chunk) while the (ni, nj, C) output
+    accumulates across iterations (caught compiling cg_gmg_16m:
+    'Allocation (size=18119393280) would exceed memory').
+
+    Structure: fori_loop + dynamic_slice_in_dim on the inputs +
+    dynamic_update_slice into ONE output buffer.  A lax.map over
+    pre-reshaped stacks was measured OOM-equivalent to no chunking at
+    16M dofs: the pad+reshape+moveaxis materializes full-size copies of
+    every input (two 1.5 GB stacked buffers in the round-5 OOM report)
+    on top of the originals.  The last chunk's start index clamps to
+    C - chunk (dynamic_slice semantics), so the overlap cells are
+    recomputed and overwritten with identical values — no padding, no
+    edge-replicated Jacobians."""
     if pallas_enabled(ce.dtype):
         interp = jax.default_backend() != "tpu"
         return pallas_cell_eval(kb, ce, ws, consts, interpret=interp)
-    return kb(ce, ws, consts)
+    C = ce.shape[-1]
+    if not chunk or chunk >= C:
+        return kb(ce, ws, consts)
+    nch = -(-C // chunk)
+    spec = jax.eval_shape(kb, ce, ws, consts)
+    buf = jnp.zeros(spec.shape[:-1] + (C,), spec.dtype)
+
+    def body(i, buf):
+        c0 = jnp.minimum(i * chunk, C - chunk)
+        ce_c = jax.lax.dynamic_slice_in_dim(ce, c0, chunk, axis=-1)
+        ws_c = tuple(jax.lax.dynamic_slice_in_dim(w, c0, chunk, axis=-1)
+                     for w in ws)
+        loc = kb(ce_c, ws_c, consts)
+        start = (0,) * (buf.ndim - 1) + (c0,)
+        return jax.lax.dynamic_update_slice(buf, loc, start)
+
+    return jax.lax.fori_loop(0, nch, body, buf)

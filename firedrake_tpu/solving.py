@@ -131,6 +131,7 @@ class LinearVariationalSolver:
         self.nullspace = nullspace
         self.appctx = appctx or {}
         self._mat = None
+        self._hoisted_ksp = None
 
     def solve(self):
         p = self.problem
@@ -268,8 +269,30 @@ class LinearVariationalSolver:
                 return _ns.orthogonalize(_base(px)) + (x - px)
 
             bvec = ns.orthogonalize(bvec)
-        res = _run_ksp(opfn, bvec, params, pc=pc,
-                       x0=jnp.asarray(p.u.dat))
+        import os as _os
+        hoist_min = int(float(_os.environ.get("FDTPU_HOIST_MIN", 5e5)))
+        if n >= hoist_min and not isinstance(bvec, jax.core.Tracer):
+            # large programs: closed-over operators/level arrays as
+            # runtime parameters, not HLO literals — plain tracing at
+            # the 16M north star serializes a module past the remote
+            # compile helper's body limit (utils/hoist.py).  Cached on
+            # the solver only when the traced closure is call-stable
+            # (constant Jacobian + the persistent GMG pc).
+            from .utils.hoist import hoisted_jit
+            x0 = jnp.asarray(p.u.dat)
+            cacheable = p.constant_jacobian and pc is getattr(
+                self, "_gmg", None)
+            hoisted = self._hoisted_ksp if cacheable else None
+            if hoisted is None:
+                hoisted = hoisted_jit(
+                    lambda bb, xx: _run_ksp(opfn, bb, params, pc=pc,
+                                            x0=xx), bvec, x0)
+                if cacheable:
+                    self._hoisted_ksp = hoisted
+            res = hoisted(bvec, x0)
+        else:
+            res = _run_ksp(opfn, bvec, params, pc=pc,
+                           x0=jnp.asarray(p.u.dat))
         p.u.dat = res.x
         self.ksp_iterations = int(res.iterations)
         self.converged = bool(res.converged)
