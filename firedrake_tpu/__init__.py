@@ -75,6 +75,8 @@ from .mg.mesh import (MeshHierarchy, HierarchyBase,
                       NonNestedHierarchy,
                       ExtrudedMeshHierarchy,
                       SemiCoarsenedExtrudedHierarchy)
+from .mg.geometry import (GeometryProjectedMeshHierarchy,
+                          OpenCascadeMeshHierarchy)
 from .mg.transfer import prolong, restrict, inject, TransferManager
 from .solvers.snes import AuxiliaryOperatorSNES
 from .solvers.pcs import (PCBase, AssembledPC, AuxiliaryOperatorPC,
@@ -149,6 +151,7 @@ __all__ = (list(_lang_all) + list(_mesh_all) + [
     "NonlinearVariationalProblem", "NonlinearVariationalSolver",
     "LinearSolver", "Mesh", "MeshTopology",
     "MeshHierarchy", "HierarchyBase", "ExtrudedMeshHierarchy",
+    "GeometryProjectedMeshHierarchy", "OpenCascadeMeshHierarchy",
     "NonNestedHierarchy",
     "AdaptiveMeshHierarchy",
     "SemiCoarsenedExtrudedHierarchy", "prolong", "restrict", "inject",

@@ -91,16 +91,37 @@ class Mesh:
 
     @cached_property
     def coordinates(self):
-        """Vector P1/Q1 (or DG1) Function holding coordinates."""
+        """Vector P1/Q1 (or DG1) Function holding coordinates.
+
+        Assigning ``mesh.coordinates.dat = ...`` (mesh movement — the
+        reference's ``mesh.coordinates.assign`` idiom) writes the new
+        vertex positions back to the mesh's host-side geometry, so
+        supermeshing, point location, refinement, and cell volumes see
+        the moved mesh, not the construction-time one (round-5 fix:
+        distorted-supermesh conservation caught the staleness)."""
         from ..functionspace import VectorFunctionSpace
         from ..function import Function
+
+        mesh = self
+
+        class _MeshCoordinates(Function):
+            @property
+            def dat(self):
+                return self._dat
+
+            @dat.setter
+            def dat(self, value):
+                self._dat = value
+                if getattr(self, "_sync_mesh", None) is not None:
+                    mesh._sync_coords(self)
+
         V = VectorFunctionSpace(self, self._coord_family,
                                 self._coord_degree,
                                 dim=self.geometric_dimension)
-        f = Function(V, name=f"{self.name}_coordinates")
+        f = _MeshCoordinates(V, name=f"{self.name}_coordinates")
         if self._coord_family == "Lagrange":
             # P1 numbering: dof g = vertex id
-            f.dat = np.asarray(self._vertex_coords).reshape(-1)
+            f._dat = np.asarray(self._vertex_coords).reshape(-1)
         else:
             # DG1: per-cell vertex coords, possibly unwrapped (periodic)
             cellcoords = getattr(self, "_cell_coords", None)
@@ -109,8 +130,28 @@ class Mesh:
                     self.topology.cell_vertices]
             dat = np.zeros(V.dim)
             dat[V.cell_dof_map.reshape(-1)] = cellcoords.reshape(-1)
-            f.dat = dat
+            f._dat = dat
+        f._sync_mesh = True
         return f
+
+    def _sync_coords(self, f):
+        """Mirror a coordinates-Function update into the host geometry
+        and drop coordinate-derived caches."""
+        dat = np.asarray(f.dat, dtype=np.float64)
+        g = self.geometric_dimension
+        if self._coord_family == "Lagrange":
+            self._vertex_coords = dat.reshape(-1, g).copy()
+        else:
+            # DG1 (periodic seams): per-cell coords are authoritative;
+            # vertex positions take each vertex's first occurrence
+            cc = dat[f.space.cell_dof_map.reshape(-1)].reshape(
+                self.topology.cell_vertices.shape + (g,))
+            self._cell_coords = cc
+            vc = np.array(self._vertex_coords, copy=True)
+            cv = self.topology.cell_vertices.reshape(-1)
+            vc[cv[::-1]] = cc.reshape(-1, g)[::-1]
+            self._vertex_coords = vc
+        self.__dict__.pop("cell_volumes", None)
 
     @cached_property
     def coordinate_space(self):

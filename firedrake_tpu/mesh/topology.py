@@ -26,6 +26,49 @@ from ..elements.reference_cell import ReferenceCell, by_name
 _IDX = np.int32
 
 
+def _unique_rows(flat, M):
+    """np.unique(flat, axis=0, return_inverse=True) for (N, k) int64
+    rows with entries in [0, M): rows are packed into one or two int64
+    keys and deduplicated with scalar argsorts.  unique(axis=0)'s
+    void-dtype row sort measured 24.6 s of a 47 s 2M-dof hierarchy
+    build (PERF_NOTES round 5 — the 16M north-star setup was ~11 min
+    of host time, most of it here); packed keys cut it to ordinary
+    int64 sorts.  Returns (uniq_rows, inverse), uniq in lexicographic
+    order exactly like np.unique."""
+    n, k = flat.shape
+    if n == 0:
+        return flat.copy(), np.zeros(0, dtype=np.int64)
+    # packed halves must fit int64 (M^ceil(k/2) < 2^62); entities have
+    # k <= 4 vertices today, so this fallback guards only exotic cells
+    # or absurd vertex counts
+    if float(M) ** max(k - k // 2, min(k, 2)) > 2.0 ** 62:
+        return np.unique(flat, axis=0, return_inverse=True)
+    if k <= 2:
+        key = flat[:, 0] * M + (flat[:, 1] if k == 2 else 0)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+    else:
+        h = k // 2
+        hi = flat[:, 0].copy()
+        for j in range(1, h):
+            hi = hi * M + flat[:, j]
+        lo = flat[:, h].copy()
+        for j in range(h + 1, k):
+            lo = lo * M + flat[:, j]
+        order = np.lexsort((lo, hi))
+        his, los = hi[order], lo[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (his[1:] != his[:-1]) | (los[1:] != los[:-1])
+    idx = np.cumsum(new) - 1
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = idx
+    return flat[order[new]], inv
+
+
 class MeshTopology:
     def __init__(self, cell_vertices: np.ndarray, num_vertices: int,
                  cell_type: str, name: str = "mesh"):
@@ -51,19 +94,22 @@ class MeshTopology:
         out = {}
         cell = self.cell
         cv = self.cell_vertices
-        SENT = np.iinfo(np.int64).max // 2
+        # pad sentinel = num_vertices: sorts after every real id AND
+        # keeps packed int64 keys small (int64max/2 would overflow the
+        # row-key packing below)
+        SENT = self.num_vertices
         for d in range(1, self.dim + 1):
             local = cell.topology[d]                  # (n_local, nvpe)
             n_local, nvpe = local.shape
             # cell-local view; ragged rows are padded with -1 (prisms):
-            # replace padded slots with a sorting sentinel
+            # replace padded slots with the sorting sentinel
             safe = np.where(local < 0, 0, local)
             views = cv[:, safe].astype(np.int64)      # (ncell, n_local, nvpe)
             pad = (local < 0)[None, :, :]
             views = np.where(pad, SENT, views)
             canon = np.sort(views, axis=-1)
             flat = canon.reshape(-1, nvpe)
-            uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+            uniq, inv = _unique_rows(flat, SENT + 1)
             cell_entities = inv.reshape(self.num_cells, n_local).astype(_IDX)
             # orientation: sigma with canon[j] == view[sigma[j]]
             perms = list(itertools.permutations(range(nvpe)))
