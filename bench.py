@@ -192,7 +192,7 @@ def _matvec_bench(jax, n, degree=1):
 
 
 def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False,
-                 rep_budget=15.0):
+                 rep_budget=15.0, chunked=False):
     """CG+GMG solve time at the KSP level on a structured hierarchy
     (stencil operators + stencil transfers), ONE jitted whole-solve
     program.  `seconds` is the 1-vs-R differenced per-solve time (the
@@ -202,7 +202,15 @@ def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False,
     `seconds_single` is the raw single-call wall for continuity with
     rounds 3/4.  `matfree=True` runs the fine operator as an
     action-assembly MatrixFreeOperator (the 16M-dof north-star
-    configuration — no channel planes at the fine level)."""
+    configuration — no channel planes at the fine level).
+
+    `chunked=True` (the 16M entry): the whole-solve dispatch exceeds
+    the tunnel's ~60-80 s remote-execution watchdog and crashes the
+    TPU worker (round-5 probe), so run warm-restarted CG in
+    ksp_max_it=FDTPU_SOLVE_CHUNK chunks — one watchdog-sized dispatch
+    each, one rnorm scalar readback between chunks, stop at the global
+    ||r|| <= rtol*||b|| criterion (ksp_atol carries it into each
+    chunk's own while_loop so a chunk can stop mid-way)."""
     import math
     import numpy as np
     import jax.numpy as jnp
@@ -251,6 +259,34 @@ def _solve_bench(jax, nbase, levels, degree, dim=2, matfree=False,
     # plain jit serializes a program too large for the remote-compile
     # helper (HTTP 413; PERF_NOTES round 5).
     from firedrake_tpu.utils.hoist import hoisted_jit
+
+    if chunked:
+        K = int(os.environ.get("FDTPU_SOLVE_CHUNK", "4"))
+        bnorm = float(jnp.linalg.norm(b))
+        rtol = params["ksp_rtol"]
+        cparams = dict(params)
+        cparams["ksp_max_it"] = K
+        cparams["ksp_atol"] = rtol * bnorm   # global criterion in-chunk
+        z = jnp.zeros_like(b)
+        step = hoisted_jit(
+            lambda bb, xx: _run_ksp(A.matvec, bb, cparams, pc=pc, x0=xx),
+            b, z)
+        res = step(b, z)                             # warm + compile
+        float(res.residual_norm)
+        t0 = time.perf_counter()
+        x, total_it = z, 0
+        for _ in range(100):
+            res = step(b, x)
+            x = res.x
+            total_it += int(res.iterations)
+            if float(res.residual_norm) <= rtol * bnorm:
+                break
+        dt = time.perf_counter() - t0
+        rel = float(jnp.linalg.norm(b - A.matvec(x)) / bnorm)
+        return dict(dofs=V.dim, seconds=dt, seconds_single=dt, reps=1,
+                    iterations=total_it, rel_residual=rel,
+                    matfree=matfree, chunk_max_it=K)
+
     solver = hoisted_jit(
         lambda bb: _run_ksp(A.matvec, bb, params, pc=pc), b)
     res = solver(b)                                  # warm + compile
@@ -361,8 +397,13 @@ def main():
             json.dump(details, fh, indent=1)
         os.replace(tmp, "/root/repo/BENCH_DETAILS.json")
 
+    only = os.environ.get("FDTPU_BENCH_ONLY")
+    only = set(only.split(",")) if only else None
+
     def metric(name, fn, *args, **kw):
         floor = _FLOOR.get(name, _FLOOR["default"])
+        if only is not None and name not in only:
+            return
         if _remaining() < floor:
             details[name] = {"skipped": "budget",
                              "remaining_s": round(_remaining(), 1)}
@@ -427,7 +468,7 @@ def main():
     # can take tens of minutes and must not eat the other metrics. ---
     metric("p2_assembly_3d_64", _assembly_bench, 64, 2, dim=3)
     metric("cg_gmg_16m", _solve_bench, 8, 4, 2, dim=3, matfree=True,
-           rep_budget=8.0)
+           rep_budget=8.0, chunked=True)
 
     print_headline()
     flush_details()

@@ -704,6 +704,8 @@ class RaviartThomasCubeFace(_MomentElement):
             return np.ones(self.degree)
         return np.array([-((-1.0) ** j) for j in range(self.degree)])
 
+    facet_dof_sign_flip = True
+
 
 class NedelecCubeEdge(_MomentElement):
     """RTCE_k on quadrilaterals — tensor-product Nedelec (FInAT 'RTCE',
@@ -775,6 +777,8 @@ class NedelecCubeEdge(_MomentElement):
         if orientation == 0:
             return np.ones(self.degree)
         return np.array([-((-1.0) ** j) for j in range(self.degree)])
+
+    facet_dof_sign_flip = True
 
 
 class NedelecFirstKind2D(_MomentElement):

@@ -301,9 +301,17 @@ class Lagrange(FiniteElement):
         cell, k = self.cell, self.degree
         raw_nodes, assoc = self._lattice()
         if not self.continuous:
-            # all dofs attached to the cell interior
-            order = np.arange(len(raw_nodes))
-            self.nodes = raw_nodes
+            # all dofs attached to the cell interior, but in the SAME
+            # node order as the continuous element: DG_k node i sits at
+            # CG_k node i.  The vertex-based limiter, the DG-coordinate
+            # fill of periodic meshes, and BrokenElement(CG) all rely on
+            # this (round-5 fix: the raw lattice order put triangle DG1
+            # nodes at v0, v2, v1, which mirrored every periodic-mesh
+            # coordinate chart and broke dS facet geometry)
+            order = sorted(range(len(raw_nodes)),
+                           key=lambda i: (assoc[i][0], assoc[i][1],
+                                          assoc[i][2]))
+            self.nodes = raw_nodes[order]
             self.entity_dofs = {d: {e: [] for e in range(len(cell.topology[d]))}
                                 for d in cell.topology}
             self.entity_dofs[cell.dim][0] = list(range(len(raw_nodes)))

@@ -17,9 +17,16 @@ class Mesh:
     """A mesh: topology plus vertex coordinates plus facet markers."""
 
     def __init__(self, topology: MeshTopology, vertex_coords: np.ndarray,
-                 facet_markers: np.ndarray | None = None, name: str = "mesh"):
+                 facet_markers: np.ndarray | None = None, name: str = "mesh",
+                 cell_coords: np.ndarray | None = None):
         self.topology = topology
         self._vertex_coords = np.asarray(vertex_coords, dtype=np.float64)
+        if cell_coords is not None:
+            # discontinuous (per-cell, unwrapped) charts — periodic
+            # meshes: vertex coords are wrapped representatives, so all
+            # geometry (incl. orientation forcing below) must use these
+            self._cell_coords = np.asarray(cell_coords, dtype=np.float64)
+            self._coord_family = "DG"
         self._fix_simplex_orientation()
         self.name = name
         self.geometric_dimension = self._vertex_coords.shape[1]
@@ -43,7 +50,12 @@ class Mesh:
         if self._vertex_coords.shape[1] != d:
             return   # manifold meshes keep their given orientation
         cv = topo.cell_vertices
-        pts = self._vertex_coords[cv]                  # (nc, d+1, d)
+        cc = getattr(self, "_cell_coords", None)
+        # periodic meshes: orientation must come from the UNWRAPPED
+        # per-cell charts — the wrapped vertex chart makes seam cells
+        # look inverted (caught by the periodic-advection constant-
+        # preservation check, round 5)
+        pts = cc if cc is not None else self._vertex_coords[cv]
         E = pts[:, 1:, :] - pts[:, :1, :]              # (nc, d, d)
         det = np.linalg.det(E)
         neg = det < 0
@@ -53,6 +65,11 @@ class Mesh:
             cv[neg, -1], cv[neg, -2] = (cv[neg, -2].copy(),
                                         cv[neg, -1].copy())
             topo.cell_vertices = cv
+            if cc is not None:
+                cc = cc.copy()
+                cc[neg, -1], cc[neg, -2] = (cc[neg, -2].copy(),
+                                            cc[neg, -1].copy())
+                self._cell_coords = cc
             # invalidate any cached connectivity
             for attr in ("_entity_data", "_facet_data", "facet_cells",
                          "facet_local_id", "exterior_facets",

@@ -66,13 +66,18 @@ def UnitIntervalMesh(ncells: int, name="mesh"):
 
 
 def PeriodicIntervalMesh(ncells: int, length=1.0, name="mesh"):
-    """Circle topology embedded in 1D via DG coords is complex; represent as
-    interval with identified endpoints (vertex 0 == vertex ncells)."""
+    """Circle topology with per-cell UNWRAPPED (DG) coordinate charts —
+    the reference's periodic-mesh representation (utility_meshes.py
+    PeriodicIntervalMesh: discontinuous coordinates).  The wrapped
+    vertex coords alone would give the seam cell an inverted chart
+    spanning almost the whole interval."""
+    h = length / ncells
     x = np.linspace(0.0, length, ncells + 1)[:-1, None]
-    cells = np.stack([np.arange(ncells),
-                      (np.arange(ncells) + 1) % ncells], axis=1)
+    idx = np.arange(ncells)
+    cells = np.stack([idx, (idx + 1) % ncells], axis=1)
+    ccoords = np.stack([idx * h, (idx + 1) * h], axis=1)[..., None]
     topo = MeshTopology(cells, ncells, "interval", name)
-    m = Mesh(topo, x, name=name)
+    m = Mesh(topo, x, name=name, cell_coords=ccoords)
     m._periodic = ("x",)
     m._periodic_lengths = (length,)
     return m
@@ -308,16 +313,10 @@ def PeriodicRectangleMesh(nx, ny, Lx=1.0, Ly=1.0, direction="both",
     X, Y = np.meshgrid(xs, ys, indexing="xy")
     verts = np.stack([X.ravel(), Y.ravel()], axis=1)
     topo = MeshTopology(cells.astype(_IDX), nverts, ct, name)
-    m = Mesh(topo, verts, name=name)
-    # NB orientation fixing may have swapped vertices; rebuild cell coords
-    # from the (possibly reordered) topology by matching vertex ids
-    m._coord_family = "DG"
-    cc = np.zeros_like(ccoords)
-    for c in range(len(cells)):
-        old = list(cells[c])
-        for k, v in enumerate(topo.cell_vertices[c]):
-            cc[c, k] = ccoords[c, old.index(v)]
-    m._cell_coords = cc
+    # unwrapped charts drive orientation forcing (Mesh permutes cell
+    # vertices + charts together); the wrapped vertex chart misjudges
+    # seam-cell orientation
+    m = Mesh(topo, verts, name=name, cell_coords=ccoords)
     m._periodic = direction
     return m
 

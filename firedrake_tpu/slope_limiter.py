@@ -18,8 +18,14 @@ class VertexBasedLimiter:
     def __init__(self, space: FunctionSpace):
         V = space
         elem = V.scalar_element
-        if not (elem.family == "Discontinuous Lagrange"
-                and elem.degree == 1 and V.block_size == 1):
+        # accept DG1 in any spelling with vertex-lattice nodes: plain
+        # "DG", or BrokenElement(CG1/DG1) — the reference's periodic-
+        # mesh idiom (test_vertex_based_limiter.py builds P1DG by
+        # breaking the coordinate element)
+        base = getattr(elem, "sub", elem)
+        if not (base.family in ("Lagrange", "Discontinuous Lagrange")
+                and base.degree == 1 and V.block_size == 1
+                and not getattr(elem, "continuous", True)):
             raise ValueError("VertexBasedLimiter needs scalar DG1")
         self.V = V
         mesh = V.mesh_obj
